@@ -1,0 +1,107 @@
+"""Engine settings + SparkSession factory.
+
+Mirrors the reference Settings (agentic_doc/config.py:85-148): split_size=10
+(≤100), extraction_split_size=50, batch/worker knobs become Spark parallelism
+config. Designed for a 1000-executor cluster; local[] for tests.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+
+@dataclass(frozen=True)
+class Settings:
+    """Pipeline knobs, same defaults/bounds as the reference.
+
+    - split_size: pages per part (reference agentic_doc/config.py:123-128,
+      asserted 0 < split_size <= 100 in agentic_doc/utils.py:229-231).
+    - extraction_split_size: max pages when field extraction is enabled
+      (agentic_doc/config.py:129-134, guard agentic_doc/parse.py:483-498).
+    - spans_per_page: fixture constant deriving page_no = offset //
+      spans_per_page (FIXTURES.md §1).
+    - include_marginalia / include_metadata_in_markdown: the two analysis
+      flags (agentic_doc/parse.py:60-61).
+    - strip_boilerplate: north-rule HTML boilerplate strip (no reference
+      analog).
+    - salt_buckets: salt width for the mega-document repartition
+      (north rule skew handling).
+    """
+
+    split_size: int = 10
+    extraction_split_size: int = 50
+    spans_per_page: int = 4
+    include_marginalia: bool = True
+    include_metadata_in_markdown: bool = True
+    strip_boilerplate: bool = True
+    salt_buckets: int = 8
+    use_pandas_udf: bool = True  # False = pure-JVM expression kernel
+
+    def __post_init__(self) -> None:
+        if not (0 < self.split_size <= 100):
+            raise ValueError("split_size must be in (0, 100]")
+        if not (0 < self.extraction_split_size <= 50):
+            raise ValueError("extraction_split_size must be in (0, 50]")
+        if self.spans_per_page <= 0:
+            raise ValueError("spans_per_page must be positive")
+
+
+DEFAULT_SETTINGS = Settings()
+
+
+def build_spark(
+    app_name: str = "agentic-doc-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """SparkSession tuned for the extraction workload.
+
+    Scale-aware defaults: AQE on (runtime coalescing + skew splitting),
+    Arrow on (pandas UDF batches), shuffle partitions sized to cores
+    locally (a real cluster overrides via spark-submit conf).
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    master = master or f"local[{cpus}]"
+    shuffle = shuffle_partitions or int(
+        os.environ.get("SPARK_SHUFFLE_PARTITIONS", str(max(cpus, 8)))
+    )
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    _ship_package(spark)
+    return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package to Python workers (the local-mode equivalent of
+    ``spark-submit --py-files``). Without it, the pandas-UDF kernel fails
+    with ModuleNotFoundError whenever the driver's cwd isn't the repo
+    root — workers unpickle kernel closures by module reference."""
+    import tempfile
+    import zipfile
+    from pathlib import Path
+
+    pkg_dir = Path(__file__).resolve().parent
+    zip_path = Path(tempfile.gettempdir()) / "agentic_doc_spark_pyfiles.zip"
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for f in sorted(pkg_dir.rglob("*.py")):
+            zf.write(f, f"agentic_doc_spark/{f.relative_to(pkg_dir)}")
+    spark.sparkContext.addPyFile(str(zip_path))

@@ -1,0 +1,36 @@
+"""Markdown rendering of spans — shared scalar/Spark-expression contract.
+
+Reference semantics: part markdowns are concatenated with '\\n\\n'
+(agentic_doc/parse.py:621); figures render as images. The scalar form is
+the oracle; ``render_span_col`` is the equivalent Catalyst expression used
+by the pipeline (JVM-side, no UDF).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+PART_SEP = "\n\n"
+
+
+def render_span(kind: str, text: str | None, media_ref: str | None) -> str:
+    if kind == "media":
+        return f"![{media_ref}]({media_ref})"
+    if kind == "figure" and media_ref:
+        return f"![{text or ''}]({media_ref})"
+    return text or ""
+
+
+def render_span_col(kind: Column, text: Column, media_ref: Column) -> Column:
+    """Catalyst-expression twin of :func:`render_span`."""
+    t = F.coalesce(text, F.lit(""))
+    img = F.concat(F.lit("!["), t, F.lit("]("), media_ref, F.lit(")"))
+    media_img = F.concat(
+        F.lit("!["), media_ref, F.lit("]("), media_ref, F.lit(")")
+    )
+    return (
+        F.when(kind == "media", media_img)
+        .when((kind == "figure") & media_ref.isNotNull() & (media_ref != ""), img)
+        .otherwise(t)
+    )

@@ -1,0 +1,187 @@
+"""Span-sequence-equality fixture tests — the BASELINE.json correctness gate.
+
+Runs the Spark pipeline over the deterministic fixture corpus and asserts
+EXACT equality of (kind, text, media_ref, order) per doc_id against the
+pure-Python oracle (reference merge semantics, agentic_doc/parse.py:597-629),
+plus markdown / page-range / error equality and the reference's integ-test
+invariants (ordering, unique chunk ids, bbox validity —
+tests/integ/test_parse_integ.py:75-401)."""
+
+from __future__ import annotations
+
+import pytest
+
+from agentic_doc_spark.config import Settings
+from agentic_doc_spark.pipeline import extract, spans_long
+from agentic_doc_spark.synth import corpus_df, expected_corpus, make_corpus
+
+
+def _rows_by_doc(parsed_rows):
+    return {r["doc_id"]: r for r in parsed_rows}
+
+
+@pytest.fixture(scope="module")
+def settings():
+    return Settings()
+
+
+@pytest.fixture(scope="module")
+def result(spark, settings):
+    df = corpus_df(spark, n_per_profile=2, settings=settings)
+    got = {r["doc_id"]: r.asDict(recursive=True) for r in extract(df, settings).collect()}
+    want = _rows_by_doc(expected_corpus(n_per_profile=2, settings=settings))
+    return got, want
+
+
+def test_all_docs_present(result):
+    got, want = result
+    assert set(got) == set(want)
+
+
+def test_span_sequence_equality(result):
+    got, want = result
+    for doc_id, exp in want.items():
+        got_spans = [
+            (s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in got[doc_id]["spans"]
+        ]
+        exp_spans = [
+            (s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in exp["spans"]
+        ]
+        assert got_spans == exp_spans, f"span mismatch for {doc_id}"
+
+
+def test_markdown_equality(result):
+    got, want = result
+    for doc_id, exp in want.items():
+        assert got[doc_id]["markdown"] == exp["markdown"], doc_id
+
+
+def test_page_ranges_and_errors(result):
+    got, want = result
+    for doc_id, exp in want.items():
+        g = got[doc_id]
+        assert g["start_page_idx"] == exp["start_page_idx"], doc_id
+        assert g["end_page_idx"] == exp["end_page_idx"], doc_id
+        assert g["errors"] == exp["errors"], doc_id
+
+
+def test_chunk_equality(result):
+    got, want = result
+    for doc_id, exp in want.items():
+        assert got[doc_id]["chunks"] == exp["chunks"], doc_id
+
+
+def test_chunk_ids_unique_per_doc(result):
+    # reference integ invariant: tests/integ/test_parse_integ.py:337-360
+    got, _ = result
+    for doc_id, g in got.items():
+        ids = [c["chunk_id"] for c in g["chunks"]]
+        assert len(ids) == len(set(ids)), doc_id
+
+
+def test_bboxes_valid(result):
+    # reference integ invariant: tests/integ/test_parse_integ.py:375-401
+    got, _ = result
+    for g in got.values():
+        for c in g["chunks"]:
+            for gr in c["grounding"]:
+                b = gr["box"]
+                assert 0.0 <= b["l"] < b["r"] <= 1.0
+                assert 0.0 <= b["t"] < b["b"] <= 1.0
+
+
+def test_offsets_dense(result):
+    got, _ = result
+    for g in got.values():
+        assert [s["offset"] for s in g["spans"]] == list(range(len(g["spans"])))
+
+
+def test_errdoc_semantics(result):
+    # failed middle part: pages 10-19 error rows, its spans dropped
+    got, _ = result
+    g = got["errdoc-000000"]
+    assert [e["page_num"] for e in g["errors"]] == list(range(10, 20))
+    assert all(e["error_code"] == -1 for e in g["errors"])
+    assert g["end_page_idx"] == 24
+    # spans from parts 0 and 2 survive: 40 + 20 spans
+    assert len(g["spans"]) == 60
+
+
+def test_html_boilerplate_stripped(result):
+    got, _ = result
+    g = got["html-000000"]
+    joined = " ".join(s["text"] for s in g["spans"])
+    assert "cookie" not in joined.lower()
+    assert "<nav>" not in joined
+    assert "<footer>" not in joined
+    assert len(g["spans"]) == 9  # 12 - 3 boilerplate
+
+
+def test_empty_doc_identity(spark, settings):
+    # A4: zero spans → md='', pages 0..0 (agentic_doc/parse.py:598-611)
+    from agentic_doc_spark.schema import DOCUMENTS_RAW
+
+    df = spark.createDataFrame(
+        [{"doc_id": "empty-1", "spans": []}, {"doc_id": "empty-2", "spans": None}],
+        DOCUMENTS_RAW,
+    )
+    rows = {r["doc_id"]: r.asDict(recursive=True) for r in extract(df, settings).collect()}
+    for r in rows.values():
+        assert r["markdown"] == ""
+        assert r["chunks"] == [] and r["spans"] == [] and r["errors"] == []
+        assert r["start_page_idx"] == 0 and r["end_page_idx"] == 0
+
+
+def test_native_kernel_matches_pandas(spark):
+    # the Catalyst-expression twin must agree with the pandas kernel
+    s_pandas = Settings(use_pandas_udf=True)
+    s_native = Settings(use_pandas_udf=False)
+    df = corpus_df(spark, n_per_profile=1, settings=s_pandas)
+    a = sorted(
+        spans_long(extract(df, s_pandas)).collect(),
+        key=lambda r: (r["doc_id"], r["offset"]),
+    )
+    b = sorted(
+        spans_long(extract(df, s_native)).collect(),
+        key=lambda r: (r["doc_id"], r["offset"]),
+    )
+    assert a == b
+
+
+def test_marginalia_filter(spark):
+    # P2: include_marginalia=False drops marginalia spans
+    s = Settings(include_marginalia=False)
+    df = corpus_df(spark, n_per_profile=1, settings=s)
+    got = {
+        r["doc_id"]: r.asDict(recursive=True)
+        for r in extract(df, s).collect()
+    }
+    want = _rows_by_doc(expected_corpus(n_per_profile=1, settings=s))
+    m = got["marginalia-000000"]
+    assert all(sp["kind"] != "marginalia" for sp in m["spans"])
+    assert len(m["spans"]) == 15  # 20 - 5 folio lines
+    for doc_id, exp in want.items():
+        g_spans = [
+            (x["kind"], x["text"], x["media_ref"], x["offset"])
+            for x in got[doc_id]["spans"]
+        ]
+        e_spans = [
+            (x["kind"], x["text"], x["media_ref"], x["offset"])
+            for x in exp["spans"]
+        ]
+        assert g_spans == e_spans, doc_id
+
+
+def test_partition_count_invariance(spark, settings):
+    # SURVEY.md §7.3: ordering must survive arbitrary repartitioning
+    df = corpus_df(spark, n_per_profile=1, settings=settings).repartition(13)
+    got = {
+        r["doc_id"]: r.asDict(recursive=True) for r in extract(df, settings).collect()
+    }
+    want = _rows_by_doc(expected_corpus(n_per_profile=1, settings=settings))
+    for doc_id, exp in want.items():
+        g = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in got[doc_id]["spans"]]
+        e = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in exp["spans"]]
+        assert g == e, doc_id
