@@ -1,0 +1,117 @@
+"""Text analysis for training-data pipelines: language-ID, quality
+scoring, token counting, fingerprinting.
+
+Every function is a pure Catalyst expression (JVM, whole-stage codegen,
+no UDF) and has an exact ANSI-SQL twin in __spark_entry__.oracle_sql() —
+portability across engines is part of the contract, so only portable
+primitives are used (md5, regexp, array ops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: tiny language marker sets for the n-gram/stopword heuristic language ID.
+LANG_MARKERS = {
+    "en": ("the", "of", "and", "to", "a"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "und", "das", "ist"),
+}
+
+#: BPE-ish token regex: word pieces or single non-space symbols.
+TOKEN_RE = r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"
+
+
+def words(text: Column) -> Column:
+    """Whitespace tokens (empty strings filtered)."""
+    return F.filter(F.split(text, r"\s+"), lambda w: w != "")
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(words(text))
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish regex token count (word pieces + punctuation symbols)."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_RE), 0))
+
+
+def stopword_ratio(text: Column, markers: tuple[str, ...]) -> Column:
+    w = words(F.lower(text))
+    hits = F.size(F.filter(w, lambda x: x.isin(*markers)))
+    return F.when(F.size(w) > 0, hits / F.size(w)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    p = F.length(F.regexp_replace(text, r"[a-zA-Z0-9\s]", ""))
+    return F.when(n > 0, p / n).otherwise(F.lit(0.0))
+
+
+def mean_word_len(text: Column) -> Column:
+    w = words(text)
+    total = F.aggregate(
+        F.transform(w, F.length), F.lit(0), lambda a, x: a + x
+    )
+    return F.when(F.size(w) > 0, total / F.size(w)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality: length band + low punctuation + stopword
+    presence + sane word length. Heuristic mirrors common pretraining
+    quality filters (C4-style); weights fixed for determinism."""
+    n = F.length(text)
+    len_ok = F.when((n >= 50) & (n <= 20000), F.lit(1.0)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(text) < 0.2, F.lit(1.0)).otherwise(F.lit(0.0))
+    stop_ok = F.when(
+        stopword_ratio(text, LANG_MARKERS["en"]) > 0.02, F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    wl = mean_word_len(text)
+    wl_ok = F.when((wl >= 2.0) & (wl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    return (0.3 * len_ok + 0.2 * punct_ok + 0.3 * stop_ok + 0.2 * wl_ok).alias(
+        "quality"
+    )
+
+
+def lang_id(text: Column) -> Column:
+    """Stopword-marker language ID: argmax of marker hit ratios, 'und' when
+    every ratio is zero. Deterministic tie-break by language order
+    en > es > de."""
+    ratios = {k: stopword_ratio(text, v) for k, v in LANG_MARKERS.items()}
+    best = (
+        F.when(
+            (ratios["en"] >= ratios["es"]) & (ratios["en"] >= ratios["de"]) & (ratios["en"] > 0),
+            F.lit("en"),
+        )
+        .when((ratios["es"] >= ratios["de"]) & (ratios["es"] > 0), F.lit("es"))
+        .when(ratios["de"] > 0, F.lit("de"))
+        .otherwise(F.lit("und"))
+    )
+    return best
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse whitespace."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of the normalized text (portable across
+    engines; the rolling-hash variant is fingerprint_rolling)."""
+    return F.md5(normalize_text(text))
+
+
+def fingerprint_rolling(text: Column, window: int = 8) -> Column:
+    """Rolling-hash style fingerprint: min of md5 over ``window``-token
+    shingles of the normalized text — stable under small edits far from
+    the minimum (winnowing-lite)."""
+    toks = words(normalize_text(text))
+    n = F.size(toks)
+    k = F.greatest(n - window + 1, F.lit(1))
+    shingles = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.md5(F.array_join(F.slice(toks, i + 1, window), " ")),
+    )
+    return F.array_min(shingles)

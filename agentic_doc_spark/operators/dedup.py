@@ -1,0 +1,294 @@
+"""Deduplication operators for training-data pipelines.
+
+Five strategies, all expressed as DataFrame plans with portable primitives
+(md5-based hashing → identical results in the DuckDB oracle):
+
+- exact             hash-groupBy on normalized text
+- minhash_lsh       shingle → k minhashes → banded LSH → bucket self-join
+- simhash           signed bit-vote fingerprint, near-dup by Hamming band
+- ngram_jaccard     shingle-inverted-index join + exact Jaccard
+- embedding_cosine  sign-LSH bucketed cosine near-dup over vectors
+
+Scale notes: every strategy avoids the O(n²) cross join — candidate
+generation is always an equi-join on a derived key (hash, band, bucket),
+which Spark shuffles on and AQE skew-splits. Exact Jaccard/cosine runs
+only within candidate buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from agentic_doc_spark.functions.textstats import normalize_text, words
+
+
+# --- exact -----------------------------------------------------------------
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the smallest id per normalized-text hash.
+    One shuffle (map-side partial min). Returns (id, fingerprint, is_canonical)."""
+    h = F.md5(normalize_text(F.col(text_col))).alias("fingerprint")
+    withf = df.select(F.col(id_col), h)
+    canon = withf.groupBy("fingerprint").agg(F.min(id_col).alias("canonical_id"))
+    return withf.join(canon, "fingerprint").select(
+        id_col,
+        "fingerprint",
+        (F.col(id_col) == F.col("canonical_id")).alias("is_canonical"),
+        "canonical_id",
+    )
+
+
+# --- shingles (shared) -------------------------------------------------------
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles of the normalized text (n-gram base for
+    minhash/jaccard)."""
+    toks = words(normalize_text(text))
+    n = F.greatest(F.size(toks) - k + 1, F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+        )
+    )
+
+
+# --- MinHash + LSH -----------------------------------------------------------
+
+
+def minhash_signature(text: Column, num_hashes: int = 16, k: int = 3) -> Column:
+    """k independent min-hashes: seed-prefixed md5, min per seed.
+    md5 keeps the signature portable across engines."""
+    sh = shingles(text, k)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda s: F.array_min(
+            F.transform(sh, lambda g: F.md5(F.concat(s.cast("string"), F.lit("|"), g)))
+        ),
+    )
+
+
+def minhash_bands(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """(id, band_idx, band_key): LSH band keys — docs sharing any band key
+    are near-dup candidates. rows_per_band = num_hashes // bands."""
+    rows = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes, k)
+    banded = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band_idx"),
+            F.md5(F.array_join(F.slice(sig, b * rows + 1, rows), "")).alias(
+                "band_key"
+            ),
+        ),
+    )
+    return df.select(F.col(id_col), F.explode(banded).alias("b")).select(
+        id_col, F.col("b.band_idx").alias("band_idx"), F.col("b.band_key").alias("band_key")
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Distinct candidate pairs (a < b) from the banded self-join.
+    The join key (band_idx, band_key) bounds comparisons to true
+    collisions; no cross join ever materializes."""
+    b = minhash_bands(df, text_col, id_col, num_hashes, bands, k)
+    left = b.select(
+        F.col(id_col).alias("a"), "band_idx", "band_key"
+    )
+    right = b.select(
+        F.col(id_col).alias("b"), "band_idx", "band_key"
+    )
+    return (
+        left.join(right, ["band_idx", "band_key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+# --- SimHash -----------------------------------------------------------------
+
+
+def simhash(text: Column, bits: int = 16) -> Column:
+    """Signed bit-vote fingerprint over whitespace tokens.
+
+    Bit j of a token's hash = parity of hex digit j of md5(token) —
+    portable (identical in any engine with md5 + substring) and free of
+    column-shift operations pyspark lacks. simhash bit j = 1 iff the sum
+    of ±1 votes over tokens is positive. Higher-order functions only —
+    no explode, no shuffle. ``bits`` ≤ 32 (md5 has 32 hex digits)."""
+    assert bits <= 32
+    toks = words(normalize_text(text))
+    md5s = F.transform(toks, F.md5)
+
+    def bit_vote(j: Column) -> Column:
+        votes = F.aggregate(
+            md5s,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(
+                F.conv(h.substr(j + 1, F.lit(1)), 16, 10).cast("int") % 2 == 1, 1
+            ).otherwise(-1),
+        )
+        return F.when(
+            votes > 0, F.pow(F.lit(2.0), j).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        F.lit(0).cast("bigint"),
+        lambda acc, j: acc + bit_vote(j),
+    )
+
+
+def simhash_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    return df.select(F.col(id_col), simhash(F.col(text_col), bits).alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    band_bits: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by banded simhash: docs sharing any of the
+    bits/band_bits bands are candidates; exact Hamming distance then
+    filters. Equi-join on (band_idx, band_value) — scale-safe."""
+    sh = simhash_table(df, text_col, id_col, bits)
+    n_bands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    # band i = floor(simhash / 2^(i·band_bits)) % 2^band_bits — exact in
+    # double for bits ≤ 32
+    bandarr = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda i: F.struct(
+            i.cast("int").alias("band_idx"),
+            (
+                F.floor(
+                    F.col("simhash") / F.pow(F.lit(2.0), i * band_bits)
+                ).cast("bigint")
+                % (mask + 1)
+            ).alias("band_value"),
+        ),
+    )
+    banded = sh.select(id_col, "simhash", F.explode(bandarr).alias("b")).select(
+        id_col, "simhash", "b.band_idx", "b.band_value"
+    )
+    l = banded.select(
+        F.col(id_col).alias("a"), F.col("simhash").alias("sim_a"), "band_idx", "band_value"
+    )
+    r = banded.select(
+        F.col(id_col).alias("b"), F.col("simhash").alias("sim_b"), "band_idx", "band_value"
+    )
+    pairs = (
+        l.join(r, ["band_idx", "band_value"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "sim_a", "sim_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return pairs.select("a", "b", hamming.alias("hamming"))
+
+
+# --- n-gram Jaccard ----------------------------------------------------------
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard over an inverted-index join: explode distinct
+    shingles, self-join on shingle, count shared, Jaccard =
+    |∩| / (|A|+|B|-|∩|). Comparisons only for pairs sharing ≥1 shingle."""
+    sh = df.select(
+        F.col(id_col), shingles(F.col(text_col), k).alias("sh")
+    ).select(id_col, F.size("sh").alias("n_sh"), F.explode("sh").alias("shingle"))
+    l = sh.select(F.col(id_col).alias("a"), F.col("n_sh").alias("na"), "shingle")
+    r = sh.select(F.col(id_col).alias("b"), F.col("n_sh").alias("nb"), "shingle")
+    shared = (
+        l.join(r, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b", "na", "nb")
+        .agg(F.count("*").alias("shared"))
+    )
+    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return shared.select("a", "b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+# --- embedding cosine near-dup -----------------------------------------------
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def sign_bucket(vec: Column, dims: tuple[int, ...] = (0, 1, 2, 3, 4, 5, 6, 7)) -> Column:
+    """Axis-aligned sign-LSH bucket: concatenated signs of fixed dims.
+    Deterministic, portable; random-hyperplane LSH slots in the same way."""
+    return F.concat_ws(
+        "",
+        *[
+            F.when(F.element_at(vec, d + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for d in dims
+        ],
+    )
+
+
+def embedding_near_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    bucket_dims: tuple[int, ...] = (0, 1, 2, 3, 4, 5, 6, 7),
+) -> DataFrame:
+    """Embedding-cosine near-dup: sign-LSH bucket prefilter, exact cosine
+    inside buckets only. 2^|dims| buckets shard the self-join; at 10^9+
+    vectors, widen dims or switch to IVF (similarity.py)."""
+    b = df.select(
+        F.col(id_col), F.col(vec_col).alias("v"), sign_bucket(F.col(vec_col), bucket_dims).alias("bucket")
+    )
+    l = b.select(F.col(id_col).alias("a"), F.col("v").alias("va"), "bucket")
+    r = b.select(F.col(id_col).alias("b"), F.col("v").alias("vb"), "bucket")
+    pairs = l.join(r, "bucket").filter(F.col("a") < F.col("b"))
+    return pairs.select(
+        "a", "b", cosine(F.col("va"), F.col("vb")).alias("cos")
+    ).filter(F.col("cos") >= threshold)

@@ -1,0 +1,132 @@
+"""S1: universal input dispatch — the Spark twin of parse()'s input
+resolution (agentic_doc/parse.py:49-163).
+
+The reference routes bytes / str / Path / URL / connector / list into a
+document list; here every route lands on a DataFrame:
+
+- parquet/table of (doc_id, spans)  → read as-is (the canonical corpus)
+- directory of raw files            → binaryFile reader + magic sniff (P1)
+- raw bytes                         → one-row binary DataFrame (S6)
+- list of paths                     → binaryFile over the list
+
+Raw-binary routes produce ``(doc_id, content BINARY, doc_type)`` — the
+layout-parse step that would turn real PDF bytes into spans needs a PDF
+library this container doesn't ship, so ``binary_to_spans`` is the clearly
+marked stub boundary (schema/plumbing real, decode faked deterministically;
+see operators/multimodal.py for the same pattern on media).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Iterable, Union
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from agentic_doc_spark.schema import DOCUMENTS_RAW
+
+#: admitted raw-file extensions (reference keeps ~35,
+#: agentic_doc/connectors.py:72-111; engine core needs the doc types)
+VALID_EXTENSIONS = (
+    "pdf", "png", "jpg", "jpeg", "tiff", "tif", "bmp", "gif", "webp", "html",
+    "htm", "txt", "md",
+)
+
+DocumentsInput = Union[str, Path, bytes, Iterable[Union[str, Path]], DataFrame]
+
+
+def sniff_doc_type(content_col: F.Column) -> F.Column:
+    """P1: magic-byte sniff — first 5 bytes '%PDF-' → pdf, else image
+    (agentic_doc/utils.py:45-60). Pure JVM expression over BINARY."""
+    head = F.substring(content_col, 1, 5)
+    return F.when(
+        head == F.lit(b"%PDF-"), F.lit("pdf")
+    ).otherwise(F.lit("image"))
+
+
+def read_binary_dir(
+    spark: SparkSession,
+    path: str,
+    pattern: str | None = None,
+    recursive: bool = False,
+) -> DataFrame:
+    """S2: local/remote dir scan via the binaryFile source. The SAME call
+    handles s3a:// buckets (S3, agentic_doc/connectors.py:355-451) — no
+    custom connector code is needed on Spark. Extension filtering is
+    pushed into the reader (P4) so non-matching files are never opened."""
+    glob = pattern or ("*.{" + ",".join(VALID_EXTENSIONS) + "}")
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", str(recursive).lower())
+        .load(path)
+    )
+    return df.select(
+        F.col("path").alias("doc_id"),
+        F.col("content"),
+        sniff_doc_type(F.col("content")).alias("doc_type"),
+    )
+
+
+def read_bytes(spark: SparkSession, data: bytes, doc_id: str = "bytes-0") -> DataFrame:
+    """S6: raw bytes → one-document DataFrame (agentic_doc/parse.py:193-198)."""
+    df = spark.createDataFrame(
+        [(doc_id, bytearray(data))], "doc_id string, content binary"
+    )
+    return df.withColumn("doc_type", sniff_doc_type(F.col("content")))
+
+
+def resolve(spark: SparkSession, documents: DocumentsInput, **options) -> DataFrame:
+    """The dispatch itself (parse.py:140-163 twin). Returns either the
+    canonical (doc_id, spans) frame or a raw (doc_id, content, doc_type)
+    frame, by input type."""
+    if isinstance(documents, DataFrame):
+        return documents
+    if isinstance(documents, bytes):
+        return read_bytes(spark, documents)
+    if isinstance(documents, (str, Path)):
+        p = str(documents)
+        if p.endswith(".parquet"):
+            return spark.read.schema(DOCUMENTS_RAW).parquet(p)
+        return read_binary_dir(spark, p, **options)
+    if isinstance(documents, Iterable):
+        paths = [str(x) for x in documents]
+        if not paths:  # P7: empty-input short-circuit (parse.py:115-117)
+            return spark.createDataFrame([], DOCUMENTS_RAW)
+        df = spark.read.format("binaryFile").load(paths)
+        return df.select(
+            F.col("path").alias("doc_id"),
+            "content",
+            sniff_doc_type(F.col("content")).alias("doc_type"),
+        )
+    raise TypeError(f"unsupported documents input: {type(documents)}")
+
+
+def create_connector(config: dict) -> dict:
+    """S7: connector factory — type string → Spark reader options
+    (agentic_doc/connectors.py:520-533 twin). Returns a reader-spec dict
+    consumed by read_binary_dir/resolve."""
+    kind = config.get("connector_type")
+    if kind == "local":
+        return {
+            "path": config["path"],
+            "pattern": config.get("pattern"),
+            "recursive": bool(config.get("recursive", False)),
+        }
+    if kind == "s3":
+        return {
+            "path": f"s3a://{config['bucket_name']}/{config.get('prefix', '')}",
+            "pattern": config.get("pattern"),
+            "recursive": True,
+        }
+    if kind == "url":
+        raise NotImplementedError(
+            "URL ingest is a driver-side staging job (SURVEY.md S5) — fetch "
+            "to object storage, then read_binary_dir over the staging path"
+        )
+    if kind == "google_drive":
+        raise NotImplementedError(
+            "Google Drive ingest is a driver-side staging job (SURVEY.md S4)"
+        )
+    raise ValueError(f"unknown connector_type: {kind}")

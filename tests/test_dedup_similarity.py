@@ -1,0 +1,124 @@
+"""Dedup + similarity operators: behavioral tests on small controlled data."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from agentic_doc_spark.operators.dedup import (
+    dedup_exact,
+    embedding_near_pairs,
+    jaccard_pairs,
+    minhash_candidate_pairs,
+    simhash_near_pairs,
+    simhash_table,
+)
+from agentic_doc_spark.operators.similarity import brute_force_topk, ivf_topk
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog near the river bank "
+    "while the sun sets slowly behind the tall mountain ridge"
+)
+NEAR = BASE.replace("slowly", "quickly")  # one token differs
+FAR = "completely different content about spark dataframe shuffles and joins"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        ("d1", BASE),
+        ("d2", BASE),  # exact dup (modulo nothing)
+        ("d3", "  " + BASE.upper() + "  "),  # dup after normalization
+        ("d4", NEAR),  # near dup
+        ("d5", FAR),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_dedup_exact(docs):
+    got = {r["doc_id"]: r for r in dedup_exact(docs).collect()}
+    assert got["d1"]["is_canonical"]
+    assert not got["d2"]["is_canonical"] and got["d2"]["canonical_id"] == "d1"
+    assert not got["d3"]["is_canonical"] and got["d3"]["canonical_id"] == "d1"
+    assert got["d4"]["is_canonical"] and got["d5"]["is_canonical"]
+
+
+def test_minhash_candidates(docs):
+    pairs = {(r["a"], r["b"]) for r in minhash_candidate_pairs(docs).collect()}
+    # exact dups always collide on every band
+    assert ("d1", "d2") in pairs and ("d1", "d3") in pairs
+    # near-dup shares most shingles → should collide on ≥1 of 4 bands
+    assert ("d1", "d4") in pairs
+    # far doc shares no shingles → no collision possible
+    assert not any("d5" in p for p in pairs)
+
+
+def test_simhash_values_and_pairs(docs, spark):
+    t = {r["doc_id"]: r["simhash"] for r in simhash_table(docs).collect()}
+    assert t["d1"] == t["d2"] == t["d3"]
+    assert t["d1"] != t["d5"]
+    pairs = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in simhash_near_pairs(docs).collect()
+    }
+    assert pairs[("d1", "d2")] == 0
+    # near-dup has tiny hamming distance
+    if ("d1", "d4") in pairs:
+        assert pairs[("d1", "d4")] <= 4
+
+
+def test_jaccard_pairs(docs):
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert got[("d1", "d2")] == 1.0
+    assert 0.5 <= got[("d1", "d4")] < 1.0
+    assert ("d1", "d5") not in got
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0, 0.0]),   # near 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.98, 0.15, 0.0]),  # near 2
+        (4, [-1.0, 0.0, 0.0, 0.0]),   # opposite of 0
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_embedding_near_pairs(vectors):
+    got = {
+        (r["a"], r["b"]): r["cos"]
+        for r in embedding_near_pairs(
+            vectors, threshold=0.95, bucket_dims=(0, 1)
+        ).collect()
+    }
+    assert (0, 1) in got and got[(0, 1)] > 0.95
+    assert (2, 3) in got
+    assert (0, 4) not in got  # opposite sign → different bucket anyway
+
+
+def test_brute_force_topk(vectors):
+    res = brute_force_topk(vectors, vectors.filter(F.col("vec_id") == 0), k=2)
+    rows = sorted(res.collect(), key=lambda r: r["rank"])
+    assert [r["neighbor_id"] for r in rows] == [1, 2]
+    assert rows[0]["cos"] > 0.99
+
+
+def test_ivf_topk_finds_near_neighbor(vectors):
+    # with enough probes IVF matches brute force on this tiny set
+    res = ivf_topk(vectors, vectors.filter(F.col("vec_id") == 0), k=1, n_cells=2, n_probe=2)
+    rows = res.collect()
+    assert len(rows) == 1 and rows[0]["neighbor_id"] == 1
+
+
+def test_embeddings_real_table(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3)
+    res = brute_force_topk(emb, q, k=5)
+    rows = res.collect()
+    assert len(rows) == 15  # 3 queries × 5 neighbors
+    assert all(-1.0 <= r["cos"] <= 1.0 for r in rows)

@@ -1,0 +1,62 @@
+"""R7/J2: lineage rows + exact resume via anti-join (north rule)."""
+
+from __future__ import annotations
+
+from agentic_doc_spark.config import Settings
+from agentic_doc_spark.operators.lineage import (
+    completed_doc_ids,
+    lineage_rows,
+    resume_filter,
+    run_with_resume,
+)
+from agentic_doc_spark.pipeline import extract
+from agentic_doc_spark.synth import corpus_df
+
+
+def test_lineage_rows_cover_all_docs(spark):
+    parsed = extract(corpus_df(spark, 1))
+    rows = lineage_rows(parsed, "run1", "snap1").collect()
+    all_ids = sorted(i for r in rows for i in r["doc_ids_completed"])
+    assert all_ids == sorted(r["doc_id"] for r in parsed.select("doc_id").collect())
+    assert all(r["run_id"] == "run1" for r in rows)
+    total_spans = sum(r["span_count"] for r in rows)
+    got = sum(len(r["spans"]) for r in parsed.collect())
+    assert total_spans == got
+    assert all(len(r["checksum"]) == 64 for r in rows)
+
+
+def test_checksum_deterministic(spark):
+    parsed = extract(corpus_df(spark, 1))
+    a = {
+        r["partition_id"]: r["checksum"]
+        for r in lineage_rows(parsed, "r", "s").collect()
+    }
+    b = {
+        r["partition_id"]: r["checksum"]
+        for r in lineage_rows(parsed, "r", "s").collect()
+    }
+    assert a == b
+
+
+def test_resume_anti_join(spark, tmp_path):
+    raw = corpus_df(spark, 2)
+    n = raw.count()
+    half = raw.limit(0).sparkSession.createDataFrame(
+        [(r["doc_id"],) for r in raw.select("doc_id").collect()[: n // 2]],
+        ["doc_id"],
+    )
+    remaining = resume_filter(raw, half)
+    assert remaining.count() == n - n // 2
+
+
+def test_run_with_resume_end_to_end(spark, tmp_path):
+    metrics = str(tmp_path / "metrics")
+    raw = corpus_df(spark, 2)
+    n = raw.count()
+    # first run: everything processed
+    p1 = run_with_resume(spark, raw, metrics, "run1", "snap1", extract)
+    assert p1.count() == n
+    assert completed_doc_ids(spark, metrics).count() == n
+    # second run: nothing left to do
+    p2 = run_with_resume(spark, raw, metrics, "run2", "snap1", extract)
+    assert p2.count() == 0

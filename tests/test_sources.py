@@ -1,0 +1,107 @@
+"""Sources: dispatch, magic sniff, binary dir scan, sinks, multimodal stubs,
+geometry."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from agentic_doc_spark.operators.multimodal import extract_media_features, sample_frames
+from agentic_doc_spark.functions.geometry import box_is_valid, box_to_pixels, clamp_box
+from agentic_doc_spark.sources.resolve import (
+    create_connector,
+    read_binary_dir,
+    read_bytes,
+    resolve,
+)
+from agentic_doc_spark.sources.sinks import read_parsed_json, write_json_results
+from agentic_doc_spark.pipeline import extract
+from agentic_doc_spark.synth import corpus_df
+
+
+PDF_BYTES = b"%PDF-1.7 fake body"
+PNG_BYTES = b"\x89PNG\r\n fake body"
+
+
+def test_read_bytes_sniff(spark):
+    assert read_bytes(spark, PDF_BYTES).collect()[0]["doc_type"] == "pdf"
+    assert read_bytes(spark, PNG_BYTES).collect()[0]["doc_type"] == "image"
+
+
+def test_binary_dir_scan(spark, tmp_path):
+    (tmp_path / "a.pdf").write_bytes(PDF_BYTES)
+    (tmp_path / "b.png").write_bytes(PNG_BYTES)
+    (tmp_path / "skip.xyz").write_bytes(b"nope")
+    rows = read_binary_dir(spark, str(tmp_path)).collect()
+    types = {r["doc_id"].split("/")[-1]: r["doc_type"] for r in rows}
+    assert types == {"a.pdf": "pdf", "b.png": "image"}  # P4: .xyz filtered
+
+
+def test_resolve_dispatch(spark, tmp_path):
+    # bytes route
+    assert resolve(spark, PDF_BYTES).count() == 1
+    # parquet route: canonical corpus round-trip
+    p = str(tmp_path / "docs.parquet")
+    corpus_df(spark, 1).write.parquet(p)
+    assert resolve(spark, p).count() == corpus_df(spark, 1).count()
+    # empty list → P7 short-circuit
+    assert resolve(spark, []).count() == 0
+
+
+def test_connector_factory():
+    local = create_connector({"connector_type": "local", "path": "/x"})
+    assert local["path"] == "/x"
+    s3 = create_connector({"connector_type": "s3", "bucket_name": "b", "prefix": "p"})
+    assert s3["path"] == "s3a://b/p"
+    with pytest.raises(NotImplementedError):
+        create_connector({"connector_type": "url"})
+    with pytest.raises(ValueError):
+        create_connector({"connector_type": "nope"})
+
+
+def test_json_sink_roundtrip(spark, tmp_path):
+    parsed = extract(corpus_df(spark, 1))
+    out = str(tmp_path / "json_out")
+    write_json_results(parsed, out)
+    back = read_parsed_json(spark, out)
+    assert back.count() == parsed.count()
+    a = {r["doc_id"]: r["markdown"] for r in back.collect()}
+    b = {r["doc_id"]: r["markdown"] for r in parsed.collect()}
+    assert a == b
+
+
+def test_media_features_stub(spark):
+    media = spark.createDataFrame(
+        [("m1", bytearray(b"img-bytes-1")), ("m2", bytearray(b"img-bytes-2"))],
+        "media_ref string, content binary",
+    )
+    rows = {r["media_ref"]: r for r in extract_media_features(media).collect()}
+    assert len(rows) == 2
+    assert all(64 <= rows[m]["width"] <= 256 for m in rows)
+    assert all(len(rows[m]["features"]) == 8 for m in rows)
+    # determinism
+    again = {r["media_ref"]: r for r in extract_media_features(media).collect()}
+    assert rows["m1"]["features"] == again["m1"]["features"]
+
+
+def test_sample_frames_stub(spark):
+    media = spark.createDataFrame(
+        [("v1", bytearray(bytes(range(256)) * 40))], "media_ref string, content binary"
+    )
+    rows = sample_frames(media, every_n=10).collect()
+    assert [r["frame_idx"] for r in rows] == list(range(0, 40, 10))
+
+
+def test_geometry(spark):
+    df = spark.createDataFrame(
+        [(-0.5, 0.2, 1.7, 0.9, 100, 50)], ["l", "t", "r", "b", "w", "h"]
+    )
+    box = F.struct(F.col("l"), F.col("t"), F.col("r"), F.col("b"))
+    r = df.select(
+        clamp_box(box).alias("cb"),
+        box_to_pixels(box, F.col("w"), F.col("h")).alias("px"),
+        box_is_valid(box).alias("ok"),
+    ).collect()[0]
+    assert r["cb"]["l"] == 0.0 and r["cb"]["r"] == 1.0
+    assert (r["px"]["x0"], r["px"]["y0"], r["px"]["x1"], r["px"]["y1"]) == (0, 10, 100, 45)
+    assert r["ok"]

@@ -1,0 +1,64 @@
+"""Text-analysis kernels: token counts, quality, lang-id, fingerprints."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from agentic_doc_spark.functions.textstats import (
+    fingerprint,
+    fingerprint_rolling,
+    lang_id,
+    punct_ratio,
+    quality_score,
+    token_count_bpe,
+    token_count_ws,
+)
+
+
+def _one(spark, text, col):
+    return (
+        spark.createDataFrame([(text,)], ["text"])
+        .select(col(F.col("text")).alias("v"))
+        .collect()[0]["v"]
+    )
+
+
+def test_token_counts(spark):
+    assert _one(spark, "a b  c", token_count_ws) == 3
+    assert _one(spark, "hello, world!", token_count_bpe) == 4  # hello , world !
+
+
+def test_punct_ratio(spark):
+    assert _one(spark, "abcd", punct_ratio) == 0.0
+    assert _one(spark, "a.b.", punct_ratio) == 0.5
+
+
+def test_lang_id(spark):
+    assert _one(spark, "the cat sat on the mat of the house", lang_id) == "en"
+    assert _one(spark, "el perro y la casa de que y el", lang_id) == "es"
+    assert _one(spark, "der hund und die katze ist das", lang_id) == "de"
+    assert _one(spark, "zzz qqq xxx", lang_id) == "und"
+
+
+def test_quality_score_bounds(spark):
+    good = "the quick brown fox jumps over the lazy dog " * 5
+    assert _one(spark, good, quality_score) == 1.0
+    assert _one(spark, "x", quality_score) < 0.5
+
+
+def test_fingerprint_normalization(spark):
+    a = _one(spark, "Hello   World", fingerprint)
+    b = _one(spark, "hello world", fingerprint)
+    assert a == b and len(a) == 32
+
+
+def test_rolling_fingerprint_stability(spark):
+    base = "w%d " * 40
+    t1 = " ".join(f"w{i}" for i in range(40))
+    t2 = t1.replace("w39", "DIFFERENT")  # edit far from the min shingle
+    f1 = _one(spark, t1, fingerprint_rolling)
+    f2 = _one(spark, t2, fingerprint_rolling)
+    # min-shingle fingerprint usually survives a single distant edit;
+    # at minimum it is deterministic
+    assert f1 == _one(spark, t1, fingerprint_rolling)
+    assert len(f1) == 32 and len(f2) == 32
