@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every entry in ``queries()`` is an implemented operator family from
+SURVEY.md §2 (or a training-data-pipeline addition), run through
+``agentic_doc_spark``. ``oracle_sql()`` carries the exact ANSI-SQL twin
+DuckDB executes on the same parquet views — column names and value types
+are aligned pair-by-pair so the driver's order-insensitive value hash
+matches.
+
+Pipeline queries derive a deterministic ``documents_raw`` corpus from the
+``documents`` view (8 whitespace tokens per span, 4 spans per page,
+split_size 10 — synth.documents_raw_from_table) so the extraction engine
+itself is oracle-checked end to end.
 """
 
 from __future__ import annotations
@@ -12,27 +18,677 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TOKENS_PER_SPAN = 8
+SPANS_PER_PAGE = 4
+SPLIT_SIZE = 10
+
+# DuckDB fragment: tokens / spans / span-count per document (the SQL twin
+# of synth.documents_raw_from_table + pipeline page math)
+_SQL_SPANS = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), sp AS (
+  SELECT doc_id,
+         list_transform(
+           range(0, CAST(ceil(len(t) / {TOKENS_PER_SPAN}.0) AS INT)),
+           i -> array_to_string(
+                  list_slice(t, i * {TOKENS_PER_SPAN} + 1,
+                             i * {TOKENS_PER_SPAN} + {TOKENS_PER_SPAN}), ' ')
+         ) AS spans
+  FROM toks
+)
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agentic_doc_spark.synth import documents_raw_from_table
+
+    return documents_raw_from_table(spark, sf_dir, TOKENS_PER_SPAN)
+
+
+# ---------------------------------------------------------------------------
+# pipeline family
+# ---------------------------------------------------------------------------
+
+
+def q_extract_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full extraction pipeline, doc-level merge results."""
+    from agentic_doc_spark.pipeline import extract
+
+    parsed = extract(_raw(spark, sf_dir))
+    return parsed.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("markdown"),
+        F.size("spans").alias("n_spans"),
+        F.col("end_page_idx"),
+    )
+
+
+def q_spans_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O2: ordered span explode for a doc subset."""
+    from agentic_doc_spark.pipeline import extract, spans_long
+
+    parsed = extract(_raw(spark, sf_dir).filter(F.col("doc_id").cast("long") < 20))
+    s = spans_long(parsed)
+    return s.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("offset"),
+        F.col("kind"),
+        F.col("text"),
+    )
+
+
+def q_page_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: page/part key derivation counts."""
+    from agentic_doc_spark.pipeline import explode_spans
+
+    ex = explode_spans(_raw(spark, sf_dir))
+    return ex.groupBy(F.col("doc_id").cast("long").alias("doc_id")).agg(
+        F.count("*").alias("n_spans"),
+        (F.max("page_no") + 1).alias("n_pages"),
+        (F.max("part_idx") + 1).alias("n_parts"),
+    )
+
+
+def q_chunk_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: deterministic chunk ids (sha256 of doc|page|offset)."""
+    from agentic_doc_spark.pipeline import extract
+
+    parsed = extract(_raw(spark, sf_dir).filter(F.col("doc_id").cast("long") < 50))
+    c = parsed.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode("chunks").alias("offset", "c"),
+    )
+    return c.select("doc_id", "offset", F.col("c.chunk_id").alias("chunk_id"))
+
+
+def q_errdoc_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/R4: per-page error rows for docs with a corrupt first part
+    (docs where doc_id % 13 == 0 get a corrupt span at offset 0)."""
+    from agentic_doc_spark.pipeline import extract
+
+    raw = _raw(spark, sf_dir)
+    poisoned = raw.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id").cast("long") % 13 == 0,
+            F.transform(
+                "spans",
+                lambda s: F.struct(
+                    F.when(s["offset"] == 0, F.lit("corrupt"))
+                    .otherwise(s["kind"])
+                    .alias("kind"),
+                    s["text"].alias("text"),
+                    s["media_ref"].alias("media_ref"),
+                    s["offset"].alias("offset"),
+                ),
+            ),
+        )
+        .otherwise(F.col("spans"))
+        .alias("spans"),
+    )
+    parsed = extract(poisoned)
+    e = parsed.select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.explode("errors").alias("e")
+    )
+    return e.select(
+        "doc_id",
+        F.col("e.page_num").alias("page_num"),
+        F.col("e.error").alias("error"),
+        F.col("e.error_code").alias("error_code"),
+    )
+
+
+def q_marginalia_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: spans rewritten to folio lines (offset % 7 == 3) are classified
+    marginalia and dropped when include_marginalia=False."""
+    from agentic_doc_spark.config import Settings
+    from agentic_doc_spark.pipeline import extract
+
+    raw = _raw(spark, sf_dir)
+    folio = raw.select(
+        "doc_id",
+        F.transform(
+            "spans",
+            lambda s: F.struct(
+                s["kind"].alias("kind"),
+                F.when(
+                    s["offset"] % 7 == 3,
+                    F.concat(F.lit("Page "), s["offset"].cast("string")),
+                )
+                .otherwise(s["text"])
+                .alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["offset"].alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    parsed = extract(folio, Settings(include_marginalia=False))
+    return parsed.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size("spans").alias("n_kept"),
+    )
+
+
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North rule: spans rewritten to a cookie-banner line
+    (offset % 11 == 5) are stripped as boilerplate."""
+    from agentic_doc_spark.pipeline import extract
+
+    raw = _raw(spark, sf_dir)
+    dirty = raw.select(
+        "doc_id",
+        F.transform(
+            "spans",
+            lambda s: F.struct(
+                s["kind"].alias("kind"),
+                F.when(
+                    s["offset"] % 11 == 5,
+                    F.lit("Accept all cookies to continue"),
+                )
+                .otherwise(s["text"])
+                .alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["offset"].alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+    parsed = extract(dirty)
+    return parsed.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size("spans").alias("n_kept"),
+    )
+
+
+def q_resume_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: anti-join resume — completed = doc_id % 10 < 3."""
+    from agentic_doc_spark.operators.lineage import resume_filter
+
+    docs = _docs(spark, sf_dir)
+    completed = docs.select("doc_id").filter(F.col("doc_id") % 10 < 3)
+    return resume_filter(docs, completed).select("doc_id", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# text analysis family
+# ---------------------------------------------------------------------------
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agentic_doc_spark.functions.textstats import token_count_bpe, token_count_ws
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        token_count_ws(F.col("text")).alias("n_ws"),
+        token_count_bpe(F.col("text")).alias("n_bpe"),
+    )
+
+
+def q_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agentic_doc_spark.functions.textstats import lang_id, quality_score
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        lang_id(F.col("text")).alias("pred_lang"),
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+    )
+
+
+def q_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agentic_doc_spark.functions.textstats import lang_id, token_count_ws
+
+    d = _docs(spark, sf_dir).select(
+        lang_id(F.col("text")).alias("pred_lang"),
+        token_count_ws(F.col("text")).alias("n_tok"),
+    )
+    return d.groupBy("pred_lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_tok"), 6).alias("avg_tok"),
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agentic_doc_spark.functions.textstats import fingerprint
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agentic_doc_spark.operators.dedup import dedup_exact
+
+    return dedup_exact(_docs(spark, sf_dir)).select(
+        "doc_id", "fingerprint", "is_canonical", "canonical_id"
+    )
+
+
+def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agentic_doc_spark.operators.dedup import minhash_bands
+
+    return minhash_bands(_docs(spark, sf_dir))
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs over a corpus with planted duplicates (every doc
+    with doc_id % 17 == 0 is cloned under doc_id + 1000000)."""
+    from agentic_doc_spark.operators.dedup import minhash_candidate_pairs
+
+    docs = _docs(spark, sf_dir)
+    clones = docs.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = docs.select("doc_id", "text").unionByName(clones)
+    return minhash_candidate_pairs(corpus)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agentic_doc_spark.operators.dedup import simhash_table
+
+    return simhash_table(_docs(spark, sf_dir))
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard over the planted-duplicate corpus."""
+    from agentic_doc_spark.operators.dedup import jaccard_pairs
+
+    docs = _docs(spark, sf_dir)
+    clones = docs.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = docs.select("doc_id", "text").unionByName(clones)
+    return jaccard_pairs(corpus, threshold=0.8).select(
+        "a", "b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity family
+# ---------------------------------------------------------------------------
+
+
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agentic_doc_spark.operators.similarity import brute_force_topk
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    res = brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
+    return res.select(
+        "query_id", "neighbor_id", F.round("cos", 4).alias("cos_r"), "rank"
+    )
+
+
+def q_embedding_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucket histogram (the near-dup prefilter key)."""
+    from agentic_doc_spark.operators.dedup import sign_bucket
+
+    emb = _emb(spark, sf_dir)
+    return emb.select(sign_bucket(F.col("embedding")).alias("bucket")).groupBy(
+        "bucket"
+    ).agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# relational / streaming-analog family
+# ---------------------------------------------------------------------------
+
+
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function ordering check: per-user event sequence index."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).alias("seq"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_extract_merge(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "extract_merge": q_extract_merge,
+        "spans_long": q_spans_long,
+        "page_split": q_page_split,
+        "chunk_ids": q_chunk_ids,
+        "errdoc_errors": q_errdoc_errors,
+        "marginalia_filter": q_marginalia_filter,
+        "boilerplate_strip": q_boilerplate_strip,
+        "resume_anti_join": q_resume_anti_join,
+        "token_counts": q_token_counts,
+        "quality_langid": q_quality_langid,
+        "lang_rollup": q_lang_rollup,
+        "fingerprint": q_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "minhash_bands": q_minhash_bands,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash": q_simhash,
+        "jaccard_pairs": q_jaccard_pairs,
+        "ann_bruteforce": q_ann_bruteforce,
+        "embedding_buckets": q_embedding_buckets,
+        "events_rollup": q_events_rollup,
+        "events_sessions": q_events_sessions,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# DuckDB twins -----------------------------------------------------------------
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+_SQL_WORDS = "list_filter(string_split_regex({src}, '\\s+'), w -> w <> '')"
+
+
+def _stop_ratio(markers: str) -> str:
+    w = _SQL_WORDS.format(src="lower(text)")
+    return (
+        f"(CASE WHEN len({w}) > 0 THEN "
+        f"len(list_filter({w}, x -> x IN ({markers}))) * 1.0 / len({w}) "
+        f"ELSE 0.0 END)"
+    )
+
+
+_EN = "'the','of','and','to','a'"
+_ES = "'el','la','de','que','y'"
+_DE = "'der','die','und','das','ist'"
+
+_LANG_EXPR = f"""
+CASE
+  WHEN {_stop_ratio(_EN)} >= {_stop_ratio(_ES)}
+   AND {_stop_ratio(_EN)} >= {_stop_ratio(_DE)}
+   AND {_stop_ratio(_EN)} > 0 THEN 'en'
+  WHEN {_stop_ratio(_ES)} >= {_stop_ratio(_DE)}
+   AND {_stop_ratio(_ES)} > 0 THEN 'es'
+  WHEN {_stop_ratio(_DE)} > 0 THEN 'de'
+  ELSE 'und'
+END
+"""
+
+_WS_WORDS = _SQL_WORDS.format(src="text")
+
+_QUALITY_EXPR = f"""
+round(CAST(
+  0.3 * (CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.0 END)
++ 0.2 * (CASE WHEN (CASE WHEN length(text) > 0 THEN
+           length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0
+             / length(text) ELSE 0.0 END) < 0.2 THEN 1.0 ELSE 0.0 END)
++ 0.3 * (CASE WHEN {_stop_ratio(_EN)} > 0.02 THEN 1.0 ELSE 0.0 END)
++ 0.2 * (CASE WHEN len({_WS_WORDS}) > 0
+          AND list_sum(list_transform({_WS_WORDS}, w -> length(w))) * 1.0
+              / len({_WS_WORDS}) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+AS DOUBLE), 6)
+"""
+
+_SHINGLES = (
+    "list_distinct(list_transform("
+    "range(0, greatest(len(nw) - 2, 1)), "
+    "i -> array_to_string(list_slice(nw, i + 1, i + 3), ' ')))"
+)
+
+_MINHASH_SIG = (
+    "list_transform(range(0, 16), s -> "
+    "list_min(list_transform(sh, g -> md5(s || '|' || g))))"
+)
+
+_CLONED_CORPUS = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 17 = 0
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    spans_per_page = SPANS_PER_PAGE
+    split = SPLIT_SIZE
+    return {
+        "extract_merge": _SQL_SPANS
+        + f"""
+            SELECT doc_id, array_to_string(spans, e'\n\n') AS markdown,
+                   len(spans) AS n_spans,
+                   CAST(floor((len(spans) - 1) / {spans_per_page}) AS INT)
+                     AS end_page_idx
+            FROM sp
+        """,
+        "spans_long": _SQL_SPANS
+        + """
+            SELECT doc_id,
+                   CAST(unnest(range(0, len(spans))) AS INT) AS offset,
+                   'text' AS kind,
+                   unnest(spans) AS text
+            FROM sp
+            WHERE doc_id < 20
+        """,
+        "page_split": _SQL_SPANS
+        + f"""
+            SELECT doc_id, len(spans) AS n_spans,
+                   CAST(floor((len(spans) - 1) / {spans_per_page}) + 1 AS BIGINT)
+                     AS n_pages,
+                   CAST(floor(floor((len(spans) - 1) / {spans_per_page})
+                        / {split}) + 1 AS BIGINT) AS n_parts
+            FROM sp
+        """,
+        "chunk_ids": _SQL_SPANS
+        + f"""
+            , ex AS (
+              SELECT doc_id, unnest(range(0, len(spans))) AS off
+              FROM sp WHERE doc_id < 50
+            )
+            SELECT doc_id, CAST(off AS INT) AS offset,
+                   sha256(doc_id || '|'
+                          || CAST(floor(off / {spans_per_page}) AS BIGINT)
+                          || '|' || off) AS chunk_id
+            FROM ex
+        """,
+        "errdoc_errors": _SQL_SPANS
+        + f"""
+            , failed AS (
+              SELECT doc_id,
+                     least(CAST(floor((len(spans) - 1) / {spans_per_page})
+                          AS INT), {split - 1}) AS last_page
+              FROM sp WHERE doc_id % 13 = 0
+            )
+            SELECT doc_id, CAST(u.p AS INT) AS page_num,
+                   'part unparseable' AS error, -1 AS error_code
+            FROM failed, unnest(range(0, last_page + 1)) AS u(p)
+        """,
+        "marginalia_filter": _SQL_SPANS
+        + """
+            SELECT doc_id,
+                   CAST(len(list_filter(range(0, len(spans)),
+                        i -> i % 7 <> 3)) AS INT) AS n_kept
+            FROM sp
+        """,
+        "boilerplate_strip": _SQL_SPANS
+        + """
+            SELECT doc_id,
+                   CAST(len(list_filter(range(0, len(spans)),
+                        i -> i % 11 <> 5)) AS INT) AS n_kept
+            FROM sp
+        """,
+        "resume_anti_join": """
+            SELECT doc_id, n_chars FROM documents WHERE doc_id % 10 >= 3
+        """,
+        "token_counts": f"""
+            SELECT doc_id,
+                   CAST(len({_WS_WORDS}) AS INT) AS n_ws,
+                   CAST(len(regexp_extract_all(text,
+                        '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS INT) AS n_bpe
+            FROM documents
+        """,
+        "quality_langid": f"""
+            SELECT doc_id, {_LANG_EXPR} AS pred_lang, {_QUALITY_EXPR} AS quality
+            FROM documents
+        """,
+        "lang_rollup": f"""
+            WITH d AS (
+              SELECT {_LANG_EXPR} AS pred_lang,
+                     len({_WS_WORDS}) AS n_tok
+              FROM documents
+            )
+            SELECT pred_lang, count(*) AS n_docs,
+                   round(avg(n_tok), 6) AS avg_tok
+            FROM d GROUP BY pred_lang
+        """,
+        "fingerprint": f"""
+            SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents
+        """,
+        "dedup_exact": f"""
+            WITH f AS (
+              SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents
+            ), c AS (
+              SELECT fingerprint, min(doc_id) AS canonical_id
+              FROM f GROUP BY fingerprint
+            )
+            SELECT f.doc_id, f.fingerprint,
+                   f.doc_id = c.canonical_id AS is_canonical, c.canonical_id
+            FROM f JOIN c USING (fingerprint)
+        """,
+        "minhash_bands": f"""
+            WITH n AS (
+              SELECT doc_id,
+                     {_SQL_WORDS.format(src=_NORM)} AS nw
+              FROM documents
+            ), s AS (
+              SELECT doc_id, {_SHINGLES} AS sh FROM n
+            ), sig AS (
+              SELECT doc_id, {_MINHASH_SIG} AS sig FROM s
+            )
+            SELECT doc_id, CAST(u.b AS INT) AS band_idx,
+                   md5(array_to_string(
+                       list_slice(sig, u.b * 4 + 1, u.b * 4 + 4), ''))
+                     AS band_key
+            FROM sig, unnest(range(0, 4)) AS u(b)
+        """,
+        "minhash_pairs": f"""
+            WITH corpus AS ({_CLONED_CORPUS}),
+            n AS (
+              SELECT doc_id,
+                     {_SQL_WORDS.format(src=_NORM)} AS nw
+              FROM corpus
+            ), s AS (
+              SELECT doc_id, {_SHINGLES} AS sh FROM n
+            ), sig AS (
+              SELECT doc_id, {_MINHASH_SIG} AS sig FROM s
+            ), banded AS (
+              SELECT doc_id, u.b AS band_idx,
+                     md5(array_to_string(
+                         list_slice(sig, u.b * 4 + 1, u.b * 4 + 4), ''))
+                       AS band_key
+              FROM sig, unnest(range(0, 4)) AS u(b)
+            )
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM banded l JOIN banded r
+              ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+            WHERE l.doc_id < r.doc_id
+        """,
+        "simhash": f"""
+            WITH n AS (
+              SELECT doc_id,
+                     list_transform({_SQL_WORDS.format(src=_NORM)},
+                                    t -> md5(t)) AS hs
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(list_sum(list_transform(range(0, 16), j ->
+                     CASE WHEN list_sum(list_transform(hs, h ->
+                       CASE WHEN ('0x' || substr(h, j + 1, 1))::INT % 2 = 1
+                            THEN 1 ELSE -1 END)) > 0
+                     THEN CAST(power(2, j) AS BIGINT) ELSE 0 END))
+                   AS BIGINT) AS simhash
+            FROM n
+        """,
+        "jaccard_pairs": f"""
+            WITH corpus AS ({_CLONED_CORPUS}),
+            n AS (
+              SELECT doc_id,
+                     {_SQL_WORDS.format(src=_NORM)} AS nw
+              FROM corpus
+            ), s AS (
+              SELECT doc_id, {_SHINGLES} AS sh FROM n
+            ), e AS (
+              SELECT doc_id, len(sh) AS n_sh, u.g AS shingle
+              FROM s, unnest(sh) AS u(g)
+            ), shared AS (
+              SELECT l.doc_id AS a, r.doc_id AS b, l.n_sh AS na, r.n_sh AS nb,
+                     count(*) AS shared
+              FROM e l JOIN e r ON l.shingle = r.shingle
+              WHERE l.doc_id < r.doc_id
+              GROUP BY 1, 2, 3, 4
+            )
+            SELECT a, b,
+                   round(shared * 1.0 / (na + nb - shared), 6) AS jaccard
+            FROM shared
+            WHERE shared * 1.0 / (na + nb - shared) >= 0.8
+        """,
+        "ann_bruteforce": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id < 5
+            ), scored AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS cos
+              FROM q, embeddings e
+              WHERE q.query_id <> e.vec_id
+            ), ranked AS (
+              SELECT query_id, neighbor_id, cos,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, round(cos, 4) AS cos_r,
+                   CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 3
+        """,
+        "embedding_buckets": """
+            SELECT array_to_string(list_transform(range(0, 8), d ->
+                     CASE WHEN embedding[d + 1] >= 0 THEN '1' ELSE '0' END),
+                   '') AS bucket,
+                   count(*) AS n
+            FROM embeddings GROUP BY 1
+        """,
+        "events_rollup": """
+            SELECT user_id, event_type, count(*) AS n,
+                   round(sum(value), 6) AS total_value
+            FROM events GROUP BY user_id, event_type
+        """,
+        "events_sessions": """
+            SELECT user_id, event_id,
+                   CAST(row_number() OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS INT) AS seq
+            FROM events
+        """,
+    }

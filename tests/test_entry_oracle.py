@@ -1,0 +1,80 @@
+"""Local replica of the driver's correctness gate: run every
+__spark_entry__ query on Spark AND its oracle SQL on DuckDB over the same
+parquet, compare row count, column names, and order-insensitive values.
+
+Runs at sf0.001 for speed; the driver runs sf0.01 (spot-checked manually).
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents "
+    "embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    return con
+
+
+def _canon(val):
+    if val is None:
+        return "␀"
+    if isinstance(val, bool):
+        return "T" if val else "F"
+    if isinstance(val, float):
+        if math.isnan(val):
+            return "nan"
+        return f"{val:.9g}"
+    return str(val)
+
+
+def _canon_rows(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_canon(r[i]) for i in idx) for r in rows)
+
+
+QUERIES = sorted(entrymod.queries())
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_query_matches_oracle(spark, ddb, name):
+    oracle = entrymod.oracle_sql()
+    assert name in oracle, f"{name} missing an oracle entry"
+    sdf = entrymod.queries()[name](spark, SF_DIR)
+    srows = sdf.collect()
+    scols = sdf.columns
+
+    res = ddb.execute(oracle[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+
+    assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+    assert len(srows) == len(drows), (
+        f"{name}: row count {len(srows)} vs oracle {len(drows)}"
+    )
+    a = _canon_rows(scols, [[r[c] for c in scols] for r in srows])
+    b = _canon_rows(dcols, drows)
+    mism = [i for i, (x, y) in enumerate(zip(a, b)) if x != y][:3]
+    assert a == b, f"{name}: first mismatches at {mism}: " + "; ".join(
+        f"{a[i]} != {b[i]}" for i in mism
+    )
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
