@@ -43,11 +43,18 @@ WITH toks AS (
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the single small parquet file arrives as one scan partition; a real
+    # corpus is split across thousands of files — repartition restores
+    # realistic scan parallelism (purely physical, values unchanged)
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 def _raw(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -459,9 +466,16 @@ _SHINGLES = (
     "i -> array_to_string(list_slice(nw, i + 1, i + 3), ' ')))"
 )
 
+# base hash: md5 folded to 31 bits; seeded linear maps derive the 16
+# hash functions (must mirror operators/dedup.py minhash exactly)
+_MINHASH_HV = (
+    "list_transform(sh, g -> "
+    "('0x' || substr(md5(g), 1, 15))::BIGINT % 2147483647)"
+)
 _MINHASH_SIG = (
     "list_transform(range(0, 16), s -> "
-    "list_min(list_transform(sh, g -> md5(s || '|' || g))))"
+    "list_min(list_transform(hv, h -> "
+    "((2 * s + 1) * h + 12289 * s + 1) % 2147483647)))"
 )
 
 _CLONED_CORPUS = """
@@ -508,9 +522,9 @@ def oracle_sql() -> dict[str, str]:
               FROM sp WHERE doc_id < 50
             )
             SELECT doc_id, CAST(off AS INT) AS offset,
-                   sha256(doc_id || '|'
-                          || CAST(floor(off / {spans_per_page}) AS BIGINT)
-                          || '|' || off) AS chunk_id
+                   doc_id || ':'
+                     || CAST(floor(off / {spans_per_page}) AS BIGINT)
+                     || ':' || off AS chunk_id
             FROM ex
         """,
         "errdoc_errors": _SQL_SPANS
@@ -584,12 +598,14 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ), s AS (
               SELECT doc_id, {_SHINGLES} AS sh FROM n
+            ), h AS (
+              SELECT doc_id, {_MINHASH_HV} AS hv FROM s
             ), sig AS (
-              SELECT doc_id, {_MINHASH_SIG} AS sig FROM s
+              SELECT doc_id, {_MINHASH_SIG} AS sig FROM h
             )
             SELECT doc_id, CAST(u.b AS INT) AS band_idx,
                    md5(array_to_string(
-                       list_slice(sig, u.b * 4 + 1, u.b * 4 + 4), ''))
+                       list_slice(sig, u.b * 4 + 1, u.b * 4 + 4), '_'))
                      AS band_key
             FROM sig, unnest(range(0, 4)) AS u(b)
         """,
@@ -601,12 +617,14 @@ def oracle_sql() -> dict[str, str]:
               FROM corpus
             ), s AS (
               SELECT doc_id, {_SHINGLES} AS sh FROM n
+            ), h AS (
+              SELECT doc_id, {_MINHASH_HV} AS hv FROM s
             ), sig AS (
-              SELECT doc_id, {_MINHASH_SIG} AS sig FROM s
+              SELECT doc_id, {_MINHASH_SIG} AS sig FROM h
             ), banded AS (
               SELECT doc_id, u.b AS band_idx,
                      md5(array_to_string(
-                         list_slice(sig, u.b * 4 + 1, u.b * 4 + 4), ''))
+                         list_slice(sig, u.b * 4 + 1, u.b * 4 + 4), '_'))
                        AS band_key
               FROM sig, unnest(range(0, 4)) AS u(b)
             )

@@ -39,6 +39,12 @@ class Settings:
     strip_boilerplate: bool = True
     salt_buckets: int = 8
     use_pandas_udf: bool = True  # False = pure-JVM expression kernel
+    #: "arrow"  = zero-shuffle mapInArrow engine (default — fastest, the
+    #:            vectorized-Arrow-UDF execution the north rule mandates);
+    #: "shuffle" = the two-level split/merge DataFrame pipeline mirroring
+    #:            the reference's part fan-out (kept for plan-shape parity
+    #:            and as the cross-check engine).
+    engine: str = "arrow"
 
     def __post_init__(self) -> None:
         if not (0 < self.split_size <= 100):

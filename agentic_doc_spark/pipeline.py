@@ -19,6 +19,10 @@ Scale notes (designed for 10^12 docs / 1000 executors, tested on local[]):
   key, which is exactly the salting the north rule asks for: part_idx IS
   the salt, derived from content position, so no random salt column or
   second unsalting shuffle is needed for the parse stage.
+- The part-assembly exchange partitions by hash(doc_id, part_idx) — that
+  IS the salted page-group repartition (part_idx is the salt, derived from
+  content position), so mega-document parse work spreads across executors
+  without a dedicated salt column or extra shuffle.
 - The doc-level merge sees one pre-aggregated row per part (≤ ~100 rows for
   a mega doc), so the final groupBy(doc_id) is skew-free by construction —
   the two-level merge recommended in SURVEY.md §7.3.
@@ -97,7 +101,16 @@ def classify_spans(
     Default path: Arrow-batched pandas kernel via mapInPandas (north rule:
     vectorized pandas UDF, no per-row Python — classify_frame is pure
     pandas .str ops). Alternate path: the Catalyst-expression twin for a
-    UDF-free plan."""
+    UDF-free plan.
+
+    No repartition happens here ON PURPOSE: classification is per-span, so
+    it parallelizes on scan partitions (plentiful on a real corpus), and
+    the part assembly's required distribution — hash(doc_id, part_idx),
+    i.e. the salted page-group repartition the north rule asks for — is
+    inserted by Catalyst as the aggregation's own exchange. An explicit
+    repartition before a mapInPandas kernel would NOT be elided later
+    (the UDF is a distribution black box to Catalyst) and would cost a
+    second full shuffle of the span data."""
     if settings.use_pandas_udf:
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -159,49 +172,59 @@ def assemble_parts(
 ) -> DataFrame:
     """Stage 3 (shuffle #1): per-(doc, part) assembly.
 
-    One row per part: ordered kept spans, part markdown, page range,
-    per-page error rows for failed parts (agentic_doc/parse.py:722-739).
-    Group size is bounded by split_size × spans_per_page → skew-free."""
+    One row per part: ordered kept spans, page range, per-page error rows
+    for failed parts (agentic_doc/parse.py:722-739). Group size is bounded
+    by split_size × spans_per_page → skew-free.
+
+    Bandwidth discipline (this stage feeds the second shuffle): dropped
+    spans are excluded inside collect_list (its null-skipping makes the
+    filter free — no post-hoc array filtering), the keep flag never
+    leaves the map side, and part markdown is NOT materialized here — it
+    would duplicate every span text through the doc-merge shuffle; the
+    merge composes it from the spans instead."""
+    keep_cond = (
+        F.col("offset").isNotNull()  # explode_outer placeholder
+        & (F.col("keep") if settings.strip_boilerplate else F.lit(True))
+        & (
+            F.lit(True)
+            if settings.include_marginalia
+            else (F.col("kind_out") != "marginalia")
+        )
+    )
     agg = df.groupBy("doc_id", "part_idx").agg(
         (F.max(F.col("corrupt").cast("int")) == 1).alias("part_failed"),
         F.min("page_no").alias("part_start_page"),
         F.max("page_no").alias("part_end_page"),
         F.sort_array(
             F.collect_list(
-                F.struct("offset", "kind_out", "text", "media_ref", "page_no", "keep")
+                F.when(
+                    keep_cond,
+                    F.struct("offset", "kind_out", "text", "media_ref", "page_no"),
+                )
             )
-        ).alias("all_spans"),
+        ).alias("kept"),
     )
 
-    def kept(col: Column) -> Column:
-        cond = lambda s: (
-            s["offset"].isNotNull()  # drop the explode_outer placeholder
-            & s["keep"]
-            & (
-                F.lit(True)
-                if settings.include_marginalia
-                else (s["kind_out"] != F.lit("marginalia"))
-            )
-        )
-        return F.filter(col, cond)
-
-    all_spans_t = (
-        "array<struct<offset:int,kind_out:string,text:string,"
-        "media_ref:string,page_no:int,keep:boolean>>"
+    spans_t = (
+        "array<struct<offset:int,kind:string,text:string,"
+        "media_ref:string,local_page:int>>"
     )
-    kept_spans = F.when(
-        F.col("part_failed"), F.array().cast(all_spans_t)
-    ).otherwise(kept(F.col("all_spans")))
-
-    part_md = F.when(
-        F.col("part_failed") | F.col("part_start_page").isNull(), F.lit("")
+    # part-local pages (reference parts carry local pages; the doc merge
+    # re-offsets them by part_start_page — agentic_doc/parse.py:620-629)
+    local_spans = F.when(
+        F.col("part_failed"), F.array().cast(spans_t)
     ).otherwise(
-        F.array_join(
-            F.transform(
-                kept_spans,
-                lambda s: render_span_col(s["kind_out"], s["text"], s["media_ref"]),
+        F.transform(
+            F.col("kept"),
+            lambda s: F.struct(
+                s["offset"].alias("offset"),
+                s["kind_out"].alias("kind"),
+                s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+                (s["page_no"] - F.col("part_start_page"))
+                .cast("int")
+                .alias("local_page"),
             ),
-            PART_SEP,
         )
     )
     part_errors = F.when(
@@ -217,18 +240,6 @@ def assemble_parts(
     ).otherwise(
         F.array().cast("array<struct<page_num:int,error:string,error_code:int>>")
     )
-    # part-local pages (reference parts carry local pages; the doc merge
-    # re-offsets them by part_start_page — agentic_doc/parse.py:620-629)
-    local_spans = F.transform(
-        kept_spans,
-        lambda s: F.struct(
-            s["offset"].alias("offset"),
-            s["kind_out"].alias("kind"),
-            s["text"].alias("text"),
-            s["media_ref"].alias("media_ref"),
-            (s["page_no"] - F.col("part_start_page")).cast("int").alias("local_page"),
-        ),
-    )
     return agg.select(
         "doc_id",
         "part_idx",
@@ -236,7 +247,6 @@ def assemble_parts(
         "part_start_page",
         "part_end_page",
         local_spans.alias("spans"),
-        part_md.alias("md"),
         part_errors.alias("errors"),
     )
 
@@ -260,14 +270,30 @@ def merge_documents(
                     "part_start_page",
                     "part_end_page",
                     "spans",
-                    "md",
                     "errors",
                 )
             )
         ).alias("parts")
     )
     p = F.col("parts")
-    markdown = F.array_join(F.transform(p, lambda x: x["md"]), PART_SEP)
+    # markdown composed here rather than per part — a failed/empty part's
+    # empty span array renders '' and still contributes its separator,
+    # exactly the reference's unconditional '\n\n' join (parse.py:621)
+    markdown = F.array_join(
+        F.transform(
+            p,
+            lambda x: F.array_join(
+                F.transform(
+                    x["spans"],
+                    lambda s: render_span_col(
+                        s["kind"], s["text"], s["media_ref"]
+                    ),
+                ),
+                PART_SEP,
+            ),
+        ),
+        PART_SEP,
+    )
     # global spans in order, then dense re-offset
     flat = F.flatten(
         F.transform(
@@ -316,12 +342,9 @@ def merge_documents(
             F.when(s["kind"] == "media", F.lit("figure"))
             .otherwise(s["kind"])
             .alias("chunk_type"),
-            F.sha2(
-                F.concat_ws(
-                    "|", F.col("doc_id"), s["page"], s["src_offset"]
-                ),
-                256,
-            ).alias("chunk_id"),
+            F.concat_ws(":", F.col("doc_id"), s["page"], s["src_offset"]).alias(
+                "chunk_id"
+            ),
         ),
     )
     errors = F.flatten(F.transform(p, lambda x: x["errors"]))
@@ -342,7 +365,25 @@ def merge_documents(
 
 
 def extract(df: DataFrame, settings: Settings = DEFAULT_SETTINGS) -> DataFrame:
-    """The full pipeline: documents_raw → ParsedDocument rows.
+    """documents_raw → ParsedDocument rows. Dispatches by settings.engine:
+
+    - "arrow": zero-shuffle mapInArrow engine (arrow_engine.py) — the
+      default; per-document work is row-local so no exchange is needed.
+    - "shuffle": the explicit split/merge pipeline below — plan-shape twin
+      of the reference's part fan-out, used as the cross-check engine and
+      whenever per-PART distribution is genuinely wanted.
+
+    Both reproduce the same span sequences (pinned by the fixture suite).
+    """
+    if settings.engine == "arrow":
+        from agentic_doc_spark.arrow_engine import extract_arrow
+
+        return extract_arrow(df, settings)
+    return extract_shuffle(df, settings)
+
+
+def extract_shuffle(df: DataFrame, settings: Settings = DEFAULT_SETTINGS) -> DataFrame:
+    """The two-shuffle split/merge pipeline.
 
     Docs with NULL/empty span arrays flow through as a single
     explode_outer placeholder row and land on the empty-merge identity

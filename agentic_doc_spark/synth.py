@@ -14,7 +14,6 @@ the BASELINE.json correctness gate.
 
 from __future__ import annotations
 
-import hashlib
 import random
 from dataclasses import dataclass, field
 from typing import Iterator
@@ -127,8 +126,12 @@ def make_corpus(n_per_profile: int = 2, spans_per_page: int = 4) -> list[dict]:
 
 
 def chunk_id(doc_id: str, page: int, offset: int) -> str:
-    """Deterministic unique chunk id (SURVEY.md O3)."""
-    return hashlib.sha256(f"{doc_id}|{page}|{offset}".encode()).hexdigest()
+    """Deterministic unique chunk id (SURVEY.md O3). Plain concatenation:
+    uniqueness-per-doc is the pinned invariant
+    (tests/integ/test_parse_integ.py:337-360), and the cheap form avoids
+    ~1 hash per span across the whole corpus (JVM MessageDigest also
+    contends under high thread counts)."""
+    return f"{doc_id}:{page}:{offset}"
 
 
 def synth_box(offset: int, spp: int) -> dict:
@@ -261,10 +264,18 @@ def documents_raw_from_table(spark, sf_dir: str, tokens_per_span: int = 8):
     slice into ``tokens_per_span``-token spans, kind='raw'.
 
     Used by bench.py so the benchmark corpus scales with the sf ladder.
+
+    The single small parquet file would arrive as ONE scan partition and
+    serialize every downstream map-side stage; a real corpus is split
+    across thousands of files/row-groups, so the round-robin repartition
+    to the session default parallelism reproduces realistic scan
+    parallelism (values unchanged — purely physical).
     """
     from pyspark.sql import functions as F
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     toks = F.split(F.col("text"), " ")
     n_spans = F.ceil(F.size(toks) / tokens_per_span).cast("int")
     spans = F.transform(

@@ -20,9 +20,9 @@ def _rows_by_doc(parsed_rows):
     return {r["doc_id"]: r for r in parsed_rows}
 
 
-@pytest.fixture(scope="module")
-def settings():
-    return Settings()
+@pytest.fixture(scope="module", params=["arrow", "shuffle"])
+def settings(request):
+    return Settings(engine=request.param)
 
 
 @pytest.fixture(scope="module")
@@ -150,9 +150,10 @@ def test_native_kernel_matches_pandas(spark):
     assert a == b
 
 
-def test_marginalia_filter(spark):
+@pytest.mark.parametrize("engine", ["arrow", "shuffle"])
+def test_marginalia_filter(spark, engine):
     # P2: include_marginalia=False drops marginalia spans
-    s = Settings(include_marginalia=False)
+    s = Settings(include_marginalia=False, engine=engine)
     df = corpus_df(spark, n_per_profile=1, settings=s)
     got = {
         r["doc_id"]: r.asDict(recursive=True)
