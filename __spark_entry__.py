@@ -356,6 +356,50 @@ def q_embedding_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_extraction_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/U2: from_json schema validation with null-out-and-error semantics.
+    Docs get a deterministic payload: valid JSON when doc_id % 3 != 0,
+    garbage otherwise (reference: invalid extraction → error row, doc
+    survives — tests/unit/test_parse.py:1417-1457)."""
+    from agentic_doc_spark.operators.extraction import validate_extraction
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 != 0,
+            F.concat(
+                F.lit('{"lang": "'),
+                F.col("lang"),
+                F.lit('", "n_chars": '),
+                F.col("n_chars").cast("string"),
+                F.lit("}"),
+            ),
+        )
+        .otherwise(F.lit("{not json"))
+        .alias("payload"),
+    )
+    v = validate_extraction(docs, "payload", "lang string, n_chars bigint")
+    return v.select(
+        "doc_id",
+        F.col("extraction.lang").alias("ex_lang"),
+        F.col("extraction.n_chars").alias("ex_n_chars"),
+        F.col("extraction_error").isNotNull().alias("has_error"),
+    )
+
+
+def q_events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-analog tumbling window: hourly event counts per type
+    (the batch twin of a readStream groupBy(window(ts, '1 hour')))."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+
+
 def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return ev.groupBy("user_id", "event_type").agg(
@@ -408,6 +452,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "ann_bruteforce": q_ann_bruteforce,
         "embedding_buckets": q_embedding_buckets,
+        "extraction_validate": q_extraction_validate,
+        "events_windows": q_events_windows,
         "events_rollup": q_events_rollup,
         "events_sessions": q_events_sessions,
     }
@@ -697,6 +743,18 @@ def oracle_sql() -> dict[str, str]:
                    '') AS bucket,
                    count(*) AS n
             FROM embeddings GROUP BY 1
+        """,
+        "extraction_validate": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 <> 0 THEN lang END AS ex_lang,
+                   CASE WHEN doc_id % 3 <> 0 THEN n_chars END AS ex_n_chars,
+                   doc_id % 3 = 0 AS has_error
+            FROM documents
+        """,
+        "events_windows": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n, round(avg(value), 6) AS avg_value
+            FROM events GROUP BY 1, 2
         """,
         "events_rollup": """
             SELECT user_id, event_type, count(*) AS n,

@@ -1,0 +1,110 @@
+"""User-facing API: the reference's ``parse(...)`` surface on Spark.
+
+Signature parity with agentic_doc.parse.parse (agentic_doc/parse.py:49-67):
+a user of the reference switches by passing a SparkSession and receiving a
+DataFrame of ParsedDocument rows instead of a list of Pydantic objects.
+
+Precedence mirrors the reference (config > kwargs > defaults,
+agentic_doc/parse.py:93-101; pinned by tests/unit/test_parse.py:1696-1951);
+the extraction_model/extraction_schema mutual-exclusion guard is U5
+(parse.py:119-122).
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from agentic_doc_spark.config import DEFAULT_SETTINGS, Settings
+from agentic_doc_spark.operators.extraction import (
+    extraction_page_guard,
+    validate_extraction,
+)
+from agentic_doc_spark.pipeline import extract
+from agentic_doc_spark.sources.resolve import DocumentsInput, resolve
+
+
+def parse(
+    spark: SparkSession,
+    documents: DocumentsInput,
+    *,
+    include_marginalia: bool | None = None,
+    include_metadata_in_markdown: bool | None = None,
+    result_save_dir: str | None = None,
+    connector_path: str | None = None,
+    connector_pattern: str | None = None,
+    extraction_model: T.StructType | None = None,
+    extraction_schema: str | None = None,
+    extraction_payload_col: str = "extraction_payload",
+    config: Settings | None = None,
+) -> DataFrame:
+    """Parse documents into ParsedDocument rows.
+
+    - ``documents``: DataFrame / parquet path / directory / bytes / list
+      (S1 dispatch, sources/resolve.py).
+    - ``extraction_model``: StructType schema (the Pydantic-model analog);
+      ``extraction_schema``: DDL/JSON-schema string. Mutually exclusive
+      (U5, agentic_doc/parse.py:119-122).
+    - ``result_save_dir``: when set, results are also appended there and
+      the same DataFrame is returned (reference entry point 3,
+      parse.py:325-367).
+    - ``config``: full Settings object; wins over keyword flags
+      (reference precedence, parse.py:93-101).
+    """
+    if extraction_model is not None and extraction_schema is not None:
+        raise ValueError(
+            "extraction_model and extraction_schema are mutually exclusive"
+        )
+
+    settings = config or DEFAULT_SETTINGS
+    overrides: dict[str, Any] = {}
+    if config is None:
+        if include_marginalia is not None:
+            overrides["include_marginalia"] = include_marginalia
+        if include_metadata_in_markdown is not None:
+            overrides["include_metadata_in_markdown"] = include_metadata_in_markdown
+    if overrides:
+        settings = replace(settings, **overrides)
+
+    df = resolve(
+        spark,
+        documents,
+        **(
+            {"pattern": connector_pattern}
+            if connector_pattern and not isinstance(documents, DataFrame)
+            else {}
+        ),
+    )
+    if connector_path and not isinstance(documents, DataFrame):
+        df = resolve(spark, connector_path, pattern=connector_pattern)
+
+    if "spans" not in df.columns:
+        raise NotImplementedError(
+            "raw-binary inputs need the layout-parse stage (PDF decode is "
+            "stubbed in this sandbox, see sources/resolve.py) — supply the "
+            "(doc_id, spans) corpus directly"
+        )
+
+    parsed = extract(df, settings)
+
+    schema = extraction_model or extraction_schema
+    if schema is not None:
+        if extraction_payload_col in df.columns:
+            payloads = df.select("doc_id", extraction_payload_col)
+            parsed = parsed.join(payloads, "doc_id", "left")
+            parsed = validate_extraction(parsed, extraction_payload_col, schema)
+            parsed = parsed.drop(extraction_payload_col)
+        else:
+            from pyspark.sql import functions as F
+
+            parsed = parsed.withColumn(
+                "extraction", F.lit(None).cast("string")
+            ).withColumn("extraction_error", F.lit(None).cast("string"))
+        parsed = extraction_page_guard(parsed, settings.extraction_split_size)
+
+    if result_save_dir:
+        parsed.write.mode("append").parquet(result_save_dir)
+    return parsed

@@ -114,12 +114,13 @@ _OUT_SCHEMA = pa.schema(
 def _render(kind: np.ndarray, text: pd.Series, media: pd.Series) -> pd.Series:
     """Vectorized render_span twin (functions/markdown.py)."""
     text = text.fillna("")
+    m = media.fillna("")
     out = text.copy()
     is_media = kind == "media"
     has_media = media.notna() & (media != "")
     is_fig = (kind == "figure") & has_media
-    out[is_media] = "![" + media[is_media] + "](" + media[is_media] + ")"
-    out[is_fig] = "![" + text[is_fig] + "](" + media[is_fig] + ")"
+    out[is_media] = "![" + m[is_media] + "](" + m[is_media] + ")"
+    out[is_fig] = "![" + text[is_fig] + "](" + m[is_fig] + ")"
     return out
 
 

@@ -16,7 +16,8 @@ PART_SEP = "\n\n"
 
 def render_span(kind: str, text: str | None, media_ref: str | None) -> str:
     if kind == "media":
-        return f"![{media_ref}]({media_ref})"
+        m = media_ref or ""  # degenerate media spans render "![]()"
+        return f"![{m}]({m})"
     if kind == "figure" and media_ref:
         return f"![{text or ''}]({media_ref})"
     return text or ""
@@ -25,10 +26,9 @@ def render_span(kind: str, text: str | None, media_ref: str | None) -> str:
 def render_span_col(kind: Column, text: Column, media_ref: Column) -> Column:
     """Catalyst-expression twin of :func:`render_span`."""
     t = F.coalesce(text, F.lit(""))
+    m = F.coalesce(media_ref, F.lit(""))
     img = F.concat(F.lit("!["), t, F.lit("]("), media_ref, F.lit(")"))
-    media_img = F.concat(
-        F.lit("!["), media_ref, F.lit("]("), media_ref, F.lit(")")
-    )
+    media_img = F.concat(F.lit("!["), m, F.lit("]("), m, F.lit(")"))
     return (
         F.when(kind == "media", media_img)
         .when((kind == "figure") & media_ref.isNotNull() & (media_ref != ""), img)

@@ -1,0 +1,66 @@
+"""User-facing parse() facade: signature parity, U5 guard, precedence."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from agentic_doc_spark.api import parse
+from agentic_doc_spark.config import Settings
+from agentic_doc_spark.synth import corpus_df
+
+
+def test_parse_dataframe_route(spark):
+    df = corpus_df(spark, 1)
+    out = parse(spark, df)
+    assert out.count() == df.count()
+    assert "markdown" in out.columns and "chunks" in out.columns
+
+
+def test_mutual_exclusion_guard(spark):
+    # U5: agentic_doc/parse.py:119-122
+    df = corpus_df(spark, 1)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        parse(spark, df, extraction_model="x", extraction_schema="y")
+
+
+def test_config_beats_kwargs(spark):
+    # reference precedence: ParseConfig wins (tests/unit/test_parse.py:1696+)
+    df = corpus_df(spark, 1)
+    cfg = Settings(include_marginalia=True)
+    out = parse(spark, df, include_marginalia=False, config=cfg)
+    m = [r for r in out.collect() if r["doc_id"].startswith("marginalia")][0]
+    kinds = {s["kind"] for s in m["spans"]}
+    assert "marginalia" in kinds  # config won
+
+
+def test_kwargs_apply_without_config(spark):
+    df = corpus_df(spark, 1)
+    out = parse(spark, df, include_marginalia=False)
+    m = [r for r in out.collect() if r["doc_id"].startswith("marginalia")][0]
+    assert all(s["kind"] != "marginalia" for s in m["spans"])
+
+
+def test_extraction_path(spark):
+    df = corpus_df(spark, 1).withColumn(
+        "extraction_payload",
+        F.when(
+            F.col("doc_id").startswith("single"),
+            F.lit(json.dumps({"title": "t", "pages": 1})),
+        ),
+    )
+    out = parse(spark, df, extraction_schema="title string, pages int")
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows["single-000000"]["extraction"]["title"] == "t"
+    assert rows["multi-000000"]["extraction"] is None
+    # mega doc exceeds extraction_split_size=50 pages → X2 error
+    assert "extraction_split_size" in rows["mega-000000"]["extraction_error"]
+
+
+def test_save_dir_roundtrip(spark, tmp_path):
+    df = corpus_df(spark, 1)
+    out_dir = str(tmp_path / "results")
+    parse(spark, df, result_save_dir=out_dir)
+    assert spark.read.parquet(out_dir).count() == df.count()
