@@ -242,21 +242,18 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from agentic_doc_spark.functions.textstats import lang_id, quality_score
+    from agentic_doc_spark.functions.textstats import text_profile
 
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        lang_id(F.col("text")).alias("pred_lang"),
-        F.round(quality_score(F.col("text")), 6).alias("quality"),
+    return text_profile(_docs(spark, sf_dir)).select(
+        "doc_id", "pred_lang", "quality"
     )
 
 
 def q_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from agentic_doc_spark.functions.textstats import lang_id, token_count_ws
+    from agentic_doc_spark.functions.textstats import text_profile, token_count_ws
 
-    d = _docs(spark, sf_dir).select(
-        lang_id(F.col("text")).alias("pred_lang"),
-        token_count_ws(F.col("text")).alias("n_tok"),
+    d = text_profile(_docs(spark, sf_dir)).select(
+        "pred_lang", token_count_ws(F.col("text")).alias("n_tok")
     )
     return d.groupBy("pred_lang").agg(
         F.count("*").alias("n_docs"),

@@ -92,6 +92,41 @@ def lang_id(text: Column) -> Column:
     return best
 
 
+def text_profile(df, text_col: str = "text"):
+    """pred_lang + quality in one pass with the tokenization MATERIALIZED
+    once (a `_w` column in its own projection): the naive composition
+    re-evaluates the split per marker set — ~8× per row. Values are
+    bit-identical to lang_id()/quality_score()."""
+    from pyspark.sql import DataFrame  # noqa: F401
+
+    text = F.col(text_col)
+    staged = df.withColumn("_w", words(F.lower(text)))
+    w = F.col("_w")
+
+    def ratio(markers: tuple[str, ...]) -> Column:
+        hits = F.size(F.filter(w, lambda x: x.isin(*markers)))
+        return F.when(F.size(w) > 0, hits / F.size(w)).otherwise(F.lit(0.0))
+
+    r = {k: ratio(v) for k, v in LANG_MARKERS.items()}
+    pred = (
+        F.when((r["en"] >= r["es"]) & (r["en"] >= r["de"]) & (r["en"] > 0), "en")
+        .when((r["es"] >= r["de"]) & (r["es"] > 0), "es")
+        .when(r["de"] > 0, "de")
+        .otherwise("und")
+    )
+    n = F.length(text)
+    len_ok = F.when((n >= 50) & (n <= 20000), 1.0).otherwise(0.0)
+    punct_ok = F.when(punct_ratio(text) < 0.2, 1.0).otherwise(0.0)
+    stop_ok = F.when(r["en"] > 0.02, 1.0).otherwise(0.0)
+    total = F.aggregate(F.transform(w, F.length), F.lit(0), lambda a, x: a + x)
+    wl = F.when(F.size(w) > 0, total / F.size(w)).otherwise(F.lit(0.0))
+    wl_ok = F.when((wl >= 2.0) & (wl <= 12.0), 1.0).otherwise(0.0)
+    quality = 0.3 * len_ok + 0.2 * punct_ok + 0.3 * stop_ok + 0.2 * wl_ok
+    return staged.withColumn("pred_lang", pred).withColumn(
+        "quality", F.round(quality, 6)
+    ).drop("_w")
+
+
 def normalize_text(text: Column) -> Column:
     """Canonical form for fingerprinting: lowercase, collapse whitespace."""
     return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
