@@ -15,10 +15,29 @@ itself is oracle-checked end to end.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:  # driver may import this file from any cwd
+    sys.path.insert(0, _REPO)
+
+
+def _ship(spark: SparkSession) -> None:
+    """Ship agentic_doc_spark to Python workers for sessions the driver
+    created itself (build_spark does this automatically; a foreign session
+    would otherwise fail inside mapInArrow with ModuleNotFoundError)."""
+    from agentic_doc_spark.config import _ship_package
+
+    try:
+        _ship_package(spark)
+    except Exception:
+        pass  # already shipped / local-only session
+
 
 TOKENS_PER_SPAN = 8
 SPANS_PER_PAGE = 4
@@ -46,6 +65,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the single small parquet file arrives as one scan partition; a real
     # corpus is split across thousands of files — repartition restores
     # realistic scan parallelism (purely physical, values unchanged)
+    _ship(spark)
     return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
         spark.sparkContext.defaultParallelism
     )
@@ -60,6 +80,7 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     from agentic_doc_spark.synth import documents_raw_from_table
 
+    _ship(spark)
     return documents_raw_from_table(spark, sf_dir, TOKENS_PER_SPAN)
 
 

@@ -97,6 +97,25 @@ def parse(
             parsed = parsed.join(payloads, "doc_id", "left")
             parsed = validate_extraction(parsed, extraction_payload_col, schema)
             parsed = parsed.drop(extraction_payload_col)
+            if settings.include_metadata_in_markdown:
+                # P3/F9: embed the extracted fields as a markdown table
+                from pyspark.sql import functions as F
+
+                from agentic_doc_spark.functions.markdown import (
+                    append_metadata_to_markdown,
+                )
+
+                st = (
+                    T._parse_datatype_string(schema)
+                    if isinstance(schema, str)
+                    else schema
+                )
+                parsed = parsed.withColumn(
+                    "markdown",
+                    append_metadata_to_markdown(
+                        F.col("markdown"), F.col("extraction"), st
+                    ),
+                )
         else:
             from pyspark.sql import functions as F
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 PART_SEP = "\n\n"
 
@@ -34,3 +35,32 @@ def render_span_col(kind: Column, text: Column, media_ref: Column) -> Column:
         .when((kind == "figure") & media_ref.isNotNull() & (media_ref != ""), img)
         .otherwise(t)
     )
+
+
+def render_metadata_table(extraction: Column, schema: T.StructType) -> Column:
+    """F9/P3: render an extraction struct as a `| Field | Value |` markdown
+    table (the reference demo's dict→table renderer, app/app.py:160-163;
+    gated by include_metadata_in_markdown, agentic_doc/parse.py:61).
+    NULL extraction → NULL table (caller keeps markdown unchanged)."""
+    rows = [
+        F.concat(
+            F.lit(f"| {f.name} | "),
+            F.coalesce(extraction[f.name].cast("string"), F.lit("")),
+            F.lit(" |"),
+        )
+        for f in schema.fields
+    ]
+    table = F.concat_ws(
+        "\n", F.lit("| Field | Value |"), F.lit("| --- | --- |"), *rows
+    )
+    return F.when(extraction.isNotNull(), table)
+
+
+def append_metadata_to_markdown(
+    markdown: Column, extraction: Column, schema: T.StructType
+) -> Column:
+    """markdown + '\\n\\n' + metadata table when extraction is present."""
+    table = render_metadata_table(extraction, schema)
+    return F.when(
+        table.isNotNull(), F.concat(markdown, F.lit(PART_SEP), table)
+    ).otherwise(markdown)

@@ -80,6 +80,61 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, _FEATURES_SCHEMA)
 
 
+def grounding_crop_specs(
+    parsed: DataFrame, page_width: int = 816, page_height: int = 1056
+) -> DataFrame:
+    """S9: the grounding-image sink, minus the raster bytes.
+
+    Reproduces the reference's crop pipeline exactly up to the decode
+    boundary (save_groundings_as_images, agentic_doc/utils.py:63-169):
+    chunks explode to one row per grounding, boxes clamp and convert to
+    pixel rects (F3, utils.py:193-208), and the output path follows the
+    reference naming ``page_{p}/{chunk_type}_{chunk_id}_{i}.png``
+    (utils.py:150-156). Rows come back sorted by (doc, page) — the
+    render-each-page-once iteration order (A3, utils.py:94-104). Feeding
+    these specs plus page rasters to a crop UDF is the stubbed step.
+
+    Default page dims = US-letter at the reference's 96 dpi
+    (agentic_doc/config.py:118-122)."""
+    from pyspark.sql import functions as F
+
+    from agentic_doc_spark.functions.geometry import box_is_valid, box_to_pixels
+
+    g = parsed.select(
+        "doc_id", F.explode("chunks").alias("c")
+    ).select(
+        "doc_id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.chunk_type").alias("chunk_type"),
+        F.posexplode("c.grounding").alias("grounding_idx", "g"),
+    )
+    px = box_to_pixels(
+        F.col("g.box"), F.lit(page_width), F.lit(page_height)
+    )
+    return (
+        g.filter(box_is_valid(F.col("g.box")))
+        .select(
+            "doc_id",
+            F.col("g.page").alias("page"),
+            "chunk_id",
+            "chunk_type",
+            px.alias("px"),
+            F.concat(
+                F.lit("page_"),
+                F.col("g.page"),
+                F.lit("/"),
+                F.col("chunk_type"),
+                F.lit("_"),
+                F.col("chunk_id"),
+                F.lit("_"),
+                F.col("grounding_idx"),
+                F.lit(".png"),
+            ).alias("rel_path"),
+        )
+        .orderBy("doc_id", "page")
+    )
+
+
 _FRAME_SCHEMA = T.StructType(
     [
         T.StructField("media_ref", T.StringType()),

@@ -59,6 +59,31 @@ def test_extraction_path(spark):
     assert "extraction_split_size" in rows["mega-000000"]["extraction_error"]
 
 
+def test_metadata_in_markdown(spark):
+    # P3/F9: include_metadata_in_markdown embeds a | Field | Value | table
+    df = corpus_df(spark, 1).withColumn(
+        "extraction_payload",
+        F.when(
+            F.col("doc_id").startswith("single"),
+            F.lit(json.dumps({"title": "hello", "pages": 2})),
+        ),
+    )
+    out = parse(spark, df, extraction_schema="title string, pages int")
+    rows = {r["doc_id"]: r for r in out.collect()}
+    md = rows["single-000000"]["markdown"]
+    assert "| Field | Value |" in md and "| title | hello |" in md
+    assert "| Field |" not in rows["multi-000000"]["markdown"]
+    # flag off → markdown untouched
+    out2 = parse(
+        spark,
+        df,
+        extraction_schema="title string, pages int",
+        config=Settings(include_metadata_in_markdown=False),
+    )
+    md2 = {r["doc_id"]: r["markdown"] for r in out2.collect()}
+    assert "| Field |" not in md2["single-000000"]
+
+
 def test_save_dir_roundtrip(spark, tmp_path):
     df = corpus_df(spark, 1)
     out_dir = str(tmp_path / "results")

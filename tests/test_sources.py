@@ -92,6 +92,20 @@ def test_sample_frames_stub(spark):
     assert [r["frame_idx"] for r in rows] == list(range(0, 40, 10))
 
 
+def test_grounding_crop_specs(spark):
+    # S9: naming + pixel conversion per reference utils.py:131-169
+    from agentic_doc_spark.operators.multimodal import grounding_crop_specs
+
+    parsed = extract(corpus_df(spark, 1))
+    specs = grounding_crop_specs(parsed)
+    rows = [r for r in specs.collect() if r["doc_id"] == "single-000000"]
+    assert len(rows) == 2
+    r0 = rows[0]
+    assert r0["rel_path"] == f"page_0/text_{r0['chunk_id']}_0.png"
+    assert 0 <= r0["px"]["x0"] < r0["px"]["x1"] <= 816
+    assert 0 <= r0["px"]["y0"] < r0["px"]["y1"] <= 1056
+
+
 def test_geometry(spark):
     df = spark.createDataFrame(
         [(-0.5, 0.2, 1.7, 0.9, 100, 50)], ["l", "t", "r", "b", "w", "h"]
