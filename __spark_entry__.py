@@ -409,8 +409,10 @@ def q_events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-analog tumbling window: hourly event counts per type
     (the batch twin of a readStream groupBy(window(ts, '1 hour')))."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # hour bucket via naive string truncation — date_trunc would convert
+    # the NTZ value through the (driver-controlled) session timezone
     return ev.groupBy(
-        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.substring(F.col("ts").cast("string"), 1, 13).alias("hour"),
         "event_type",
     ).agg(
         F.count("*").alias("n"),
@@ -770,7 +772,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "events_windows": """
-            SELECT date_trunc('hour', ts) AS hour, event_type,
+            SELECT substr(ts::VARCHAR, 1, 13) AS hour, event_type,
                    count(*) AS n, round(avg(value), 6) AS avg_value
             FROM events GROUP BY 1, 2
         """,

@@ -67,9 +67,12 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for name in headline:
-        t0 = time.perf_counter()
-        _force(qs[name](spark, sf_dir))
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # min-of-2: exclude plan-compile/JIT warm-up
+            t0 = time.perf_counter()
+            _force(qs[name](spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
     dps = round(n_docs / max(times["extract_merge"], 1e-9), 1)

@@ -3,8 +3,28 @@ exactly-once via checkpoint."""
 
 from __future__ import annotations
 
+from agentic_doc_spark.streaming.dedup_stream import stream_dedup_exact
 from agentic_doc_spark.streaming.stream import stream_extract
 from agentic_doc_spark.synth import corpus_df, expected_corpus
+
+
+def test_stream_dedup_exact_across_batches(spark, tmp_path):
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    rows1 = [(1, "the same text"), (2, "other text"), (3, "THE  same text")]
+    rows2 = [(4, "the same text"), (5, "brand new text")]  # 4 is a dup of 1
+    spark.createDataFrame(rows1, ["doc_id", "text"]).write.mode("append").parquet(src)
+    stream_dedup_exact(spark, src, out, ckpt)
+    first = spark.read.parquet(out)
+    assert first.count() == 2  # 3 normalizes to 1's fingerprint
+
+    spark.createDataFrame(rows2, ["doc_id", "text"]).write.mode("append").parquet(src)
+    stream_dedup_exact(spark, src, out, ckpt)
+    final = spark.read.parquet(out)
+    # state store remembered batch-1 fingerprints across runs
+    assert final.count() == 3
+    assert 4 not in {r["doc_id"] for r in final.collect()}
 
 
 def test_stream_extract_incremental(spark, tmp_path):
