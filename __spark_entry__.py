@@ -304,9 +304,11 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from agentic_doc_spark.operators.dedup import minhash_bands
+    # Arrow fast path — bit-identical band keys to the expression version
+    # (pinned by test_minhash_fast_path_bit_identical)
+    from agentic_doc_spark.operators.dedup import minhash_bands_fast
 
-    return minhash_bands(_docs(spark, sf_dir))
+    return minhash_bands_fast(_docs(spark, sf_dir))
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -320,6 +322,20 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = docs.select("doc_id", "text").unionByName(clones)
     return minhash_candidate_pairs(corpus)
+
+
+def q_lsh_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path near-dup: LSH candidates + exact Jaccard verify."""
+    from agentic_doc_spark.operators.dedup import lsh_jaccard_pairs
+
+    docs = _docs(spark, sf_dir)
+    clones = docs.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = docs.select("doc_id", "text").unionByName(clones)
+    return lsh_jaccard_pairs(corpus, threshold=0.8).select(
+        "a", "b", F.round("jaccard", 6).alias("jaccard")
+    )
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -470,6 +486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
         "jaccard_pairs": q_jaccard_pairs,
+        "lsh_jaccard_pairs": q_lsh_jaccard_pairs,
         "ann_bruteforce": q_ann_bruteforce,
         "embedding_buckets": q_embedding_buckets,
         "extraction_validate": q_extraction_validate,
@@ -731,6 +748,44 @@ def oracle_sql() -> dict[str, str]:
                      count(*) AS shared
               FROM e l JOIN e r ON l.shingle = r.shingle
               WHERE l.doc_id < r.doc_id
+              GROUP BY 1, 2, 3, 4
+            )
+            SELECT a, b,
+                   round(shared * 1.0 / (na + nb - shared), 6) AS jaccard
+            FROM shared
+            WHERE shared * 1.0 / (na + nb - shared) >= 0.8
+        """,
+        "lsh_jaccard_pairs": f"""
+            WITH corpus AS ({_CLONED_CORPUS}),
+            n AS (
+              SELECT doc_id,
+                     {_SQL_WORDS.format(src=_NORM)} AS nw
+              FROM corpus
+            ), s AS (
+              SELECT doc_id, {_SHINGLES} AS sh FROM n
+            ), h AS (
+              SELECT doc_id, {_MINHASH_HV} AS hv FROM s
+            ), sig AS (
+              SELECT doc_id, {_MINHASH_SIG} AS sig FROM h
+            ), banded AS (
+              SELECT doc_id, u.b AS band_idx,
+                     md5(array_to_string(
+                         list_slice(sig, u.b * 4 + 1, u.b * 4 + 4), '_'))
+                       AS band_key
+              FROM sig, unnest(range(0, 4)) AS u(b)
+            ), cand AS (
+              SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+              FROM banded l JOIN banded r
+                ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+              WHERE l.doc_id < r.doc_id
+            ), e AS (
+              SELECT doc_id, len(sh) AS n_sh, u.g AS shingle
+              FROM s, unnest(sh) AS u(g)
+            ), shared AS (
+              SELECT c.a, c.b, l.n_sh AS na, r.n_sh AS nb, count(*) AS shared
+              FROM cand c
+              JOIN e l ON l.doc_id = c.a
+              JOIN e r ON r.doc_id = c.b AND r.shingle = l.shingle
               GROUP BY 1, 2, 3, 4
             )
             SELECT a, b,

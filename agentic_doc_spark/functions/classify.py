@@ -123,6 +123,10 @@ def classify_frame(pdf: pd.DataFrame) -> pd.DataFrame:
     Input columns: kind, text, media_ref. Adds: kind_out (final kind),
     keep (survives boilerplate strip), corrupt (part-failure trigger).
     Pure pandas .str ops — one Arrow batch in, one out.
+
+    The expensive DOM work (tag strip, anchor extraction, link density)
+    runs only on rows that contain '<' at all — on clean-text corpora
+    that's ~zero rows, so the kernel degrades to the cheap regexes.
     """
     kind = pdf["kind"]
     text = pdf["text"].fillna("")
@@ -140,14 +144,18 @@ def classify_frame(pdf: pd.DataFrame) -> pd.DataFrame:
     kind_out[has_media & (text == "")] = "media"
     kind_out[known] = kind[known]
 
-    stripped = text.str.replace(TAG_RE, "", regex=True).str.len()
-    anchor = _anchor_chars(text)
-    ld = anchor / stripped.replace(0, pd.NA)
-    boiler = (
-        text.str.contains(BOILER_TAG_RE, na=False)
-        | text.str.contains(BOILER_PHRASE_RE, na=False)
-        | (ld.fillna(0.0) > LINK_DENSITY_THRESHOLD)
-    )
+    boiler = text.str.contains(BOILER_PHRASE_RE, na=False)
+    htmlish = text.str.contains("<", regex=False)
+    if htmlish.any():
+        ht = text[htmlish]
+        stripped = ht.str.replace(TAG_RE, "", regex=True).str.len()
+        anchor = _anchor_chars(ht)
+        ld = anchor / stripped.replace(0, pd.NA)
+        boiler.loc[htmlish] = (
+            boiler[htmlish]
+            | ht.str.contains(BOILER_TAG_RE, na=False)
+            | (ld.fillna(0.0) > LINK_DENSITY_THRESHOLD)
+        )
 
     corrupt = (kind == "corrupt") | text.str.contains(CORRUPT_MARKER, regex=False)
 

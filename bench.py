@@ -54,7 +54,7 @@ def main() -> None:
         "dedup_exact",
         "minhash_bands",
         "simhash",
-        "jaccard_pairs",
+        "lsh_jaccard_pairs",
         "ann_bruteforce",
         "events_sessions",
     ]

@@ -53,6 +53,15 @@ def test_minhash_candidates(docs):
     assert not any("d5" in p for p in pairs)
 
 
+def test_minhash_fast_path_bit_identical(spark):
+    from agentic_doc_spark.operators.dedup import minhash_bands, minhash_bands_fast
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(map(tuple, minhash_bands(docs).collect()))
+    b = sorted(map(tuple, minhash_bands_fast(docs).collect()))
+    assert a == b
+
+
 def test_simhash_values_and_pairs(docs, spark):
     t = {r["doc_id"]: r["simhash"] for r in simhash_table(docs).collect()}
     assert t["d1"] == t["d2"] == t["d3"]
@@ -65,6 +74,18 @@ def test_simhash_values_and_pairs(docs, spark):
     # near-dup has tiny hamming distance
     if ("d1", "d4") in pairs:
         assert pairs[("d1", "d4")] <= 4
+
+
+def test_lsh_jaccard_pairs(docs):
+    from agentic_doc_spark.operators.dedup import lsh_jaccard_pairs
+
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in lsh_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    # clones always collide on every band → always verified
+    assert got[("d1", "d2")] == 1.0 and got[("d1", "d3")] == 1.0
+    assert ("d1", "d5") not in got
 
 
 def test_jaccard_pairs(docs):
