@@ -11,8 +11,11 @@ removal, implemented twice off the SAME regex constants:
 
 Kind vocabulary = reference ChunkType (agentic_doc/common.py:22-26:
 text|table|figure|marginalia) + 'media' for pure media spans. Boilerplate
-stripping (nav/footer/aside DOM heuristics + link density) is the
-north-rule addition with no reference analog (SURVEY.md §2 end note).
+stripping (nav/footer/aside DOM heuristics + anchor-link density) is the
+north-rule addition with no reference analog (SURVEY.md §2 end note);
+the link-density heuristic follows the shallow-text-features approach of
+Kohlschütter/Fankhauser/Nejdl, "Boilerplate detection using shallow text
+features" (WSDM 2010).
 """
 
 from __future__ import annotations

@@ -1,5 +1,12 @@
 """Deduplication operators for training-data pipelines.
 
+Algorithms are the standard public constructions: MinHash resemblance
+sketches (Broder, "On the resemblance and containment of documents",
+SEQUENCES 1997), banded LSH for candidate generation (Leskovec/Rajaraman/
+Ullman, *Mining of Massive Datasets* ch. 3), and SimHash bit-vote
+fingerprints (Charikar, "Similarity estimation techniques from rounding
+algorithms", STOC 2002).
+
 Five strategies, all expressed as DataFrame plans with portable primitives
 (md5-based hashing → identical results in the DuckDB oracle):
 

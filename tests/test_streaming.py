@@ -3,7 +3,41 @@ exactly-once via checkpoint."""
 
 from __future__ import annotations
 
+import datetime as dt
+
 from agentic_doc_spark.streaming.dedup_stream import stream_dedup_exact
+from agentic_doc_spark.streaming.sessionize import sessionize_stream
+
+
+def test_sessionize_stateful_across_batches(spark, tmp_path):
+    src = str(tmp_path / "ev_in")
+    out = str(tmp_path / "ev_out")
+    ckpt = str(tmp_path / "ev_ckpt")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(uid, minutes, value):
+        return (uid, t0 + dt.timedelta(minutes=minutes), float(value))
+
+    # batch 1: user 1 has events at 0,5 then a 90-min gap candidate later
+    b1 = [ev(1, 0, 10), ev(1, 5, 10), ev(2, 0, 1)]
+    spark.createDataFrame(b1, ["user_id", "ts", "value"]).write.mode(
+        "append"
+    ).parquet(src)
+    sessionize_stream(spark, src, out, ckpt, gap_minutes=30)
+    assert spark.read.parquet(out).count() == 0  # nothing closed yet
+
+    # batch 2: user 1 resumes 90 min later → first session closes with the
+    # state carried across batches (2 events, total 20)
+    b2 = [ev(1, 95, 5), ev(1, 100, 5)]
+    spark.createDataFrame(b2, ["user_id", "ts", "value"]).write.mode(
+        "append"
+    ).parquet(src)
+    sessionize_stream(spark, src, out, ckpt, gap_minutes=30)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1
+    s = rows[0]
+    assert s["user_id"] == 1 and s["n_events"] == 2 and s["total_value"] == 20.0
+    assert s["session_end"] == t0 + dt.timedelta(minutes=5)
 from agentic_doc_spark.streaming.stream import stream_extract
 from agentic_doc_spark.synth import corpus_df, expected_corpus
 
