@@ -375,6 +375,33 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: sign-LSH bucket prefilter + exact cosine
+    within buckets only."""
+    from agentic_doc_spark.operators.dedup import embedding_near_pairs
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return embedding_near_pairs(emb, threshold=0.3).select(
+        "a", "b", F.round("cos", 4).alias("cos_r")
+    )
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (the similarity-search scale path): deterministic cells,
+    n_probe nearest cells per query, exact cosine inside."""
+    from agentic_doc_spark.operators.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    res = ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=3, n_cells=8, n_probe=3)
+    return res.select(
+        "query_id", "neighbor_id", F.round("cos", 4).alias("cos_r"), "rank"
+    )
+
+
 def q_embedding_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucket histogram (the near-dup prefilter key)."""
     from agentic_doc_spark.operators.dedup import sign_bucket
@@ -488,6 +515,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "lsh_jaccard_pairs": q_lsh_jaccard_pairs,
         "ann_bruteforce": q_ann_bruteforce,
+        "ann_ivf": q_ann_ivf,
+        "embedding_near_pairs": q_embedding_near_pairs,
         "embedding_buckets": q_embedding_buckets,
         "extraction_validate": q_extraction_validate,
         "events_windows": q_events_windows,
@@ -802,6 +831,57 @@ def oracle_sql() -> dict[str, str]:
                      list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS cos
               FROM q, embeddings e
               WHERE q.query_id <> e.vec_id
+            ), ranked AS (
+              SELECT query_id, neighbor_id, cos,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, round(cos, 4) AS cos_r,
+                   CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 3
+        """,
+        "embedding_near_pairs": """
+            WITH b AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v,
+                     array_to_string(list_transform(range(0, 8), d ->
+                       CASE WHEN embedding[d + 1] >= 0 THEN '1' ELSE '0' END),
+                     '') AS bucket
+              FROM embeddings
+            )
+            SELECT l.vec_id AS a, r.vec_id AS b,
+                   round(list_cosine_similarity(l.v, r.v), 4) AS cos_r
+            FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+            WHERE list_cosine_similarity(l.v, r.v) >= 0.3
+        """,
+        "ann_ivf": """
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), cents AS (
+              SELECT vec_id % 8 AS cell,
+                     arg_min(v, vec_id) AS centroid
+              FROM e GROUP BY 1
+            ), assigned AS (
+              SELECT vec_id, v, cell FROM (
+                SELECT e.vec_id, e.v, c.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(e.v, c.centroid) DESC,
+                                  c.cell ASC) AS rn
+                FROM e, cents c
+              ) WHERE rn = 1
+            ), probes AS (
+              SELECT query_id, qv, cell FROM (
+                SELECT q.vec_id AS query_id, q.v AS qv, c.cell,
+                       row_number() OVER (PARTITION BY q.vec_id
+                         ORDER BY list_cosine_similarity(q.v, c.centroid) DESC,
+                                  c.cell ASC) AS rn
+                FROM e q, cents c WHERE q.vec_id < 5
+              ) WHERE rn <= 3
+            ), scored AS (
+              SELECT p.query_id, a.vec_id AS neighbor_id,
+                     list_cosine_similarity(p.qv, a.v) AS cos
+              FROM probes p JOIN assigned a USING (cell)
+              WHERE p.query_id <> a.vec_id
             ), ranked AS (
               SELECT query_id, neighbor_id, cos,
                      row_number() OVER (PARTITION BY query_id

@@ -61,10 +61,12 @@ def derive_centroids(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Deterministic IVF centroids: the vector with the smallest id in
-    each of n_cells hash-buckets (cheap k-means++ stand-in; a real
-    trainer can replace this without changing the plan shape)."""
+    each of n_cells id-modulo buckets (cheap k-means++ stand-in; a real
+    trainer can replace this without changing the plan shape — and the
+    modulo form is reproducible in any engine, which the DuckDB oracle
+    uses)."""
     bucketed = corpus.select(
-        (F.crc32(F.col(id_col).cast("string")) % n_cells).alias("cell"),
+        (F.col(id_col) % n_cells).alias("cell"),
         F.col(id_col),
         F.col(vec_col),
     )

@@ -175,6 +175,32 @@ def test_marginalia_filter(spark, engine):
         assert g_spans == e_spans, doc_id
 
 
+def test_mega_document_stress(spark):
+    # one 2000-page document (8000 spans, 200 parts) through both engines:
+    # the arrow engine carries it as a single large row, the shuffle
+    # engine as 200 bounded part groups — identical results
+    spans = [
+        {"kind": "raw", "text": f"w{i} " * 5, "media_ref": None, "offset": i}
+        for i in range(8000)
+    ]
+    doc = {"doc_id": "mega-stress", "spans": spans}
+    from agentic_doc_spark.schema import DOCUMENTS_RAW
+    from agentic_doc_spark.synth import expected_parsed
+
+    df = spark.createDataFrame([doc], DOCUMENTS_RAW)
+    want = expected_parsed(doc, Settings())
+    for engine in ("arrow", "shuffle"):
+        got = extract(df, Settings(engine=engine)).collect()[0].asDict(
+            recursive=True
+        )
+        assert len(got["spans"]) == 8000, engine
+        assert got["end_page_idx"] == 1999, engine
+        assert got["markdown"] == want["markdown"], engine
+        assert [
+            (s["kind"], s["text"], s["offset"]) for s in got["spans"][:5]
+        ] == [(s["kind"], s["text"], s["offset"]) for s in want["spans"][:5]]
+
+
 def test_partition_count_invariance(spark, settings):
     # SURVEY.md §7.3: ordering must survive arbitrary repartitioning
     df = corpus_df(spark, n_per_profile=1, settings=settings).repartition(13)
