@@ -417,6 +417,39 @@ def q_embedding_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary over lineitem (agg breadth:
+    map-side partial aggregation, one shuffle)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_orders_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join breadth: orders ⋈ customer ⋈ nation with the dimension sides
+    broadcast (classic star-join shape; at 100 TB the fact side streams,
+    dims broadcast)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    j = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+    ).join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+    return j.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
 def q_extraction_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U1/U2: from_json schema validation with null-out-and-error semantics.
     Docs get a deterministic payload: valid JSON when doc_id % 3 != 0,
@@ -519,6 +552,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_pairs": q_embedding_near_pairs,
         "embedding_buckets": q_embedding_buckets,
         "extraction_validate": q_extraction_validate,
+        "pricing_summary": q_pricing_summary,
+        "orders_by_nation": q_orders_by_nation,
         "events_windows": q_events_windows,
         "events_rollup": q_events_rollup,
         "events_sessions": q_events_sessions,
@@ -905,6 +940,25 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN doc_id % 3 <> 0 THEN n_chars END AS ex_n_chars,
                    doc_id % 3 = 0 AS has_error
             FROM documents
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+                   round(CAST(sum(l_extendedprice * (1 - l_discount))
+                         AS DOUBLE), 2) AS sum_disc_price,
+                   round(CAST(avg(l_quantity) AS DOUBLE), 6) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "orders_by_nation": """
+            SELECT n.n_name AS nation, count(*) AS n_orders,
+                   round(CAST(sum(o.o_totalprice) AS DOUBLE), 2) AS total_price
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1
         """,
         "events_windows": """
             SELECT substr(ts::VARCHAR, 1, 13) AS hour, event_type,

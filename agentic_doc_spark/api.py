@@ -39,6 +39,7 @@ def parse(
     extraction_model: T.StructType | None = None,
     extraction_schema: str | None = None,
     extraction_payload_col: str = "extraction_payload",
+    extraction_metadata_col: str | None = None,
     config: Settings | None = None,
 ) -> DataFrame:
     """Parse documents into ParsedDocument rows.
@@ -93,10 +94,22 @@ def parse(
     schema = extraction_model or extraction_schema
     if schema is not None:
         if extraction_payload_col in df.columns:
-            payloads = df.select("doc_id", extraction_payload_col)
+            cols = ["doc_id", extraction_payload_col]
+            md_col = (
+                extraction_metadata_col
+                if extraction_metadata_col in (df.columns)
+                else None
+            )
+            if md_col:
+                cols.append(md_col)
+            payloads = df.select(*cols)
             parsed = parsed.join(payloads, "doc_id", "left")
-            parsed = validate_extraction(parsed, extraction_payload_col, schema)
+            parsed = validate_extraction(
+                parsed, extraction_payload_col, schema, metadata_col=md_col
+            )
             parsed = parsed.drop(extraction_payload_col)
+            if md_col:
+                parsed = parsed.drop(md_col)
             if settings.include_metadata_in_markdown:
                 # P3/F9: embed the extracted fields as a markdown table
                 from pyspark.sql import functions as F

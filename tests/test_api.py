@@ -59,6 +59,38 @@ def test_extraction_path(spark):
     assert "extraction_split_size" in rows["mega-000000"]["extraction_error"]
 
 
+def test_extraction_metadata_col(spark):
+    # full MetadataType path through the facade (U1 + U3)
+    md = json.dumps(
+        {"title": {"value": "t", "chunk_references": ["c1"], "confidence": 0.8}}
+    )
+    df = (
+        corpus_df(spark, 1)
+        .withColumn(
+            "extraction_payload",
+            F.when(
+                F.col("doc_id").startswith("single"),
+                F.lit(json.dumps({"title": "t"})),
+            ),
+        )
+        .withColumn(
+            "md_payload",
+            F.when(F.col("doc_id").startswith("single"), F.lit(md)),
+        )
+    )
+    out = parse(
+        spark,
+        df,
+        extraction_schema="title string",
+        extraction_metadata_col="md_payload",
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    m = rows["single-000000"]["extraction_metadata"]
+    assert m["title"]["chunk_references"] == ["c1"]
+    assert m["title"]["confidence"] == 0.8
+    assert rows["multi-000000"]["extraction_metadata"] is None
+
+
 def test_metadata_in_markdown(spark):
     # P3/F9: include_metadata_in_markdown embeds a | Field | Value | table
     df = corpus_df(spark, 1).withColumn(
