@@ -97,8 +97,6 @@ def text_profile(df, text_col: str = "text"):
     once (a `_w` column in its own projection): the naive composition
     re-evaluates the split per marker set — ~8× per row. Values are
     bit-identical to lang_id()/quality_score()."""
-    from pyspark.sql import DataFrame  # noqa: F401
-
     text = F.col(text_col)
     staged = df.withColumn("_w", words(F.lower(text)))
     w = F.col("_w")

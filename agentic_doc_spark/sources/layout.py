@@ -25,7 +25,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from agentic_doc_spark.schema import DOCUMENTS_RAW
 
 #: blank-line block splitter (one or more empty lines)
 _BLOCK_RE = re.compile(r"\n\s*\n+")

@@ -15,7 +15,7 @@ required.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from agentic_doc_spark.functions.textstats import fingerprint

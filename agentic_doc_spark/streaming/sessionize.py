@@ -13,7 +13,6 @@ batch, vectorized inside.
 
 from __future__ import annotations
 
-import datetime as dt
 from typing import Any, Iterable, Iterator
 
 import pandas as pd

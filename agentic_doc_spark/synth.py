@@ -15,8 +15,6 @@ the BASELINE.json correctness gate.
 from __future__ import annotations
 
 import random
-from dataclasses import dataclass, field
-from typing import Iterator
 
 from agentic_doc_spark.config import DEFAULT_SETTINGS, Settings
 from agentic_doc_spark.functions.classify import (
