@@ -49,14 +49,23 @@ _SPANS_FLAT = T.StructType(
 
 
 def split_blocks(data: bytes, doc_type: str) -> list[str]:
-    """bytes → ordered text blocks. Text family only; PDF raises the
-    documented stub boundary."""
+    """bytes → ordered text blocks.
+
+    PDFs go through the pure-stdlib text-layer extractor
+    (sources/pdf_text.py — handles Flate/plain content streams of simple
+    generators like the reference's reportlab fixtures); a PDF with no
+    extractable text layer raises the documented stub boundary."""
     if doc_type == "pdf":
-        raise NotImplementedError(
-            "PDF layout decode needs a PDF library not present in this "
-            "container — supply (doc_id, spans) corpora for PDFs, or plug "
-            "a decoder into split_blocks"
-        )
+        from agentic_doc_spark.sources.pdf_text import extract_pdf_blocks
+
+        blocks = [t for _, t in extract_pdf_blocks(data)]
+        if not blocks:
+            raise NotImplementedError(
+                "no extractable text layer (scanned/encrypted/composite "
+                "PDF) — rasterizing needs a PDF library not present in "
+                "this container; supply (doc_id, spans) corpora instead"
+            )
+        return blocks
     text = data.decode("utf-8", errors="replace")
     if doc_type == "html":
         text = _SCRIPT_RE.sub(" ", text)
@@ -78,9 +87,15 @@ def layout_parse(binary_df: DataFrame) -> DataFrame:
                 pdf["doc_id"], pdf["content"], pdf["doc_type"]
             ):
                 is_html = dt == "image" and bytes(content[:1]) == b"<"
-                blocks = split_blocks(
-                    bytes(content), "html" if is_html or dt == "html" else dt
-                )
+                try:
+                    blocks = split_blocks(
+                        bytes(content), "html" if is_html or dt == "html" else dt
+                    )
+                except NotImplementedError:
+                    # R6-style bad-record tolerance: undecodable documents
+                    # are skipped, the batch continues (reference skips
+                    # failed downloads the same way, parse.py:183-190)
+                    continue
                 ids.extend([doc_id] * len(blocks))
                 kinds.extend(["raw"] * len(blocks))
                 texts.extend(blocks)
@@ -113,8 +128,10 @@ def layout_parse(binary_df: DataFrame) -> DataFrame:
 
 
 def ingest_directory(spark, path: str, **options) -> DataFrame:
-    """End-to-end text-family ingest: dir scan (S2) → sniff (P1) → layout
-    parse → documents_raw, ready for pipeline.extract."""
+    """End-to-end file ingest: dir scan (S2) → sniff (P1) → layout parse →
+    documents_raw, ready for pipeline.extract. Handles text/markdown/HTML
+    natively and text-layer PDFs via sources/pdf_text.py; undecodable
+    documents are skipped (R6)."""
     from agentic_doc_spark.sources.resolve import read_binary_dir
 
     raw = read_binary_dir(spark, path, **options)
@@ -125,4 +142,4 @@ def ingest_directory(spark, path: str, **options) -> DataFrame:
             F.col("doc_type")
         ),
     )
-    return layout_parse(typed.filter(F.col("doc_type") != "pdf"))
+    return layout_parse(typed)
