@@ -103,6 +103,16 @@ def resolve(spark: SparkSession, documents: DocumentsInput, **options) -> DataFr
     raise TypeError(f"unsupported documents input: {type(documents)}")
 
 
+def is_valid_httpurl(url: str) -> bool:
+    """F5: URL scheme check (agentic_doc/utils.py:456-462 twin)."""
+    from urllib.parse import urlparse
+
+    try:
+        return urlparse(url).scheme in ("http", "https")
+    except ValueError:
+        return False
+
+
 def create_connector(config: dict) -> dict:
     """S7: connector factory — type string → Spark reader options
     (agentic_doc/connectors.py:520-533 twin). Returns a reader-spec dict

@@ -48,6 +48,14 @@ def test_resolve_dispatch(spark, tmp_path):
     assert resolve(spark, []).count() == 0
 
 
+def test_is_valid_httpurl():
+    from agentic_doc_spark.sources.resolve import is_valid_httpurl
+
+    assert is_valid_httpurl("https://example.com/a.pdf")
+    assert is_valid_httpurl("http://x")
+    assert not is_valid_httpurl("ftp://x") and not is_valid_httpurl("not a url")
+
+
 def test_connector_factory():
     local = create_connector({"connector_type": "local", "path": "/x"})
     assert local["path"] == "/x"
