@@ -344,6 +344,27 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_table(_docs(spark, sf_dir))
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded simhash near-dup candidates over the planted-clone corpus
+    (clones have hamming distance 0 → always collide)."""
+    from agentic_doc_spark.operators.dedup import simhash_near_pairs
+
+    docs = _docs(spark, sf_dir)
+    clones = docs.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = docs.select("doc_id", "text").unionByName(clones)
+    return simhash_near_pairs(corpus).filter(F.col("hamming") <= 2)
+
+
+def q_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agentic_doc_spark.functions.textstats import fingerprint_rolling
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", fingerprint_rolling(F.col("text")).alias("rfp")
+    )
+
+
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard over the planted-duplicate corpus."""
     from agentic_doc_spark.operators.dedup import jaccard_pairs
@@ -545,6 +566,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_bands": q_minhash_bands,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        "fingerprint_rolling": q_fingerprint_rolling,
         "jaccard_pairs": q_jaccard_pairs,
         "lsh_jaccard_pairs": q_lsh_jaccard_pairs,
         "ann_bruteforce": q_ann_bruteforce,
@@ -795,6 +818,49 @@ def oracle_sql() -> dict[str, str]:
                      THEN CAST(power(2, j) AS BIGINT) ELSE 0 END))
                    AS BIGINT) AS simhash
             FROM n
+        """,
+        "simhash_pairs": f"""
+            WITH corpus AS ({_CLONED_CORPUS}),
+            n AS (
+              SELECT doc_id,
+                     list_transform({_SQL_WORDS.format(src=_NORM)},
+                                    t -> md5(t)) AS hs
+              FROM corpus
+            ), sh AS (
+              SELECT doc_id,
+                     CAST(list_sum(list_transform(range(0, 16), j ->
+                       CASE WHEN list_sum(list_transform(hs, h ->
+                         CASE WHEN ('0x' || substr(h, j + 1, 1))::INT % 2 = 1
+                              THEN 1 ELSE -1 END)) > 0
+                       THEN CAST(power(2, j) AS BIGINT) ELSE 0 END))
+                     AS BIGINT) AS simhash
+              FROM n
+            ), banded AS (
+              SELECT doc_id, simhash, u.i AS band_idx,
+                     CAST(floor(simhash / power(2, u.i * 4)) AS BIGINT) % 16
+                       AS band_value
+              FROM sh, unnest(range(0, 4)) AS u(i)
+            )
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+                   CAST(bit_count(xor(l.simhash, r.simhash)) AS INT)
+                     AS hamming
+            FROM banded l JOIN banded r
+              ON l.band_idx = r.band_idx AND l.band_value = r.band_value
+            WHERE l.doc_id < r.doc_id
+              AND bit_count(xor(l.simhash, r.simhash)) <= 2
+        """,
+        "fingerprint_rolling": f"""
+            WITH w AS (
+              SELECT doc_id, {_SQL_WORDS.format(src=_NORM)} AS toks
+              FROM documents
+            )
+            SELECT doc_id,
+                   list_min(list_transform(
+                     range(0, greatest(len(toks) - 7, 1)),
+                     i -> md5(array_to_string(
+                            list_slice(toks, i + 1, i + 8), ' '))))
+                     AS rfp
+            FROM w
         """,
         "jaccard_pairs": f"""
             WITH corpus AS ({_CLONED_CORPUS}),

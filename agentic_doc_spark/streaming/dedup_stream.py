@@ -50,3 +50,38 @@ def stream_dedup_exact(
         q.awaitTermination()
         return q
     return writer.start()
+
+
+def stream_dedup_within_watermark(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    watermark: str = "1 hour",
+    available_now: bool = True,
+):
+    """Bounded-state variant: duplicates are suppressed only within the
+    watermark horizon — state for fingerprints older than the watermark is
+    evicted, so state size is O(arrival rate × horizon) instead of
+    O(corpus). The right tool when the corpus is unbounded and duplicates
+    cluster in time (crawl re-fetches, retries)."""
+    schema = spark.read.parquet(input_path).schema
+    src = spark.readStream.schema(schema).parquet(input_path)
+    deduped = (
+        src.withColumn("fingerprint", fingerprint(F.col(text_col)))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

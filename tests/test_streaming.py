@@ -9,6 +9,28 @@ from agentic_doc_spark.streaming.dedup_stream import stream_dedup_exact
 from agentic_doc_spark.streaming.sessionize import sessionize_stream
 
 
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    from agentic_doc_spark.streaming.dedup_stream import (
+        stream_dedup_within_watermark,
+    )
+
+    src = str(tmp_path / "w_in")
+    out = str(tmp_path / "w_out")
+    ckpt = str(tmp_path / "w_ckpt")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, "same text"),
+        (2, t0 + dt.timedelta(minutes=5), "same text"),  # dup within horizon
+        (3, t0 + dt.timedelta(minutes=10), "other text"),
+    ]
+    spark.createDataFrame(rows, ["doc_id", "ts", "text"]).write.mode(
+        "append"
+    ).parquet(src)
+    stream_dedup_within_watermark(spark, src, out, ckpt, watermark="1 hour")
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {1, 3}
+
+
 def test_sessionize_stateful_across_batches(spark, tmp_path):
     src = str(tmp_path / "ev_in")
     out = str(tmp_path / "ev_out")
