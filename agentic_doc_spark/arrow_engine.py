@@ -149,10 +149,14 @@ def extract_batch(
             "kind": flat.field("kind").to_pandas(),
             "text": flat.field("text").to_pandas(),
             "media_ref": flat.field("media_ref").to_pandas(),
-            "offset": flat.field("offset").to_pandas().astype("int64"),
+            "offset": flat.field("offset").to_pandas(),
             "parent": parent,
         }
     )
+    # tolerate garbage: null struct elements / null offsets are dropped
+    # (the shuffle engine's explode_outer placeholder filter does the same)
+    pdf = pdf[pdf["offset"].notna()]
+    pdf["offset"] = pdf["offset"].astype("int64")
     # restore in-document order (offset may arrive unsorted)
     pdf = pdf.sort_values(["parent", "offset"], kind="stable").reset_index(
         drop=True

@@ -175,6 +175,24 @@ def test_marginalia_filter(spark, engine):
         assert g_spans == e_spans, doc_id
 
 
+def test_null_span_elements_tolerated(spark):
+    # a NULL element inside the spans array must degrade, not crash
+    from agentic_doc_spark.schema import DOCUMENTS_RAW
+
+    doc = {
+        "doc_id": "nullspan-1",
+        "spans": [
+            {"kind": "text", "text": "a", "media_ref": None, "offset": 0},
+            None,
+            {"kind": "text", "text": "b", "media_ref": None, "offset": 1},
+        ],
+    }
+    df = spark.createDataFrame([doc], DOCUMENTS_RAW)
+    for engine in ("arrow", "shuffle"):
+        got = extract(df, Settings(engine=engine)).collect()[0]
+        assert [s["text"] for s in got["spans"]] == ["a", "b"], engine
+
+
 def test_mega_document_stress(spark):
     # one 2000-page document (8000 spans, 200 parts) through both engines:
     # the arrow engine carries it as a single large row, the shuffle
