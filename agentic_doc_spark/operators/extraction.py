@@ -16,6 +16,9 @@ MetadataType[T] = {value, chunk_references, confidence}
 
 from __future__ import annotations
 
+import functools
+import operator
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -84,9 +87,13 @@ def validate_extraction(
     payload = F.col(payload_col)
     parsed = F.from_json(payload, schema)  # malformed → NULL
     # from_json returns a struct of NULLs for type-mismatched fields; treat
-    # "payload present but nothing parsed" as invalid
-    any_field = F.coalesce(
-        *[parsed[f.name].isNotNull() for f in schema.fields], F.lit(False)
+    # "payload present but nothing parsed" as invalid. OR the per-field
+    # checks (isNotNull never returns NULL, so coalesce would always pick
+    # the FIRST field's check and reject payloads missing only that field)
+    any_field = functools.reduce(
+        operator.or_,
+        [parsed[f.name].isNotNull() for f in schema.fields],
+        F.lit(False),
     )
     valid = payload.isNotNull() & parsed.isNotNull() & any_field
     out = df.withColumn(

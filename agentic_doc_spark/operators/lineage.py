@@ -101,15 +101,28 @@ def run_with_resume(
     run_id: str,
     input_snapshot_id: str,
     extract_fn,
+    output_path: str | None = None,
 ) -> DataFrame:
     """Resume-aware execution: filter completed docs, extract the rest,
-    append their lineage. Returns the newly parsed rows."""
+    write the output sink, THEN append lineage. Returns the newly parsed
+    rows (persisted when an output sink is given).
+
+    Commit-order invariant: lineage marks documents completed, so it must
+    be the LAST write — a crash between output and lineage re-extracts
+    those docs next run (at-least-once, duplicates in the output the
+    caller dedups by doc_id / overwrites by partition), whereas
+    lineage-first would silently skip them forever (data loss).
+    """
+    from pyspark.errors import AnalysisException
+
     try:
         done = completed_doc_ids(spark, metrics_path)
         todo = resume_filter(raw, done)
-    except Exception:  # first run: no metrics table yet
+    except AnalysisException:  # first run: no metrics table yet
         todo = raw
     parsed = extract_fn(todo)
     parsed = parsed.persist()
+    if output_path is not None:
+        parsed.write.mode("append").parquet(output_path)
     write_lineage(parsed, metrics_path, run_id, input_snapshot_id)
     return parsed

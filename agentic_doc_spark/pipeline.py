@@ -50,6 +50,7 @@ from agentic_doc_spark.functions.markdown import PART_SEP, render_span_col
 _CLASSIFIED = T.StructType(
     [
         T.StructField("doc_id", T.StringType()),
+        T.StructField("pos", T.IntegerType()),
         T.StructField("kind", T.StringType()),
         T.StructField("text", T.StringType()),
         T.StructField("media_ref", T.StringType()),
@@ -72,11 +73,26 @@ def explode_spans(df: DataFrame, settings: Settings = DEFAULT_SETTINGS) -> DataF
 
     explode_outer keeps empty/null-span docs as a single null-span row so
     the empty-merge identity (A4) falls out of the aggregation itself —
-    no extra join (and no extra shuffle) at the end of the pipeline."""
+    no extra join (and no extra shuffle) at the end of the pipeline.
+
+    NULL span elements (and elements with a NULL offset) are dropped
+    BEFORE the explode so they can't form a phantom null-part_idx group —
+    the arrow engine and the pure-Python oracle drop them the same way,
+    keeping markdown byte-identical across engines. A doc whose array is
+    all-null degrades to the empty array → the A4 identity.
+
+    ``pos`` is the element's position in the input array — the explicit
+    stable-sort tie-break for duplicate offsets (the arrow engine's
+    kind='stable' sort and the oracle's sorted() both preserve input
+    order; sort_array needs the key materialized)."""
+    clean = F.filter(
+        F.col("spans"), lambda s: s.isNotNull() & s["offset"].isNotNull()
+    )
     return (
-        df.select("doc_id", F.explode_outer("spans").alias("s"))
+        df.select("doc_id", F.posexplode_outer(clean).alias("pos", "s"))
         .select(
             "doc_id",
+            F.col("pos").cast("int").alias("pos"),
             F.col("s.kind").alias("kind"),
             F.col("s.text").alias("text"),
             F.col("s.media_ref").alias("media_ref"),
@@ -195,11 +211,16 @@ def assemble_parts(
         (F.max(F.col("corrupt").cast("int")) == 1).alias("part_failed"),
         F.min("page_no").alias("part_start_page"),
         F.max("page_no").alias("part_end_page"),
+        # pos directly after offset: sort_array orders by field position,
+        # so equal offsets break ties by input-array position — identical
+        # to the arrow engine's stable sort and the oracle's sorted()
         F.sort_array(
             F.collect_list(
                 F.when(
                     keep_cond,
-                    F.struct("offset", "kind_out", "text", "media_ref", "page_no"),
+                    F.struct(
+                        "offset", "pos", "kind_out", "text", "media_ref", "page_no"
+                    ),
                 )
             )
         ).alias("kept"),

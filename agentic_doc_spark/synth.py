@@ -155,7 +155,17 @@ def expected_parsed(doc: dict, settings: Settings = DEFAULT_SETTINGS) -> dict:
     (agentic_doc/parse.py:597-629), dense output offsets.
     """
     spp, split = settings.spans_per_page, settings.split_size
-    spans = sorted(doc["spans"] or [], key=lambda s: s["offset"])
+    # NULL elements / NULL offsets are dropped before ordering (both
+    # engines do the same); sorted() is stable, so duplicate offsets keep
+    # input order — pipeline.py carries pos as the explicit tie-break key
+    spans = sorted(
+        (
+            s
+            for s in (doc["spans"] or [])
+            if s is not None and s.get("offset") is not None
+        ),
+        key=lambda s: s["offset"],
+    )
     if not spans:
         return {
             "doc_id": doc["doc_id"],

@@ -31,7 +31,12 @@ def main() -> None:
     ap.add_argument("--run-id", required=True)
     ap.add_argument("--engine", default="arrow", choices=["arrow", "shuffle"])
     ap.add_argument("--split-size", type=int, default=10)
-    ap.add_argument("--include-marginalia", action="store_true", default=True)
+    ap.add_argument(
+        "--include-marginalia",
+        action=argparse.BooleanOptionalAction,
+        default=True,
+        help="--no-include-marginalia drops marginalia spans",
+    )
     ap.add_argument("--no-strip-boilerplate", action="store_true")
     args = ap.parse_args()
 
@@ -61,6 +66,8 @@ def main() -> None:
     snapshot = cat.snapshot_id(Path(args.input).name)
 
     raw = spark.read.schema(DOCUMENTS_RAW).parquet(args.input)
+    # output is written INSIDE run_with_resume, before the lineage append —
+    # a crash mid-run re-extracts (at-least-once) instead of losing docs
     parsed = run_with_resume(
         spark,
         raw,
@@ -68,9 +75,9 @@ def main() -> None:
         args.run_id,
         snapshot,
         lambda df: extract(df, settings),
+        output_path=args.output,
     )
     n = parsed.count()
-    parsed.write.mode("append").parquet(args.output)
     parsed.unpersist()
     print(f"run_id={args.run_id} snapshot={snapshot} docs_extracted={n}")
 

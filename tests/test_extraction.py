@@ -76,6 +76,20 @@ def test_validate_extraction(spark):
     assert got["d4"]["extraction"] is None and got["d4"]["extraction_error"] is not None
 
 
+def test_validate_extraction_missing_first_field(spark):
+    # a valid payload missing only the FIRST schema field must be accepted
+    # (regression: coalesce over isNotNull checks always returned the
+    # first field's check, wrongly rejecting such payloads)
+    schema = "name string, age int"
+    df = spark.createDataFrame(
+        [("d1", json.dumps({"age": 5}))], ["doc_id", "payload"]
+    )
+    r = validate_extraction(df, "payload", schema).collect()[0]
+    assert r["extraction"]["age"] == 5
+    assert r["extraction"]["name"] is None
+    assert r["extraction_error"] is None
+
+
 def test_validate_extraction_metadata(spark):
     schema = "total double"
     md = json.dumps(

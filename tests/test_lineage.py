@@ -60,3 +60,53 @@ def test_run_with_resume_end_to_end(spark, tmp_path):
     # second run: nothing left to do
     p2 = run_with_resume(spark, raw, metrics, "run2", "snap1", extract)
     assert p2.count() == 0
+
+
+def test_output_written_before_lineage(spark, tmp_path, monkeypatch):
+    # commit-order invariant: a crash during the lineage append must NOT
+    # lose output rows — the docs were already written, and the next run
+    # re-extracts them (at-least-once), never skips them
+    import agentic_doc_spark.operators.lineage as lineage_mod
+
+    metrics = str(tmp_path / "metrics")
+    output = str(tmp_path / "parsed")
+    raw = corpus_df(spark, 1)
+    n = raw.count()
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash during lineage append")
+
+    monkeypatch.setattr(lineage_mod, "write_lineage", boom)
+    try:
+        lineage_mod.run_with_resume(
+            spark, raw, metrics, "run1", "snap1", extract, output_path=output
+        )
+    except RuntimeError:
+        pass
+    # output landed despite the lineage crash
+    assert spark.read.parquet(output).count() == n
+    monkeypatch.undo()
+    # restart: no metrics table → everything re-extracted, output appended
+    p = run_with_resume(
+        spark, raw, metrics, "run2", "snap1", extract, output_path=output
+    )
+    assert p.count() == n
+    assert spark.read.parquet(output).count() == 2 * n  # at-least-once
+    assert completed_doc_ids(spark, metrics).count() == n
+
+
+def test_corrupt_metrics_table_raises(spark, tmp_path):
+    # a corrupt/unreadable metrics table must raise, not silently
+    # reprocess everything as if it were a first run
+    import pytest
+
+    metrics = tmp_path / "metrics"
+    metrics.mkdir()
+    (metrics / "part-00000.parquet").write_bytes(b"this is not parquet")
+    raw = corpus_df(spark, 1)
+    with pytest.raises(Exception) as exc_info:
+        run_with_resume(spark, raw, str(metrics), "run1", "snap1", extract)
+    # must NOT be swallowed by the first-run AnalysisException branch
+    from pyspark.errors import AnalysisException
+
+    assert not isinstance(exc_info.value, AnalysisException)

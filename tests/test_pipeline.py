@@ -176,21 +176,80 @@ def test_marginalia_filter(spark, engine):
 
 
 def test_null_span_elements_tolerated(spark):
-    # a NULL element inside the spans array must degrade, not crash
+    # NULL elements inside the spans array must be dropped identically by
+    # BOTH engines and the oracle — spans, markdown, errors all equal
+    # (a null element previously produced a phantom empty part and a
+    # leading '\n\n' in the shuffle engine's markdown)
     from agentic_doc_spark.schema import DOCUMENTS_RAW
+    from agentic_doc_spark.synth import expected_parsed
+
+    docs = [
+        {
+            "doc_id": "nullspan-1",
+            "spans": [
+                {"kind": "text", "text": "a", "media_ref": None, "offset": 0},
+                None,
+                {"kind": "text", "text": "b", "media_ref": None, "offset": 1},
+            ],
+        },
+        # all-null array degrades to the A4 empty identity
+        {"doc_id": "nullspan-allnull", "spans": [None, None]},
+        # null offset is dropped like a null element
+        {
+            "doc_id": "nullspan-nulloffset",
+            "spans": [
+                {"kind": "text", "text": "a", "media_ref": None, "offset": 0},
+                {"kind": "text", "text": "x", "media_ref": None, "offset": None},
+            ],
+        },
+    ]
+    df = spark.createDataFrame(docs, DOCUMENTS_RAW)
+    want = {d["doc_id"]: expected_parsed(d, Settings()) for d in docs}
+    for engine in ("arrow", "shuffle"):
+        got = {
+            r["doc_id"]: r.asDict(recursive=True)
+            for r in extract(df, Settings(engine=engine)).collect()
+        }
+        for doc_id, exp in want.items():
+            g = got[doc_id]
+            assert g["markdown"] == exp["markdown"], (engine, doc_id)
+            assert [
+                (s["kind"], s["text"], s["media_ref"], s["offset"])
+                for s in g["spans"]
+            ] == [
+                (s["kind"], s["text"], s["media_ref"], s["offset"])
+                for s in exp["spans"]
+            ], (engine, doc_id)
+            assert g["errors"] == exp["errors"], (engine, doc_id)
+    assert [s["text"] for s in want["nullspan-1"]["spans"]] == ["a", "b"]
+    assert want["nullspan-allnull"]["markdown"] == ""
+
+
+def test_duplicate_offset_stable_order(spark):
+    # equal offsets must keep input-array order in every engine (pos is
+    # the explicit tie-break key in the shuffle engine's sort_array)
+    from agentic_doc_spark.schema import DOCUMENTS_RAW
+    from agentic_doc_spark.synth import expected_parsed
 
     doc = {
-        "doc_id": "nullspan-1",
+        "doc_id": "dupoff-1",
         "spans": [
-            {"kind": "text", "text": "a", "media_ref": None, "offset": 0},
-            None,
-            {"kind": "text", "text": "b", "media_ref": None, "offset": 1},
+            {"kind": "text", "text": "z-first", "media_ref": None, "offset": 2},
+            {"kind": "text", "text": "a-second", "media_ref": None, "offset": 2},
+            {"kind": "text", "text": "m-third", "media_ref": None, "offset": 2},
+            {"kind": "text", "text": "head", "media_ref": None, "offset": 0},
         ],
     }
     df = spark.createDataFrame([doc], DOCUMENTS_RAW)
+    want = expected_parsed(doc, Settings())
+    exp_texts = [s["text"] for s in want["spans"]]
+    assert exp_texts == ["head", "z-first", "a-second", "m-third"]
     for engine in ("arrow", "shuffle"):
-        got = extract(df, Settings(engine=engine)).collect()[0]
-        assert [s["text"] for s in got["spans"]] == ["a", "b"], engine
+        got = extract(df, Settings(engine=engine)).collect()[0].asDict(
+            recursive=True
+        )
+        assert [s["text"] for s in got["spans"]] == exp_texts, engine
+        assert got["markdown"] == want["markdown"], engine
 
 
 def test_mega_document_stress(spark):
