@@ -238,6 +238,80 @@ def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ingest_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2/P1 + layout parse, end to end through the PUBLIC parse()
+    facade: a deterministic raw-file corpus (txt/md/html rotating by
+    doc_id % 3, content a pure function of doc_id) is staged to a local
+    directory, parsed via ``parse(spark, <dir>)``, and the resulting
+    markdown / span counts are oracle-checked. The staging loop is test
+    scaffolding (corpus generation), not a distributed operator."""
+    import shutil
+
+    from agentic_doc_spark.api import parse
+
+    _ship(spark)
+    ids = sorted(
+        r[0]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 10 == 0)
+        .collect()
+    )
+    base = f"/tmp/spark_graft_ingest_{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    for doc_id in ids:
+        b1 = f"alpha section of document {doc_id}"
+        b2 = f"bravo body for document {doc_id} with details"
+        b3 = f"charlie closing of document {doc_id}"
+        ext = ("txt", "md", "html")[doc_id % 3]
+        if ext == "html":
+            content = f"<p>{b1}</p><p>{b2}</p><p>{b3}</p>"
+        else:
+            content = f"{b1}\n\n{b2}\n\n{b3}"
+        with open(f"{base}/{doc_id:08d}.{ext}", "w") as f:
+            f.write(content)
+    out = parse(spark, base)
+    return out.select(
+        F.regexp_extract(F.col("doc_id"), r"(\d+)\.[a-z]+$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.size("spans").alias("n_spans"),
+        F.col("markdown"),
+    )
+
+
+def q_chunk_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: chunk-reference provenance join — synthetic metadata references
+    (every doc < 50 references its chunks at (page 0, offsets 0 and 1))
+    resolved against the extracted chunk table via the broadcast join."""
+    from agentic_doc_spark.operators.extraction import resolve_chunk_references
+    from agentic_doc_spark.pipeline import extract
+
+    raw = _raw(spark, sf_dir).filter(F.col("doc_id").cast("long") < 50)
+    parsed = extract(raw)
+    chunks = parsed.select("doc_id", F.explode("chunks").alias("c")).select(
+        "doc_id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.text").alias("text"),
+    )
+    refs = raw.select(
+        "doc_id",
+        F.lit("summary").alias("field"),
+        F.array(
+            F.concat_ws(":", "doc_id", F.lit("0"), F.lit("0")),
+            F.concat_ws(":", "doc_id", F.lit("0"), F.lit("1")),
+        ).alias("chunk_references"),
+    )
+    out = resolve_chunk_references(refs, chunks)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "field",
+        "chunk_id",
+        "text",
+    )
+
+
 def q_resume_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2: anti-join resume — completed = doc_id % 10 < 3."""
     from agentic_doc_spark.operators.lineage import resume_filter
@@ -557,6 +631,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "errdoc_errors": q_errdoc_errors,
         "marginalia_filter": q_marginalia_filter,
         "boilerplate_strip": q_boilerplate_strip,
+        "ingest_extract": q_ingest_extract,
+        "chunk_refs": q_chunk_refs,
         "resume_anti_join": q_resume_anti_join,
         "token_counts": q_token_counts,
         "quality_langid": q_quality_langid,
@@ -722,6 +798,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_filter(range(0, len(spans)),
                         i -> i % 11 <> 5)) AS INT) AS n_kept
             FROM sp
+        """,
+        "ingest_extract": """
+            SELECT doc_id,
+                   CAST(3 AS INT) AS n_spans,
+                   'alpha section of document ' || doc_id || chr(10) || chr(10)
+                   || 'bravo body for document ' || doc_id || ' with details'
+                   || chr(10) || chr(10)
+                   || 'charlie closing of document ' || doc_id AS markdown
+            FROM documents WHERE doc_id % 10 = 0
+        """,
+        "chunk_refs": _SQL_SPANS
+        + """
+            , refs AS (
+              SELECT doc_id, 'summary' AS field, spans,
+                     unnest([0, 1]) AS off
+              FROM sp WHERE doc_id < 50
+            )
+            SELECT doc_id, field,
+                   doc_id || ':0:' || off AS chunk_id,
+                   CASE WHEN len(spans) > off THEN spans[off + 1] END AS text
+            FROM refs
         """,
         "resume_anti_join": """
             SELECT doc_id, n_chars FROM documents WHERE doc_id % 10 >= 3

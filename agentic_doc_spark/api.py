@@ -83,11 +83,13 @@ def parse(
         df = resolve(spark, connector_path, pattern=connector_pattern)
 
     if "spans" not in df.columns:
-        raise NotImplementedError(
-            "raw-binary inputs need the layout-parse stage (PDF decode is "
-            "stubbed in this sandbox, see sources/resolve.py) — supply the "
-            "(doc_id, spans) corpus directly"
-        )
+        # raw-binary corpus (directory / bytes / path list): run the
+        # layout-parse stage — txt/md/HTML and text-layer PDFs decode for
+        # real (sources/layout.py, sources/pdf_text.py); undecodable
+        # documents are skipped, not fatal (R6, reference parse.py:183-190)
+        from agentic_doc_spark.sources.layout import layout_parse, route_doc_types
+
+        df = layout_parse(route_doc_types(df))
 
     parsed = extract(df, settings)
 

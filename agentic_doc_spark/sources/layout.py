@@ -127,6 +127,17 @@ def layout_parse(binary_df: DataFrame) -> DataFrame:
     return flat.groupBy("doc_id").agg(spans.alias("spans"))
 
 
+def route_doc_types(raw: DataFrame) -> DataFrame:
+    """Route html by extension (the magic sniff only separates pdf from
+    the rest; the kernel additionally content-sniffs leading '<')."""
+    return raw.withColumn(
+        "doc_type",
+        F.when(F.col("doc_id").rlike(r"(?i)\.html?$"), "html").otherwise(
+            F.col("doc_type")
+        ),
+    )
+
+
 def ingest_directory(spark, path: str, **options) -> DataFrame:
     """End-to-end file ingest: dir scan (S2) → sniff (P1) → layout parse →
     documents_raw, ready for pipeline.extract. Handles text/markdown/HTML
@@ -134,12 +145,4 @@ def ingest_directory(spark, path: str, **options) -> DataFrame:
     documents are skipped (R6)."""
     from agentic_doc_spark.sources.resolve import read_binary_dir
 
-    raw = read_binary_dir(spark, path, **options)
-    # route html by extension (sniff only separates pdf from the rest)
-    typed = raw.withColumn(
-        "doc_type",
-        F.when(F.col("doc_id").rlike(r"(?i)\.html?$"), "html").otherwise(
-            F.col("doc_type")
-        ),
-    )
-    return layout_parse(typed)
+    return layout_parse(route_doc_types(read_binary_dir(spark, path, **options)))

@@ -77,6 +77,19 @@ def read_bytes(spark: SparkSession, data: bytes, doc_id: str = "bytes-0") -> Dat
     return df.withColumn("doc_type", sniff_doc_type(F.col("content")))
 
 
+def _is_parquet_corpus(p: str) -> bool:
+    """Canonical-corpus detection: a ``*.parquet`` path OR a parquet
+    DIRECTORY (the normal ``df.write.parquet()`` layout — ``_SUCCESS``
+    marker / ``part-*.parquet`` files). Remote URIs are detected by
+    extension only; pass ``format='parquet'`` to force."""
+    if p.endswith(".parquet"):
+        return True
+    d = Path(p)
+    if not d.is_dir():  # remote URI or plain file
+        return False
+    return (d / "_SUCCESS").exists() or any(d.glob("*.parquet"))
+
+
 def resolve(spark: SparkSession, documents: DocumentsInput, **options) -> DataFrame:
     """The dispatch itself (parse.py:140-163 twin). Returns either the
     canonical (doc_id, spans) frame or a raw (doc_id, content, doc_type)
@@ -87,7 +100,7 @@ def resolve(spark: SparkSession, documents: DocumentsInput, **options) -> DataFr
         return read_bytes(spark, documents)
     if isinstance(documents, (str, Path)):
         p = str(documents)
-        if p.endswith(".parquet"):
+        if options.pop("format", None) == "parquet" or _is_parquet_corpus(p):
             return spark.read.schema(DOCUMENTS_RAW).parquet(p)
         return read_binary_dir(spark, p, **options)
     if isinstance(documents, Iterable):

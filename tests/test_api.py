@@ -121,3 +121,51 @@ def test_save_dir_roundtrip(spark, tmp_path):
     out_dir = str(tmp_path / "results")
     parse(spark, df, result_save_dir=out_dir)
     assert spark.read.parquet(out_dir).count() == df.count()
+
+
+def test_parse_raw_file_directory(spark, tmp_path):
+    # the reference's core UX: parse(<dir of files>) end-to-end
+    # (agentic_doc/parse.py:140-163) — mixed txt/md/html, undecodable
+    # files skipped (R6), input-order block sequence preserved
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("first block\n\nsecond block\n\nthird block")
+    (d / "b.md").write_text("# heading\n\nbody paragraph here")
+    (d / "c.html").write_text(
+        "<html><body><p>para one</p><p>para two</p>"
+        "<script>junk()</script></body></html>"
+    )
+    (d / "skip.bin").write_bytes(b"\x89PNG\r\n\x1a\n garbage")  # not admitted ext
+    out = parse(spark, str(d))
+    rows = {r["doc_id"].rsplit("/", 1)[-1]: r.asDict(recursive=True)
+            for r in out.collect()}
+    assert set(rows) == {"a.txt", "b.md", "c.html"}
+    assert [s["text"] for s in rows["a.txt"]["spans"]] == [
+        "first block", "second block", "third block",
+    ]
+    assert rows["a.txt"]["markdown"] == "first block\n\nsecond block\n\nthird block"
+    assert [s["text"] for s in rows["b.md"]["spans"]] == [
+        "# heading", "body paragraph here",
+    ]
+    html_texts = [s["text"] for s in rows["c.html"]["spans"]]
+    i = html_texts.index("para one")
+    assert html_texts[i : i + 2] == ["para one", "para two"]  # in order
+    assert not any("junk" in t for t in html_texts)  # script stripped
+
+
+def test_parse_parquet_directory(spark, tmp_path):
+    # a df.write.parquet() output directory is the canonical corpus and
+    # must route to the parquet reader, not the binaryFile scan
+    src = str(tmp_path / "corpus_pq")
+    corpus_df(spark, 1).write.parquet(src)
+    out = parse(spark, src)
+    assert out.count() == corpus_df(spark, 1).count()
+    assert "markdown" in out.columns
+
+
+def test_parse_bytes_route(spark):
+    # S6 through the full facade: raw bytes → layout parse → ParsedDocument
+    out = parse(spark, b"alpha block\n\nbeta block")
+    row = out.collect()[0]
+    assert [s["text"] for s in row["spans"]] == ["alpha block", "beta block"]
+    assert row["markdown"] == "alpha block\n\nbeta block"
