@@ -33,15 +33,26 @@ except ImportError:
 
 
 def _decode_image(data: bytes) -> tuple[int, int, np.ndarray]:
-    """Decode → (width, height, tiny feature vector).
+    """Decode → (width, height, 8-dim feature vector).
 
-    STUB: with no imaging library present, emits a deterministic fake —
-    dims from the byte length, features from a seeded hash — keeping
-    every downstream shape contract real."""
-    if _HAS_PIL:
-        raise NotImplementedError(
-            "real decode path intentionally not implemented in this sandbox"
-        )
+    Real path (when an imaging library is installed): PIL decode → RGB →
+    4×2 downsample → per-cell channel means as the feature vector
+    (reference page_to_image, agentic_doc/utils.py:110-124). Fallback
+    (this container ships no imaging library, or the payload is not a
+    decodable image): a deterministic fake — dims from the byte hash,
+    features from a seeded generator — keeping every downstream shape
+    contract real."""
+    if _HAS_PIL and data:
+        import io
+
+        try:
+            img = Image.open(io.BytesIO(data)).convert("RGB")
+            width, height = img.size
+            arr = np.asarray(img.resize((4, 2)), dtype=np.float32) / 255.0
+            feat = arr.mean(axis=2).reshape(-1).astype(np.float32)  # 8 cells
+            return width, height, feat
+        except Exception:
+            pass  # non-image payload → deterministic fake below
     h = hashlib.sha256(data).digest()
     width = 64 + h[0] % 192
     height = 64 + h[1] % 192
@@ -90,9 +101,12 @@ def grounding_crop_specs(
     chunks explode to one row per grounding, boxes clamp and convert to
     pixel rects (F3, utils.py:193-208), and the output path follows the
     reference naming ``page_{p}/{chunk_type}_{chunk_id}_{i}.png``
-    (utils.py:150-156). Rows come back sorted by (doc, page) — the
-    render-each-page-once iteration order (A3, utils.py:94-104). Feeding
-    these specs plus page rasters to a crop UDF is the stubbed step.
+    (utils.py:150-156). Rows come back sorted by (doc, page) WITHIN each
+    partition — per-page locality is all the render-each-page-once
+    iteration needs (A3, utils.py:94-104); the chunk explode is narrow,
+    so a doc's rows are already co-located and a global range shuffle
+    would buy nothing at any scale. Feeding these specs plus page
+    rasters to a crop UDF is the stubbed step.
 
     Default page dims = US-letter at the reference's 96 dpi
     (agentic_doc/config.py:118-122)."""
@@ -131,8 +145,53 @@ def grounding_crop_specs(
                 F.lit(".png"),
             ).alias("rel_path"),
         )
-        .orderBy("doc_id", "page")
+        .sortWithinPartitions("doc_id", "page")
     )
+
+
+def viz_crop_specs(
+    specs: DataFrame, page_width: int = 816, page_height: int = 1056
+) -> DataFrame:
+    """K3: textual visualization — one SVG overlay per (doc, page).
+
+    The reference draws chunk boxes onto page rasters (viz_parsed_document,
+    agentic_doc/utils.py:294-414); without an imaging library the same
+    information renders as an inline-SVG string: one ``<rect>`` +
+    ``<text>`` label per chunk, page-sized canvas. Pure Catalyst
+    (sort_array + transform + concat) over the crop specs — one narrow
+    aggregation keyed by (doc_id, page), no Python."""
+    from pyspark.sql import functions as F
+
+    rect = lambda c: F.concat(  # noqa: E731
+        F.lit('<rect x="'),
+        c["px"]["x0"],
+        F.lit('" y="'),
+        c["px"]["y0"],
+        F.lit('" width="'),
+        c["px"]["x1"] - c["px"]["x0"],
+        F.lit('" height="'),
+        c["px"]["y1"] - c["px"]["y0"],
+        F.lit('" class="'),
+        c["chunk_type"],
+        F.lit('"/><text x="'),
+        c["px"]["x0"],
+        F.lit('" y="'),
+        c["px"]["y0"],
+        F.lit('">'),
+        c["chunk_id"],
+        F.lit("</text>"),
+    )
+    per_page = specs.groupBy("doc_id", "page").agg(
+        F.sort_array(
+            F.collect_list(F.struct("chunk_id", "chunk_type", "px"))
+        ).alias("cs")
+    )
+    svg = F.concat(
+        F.lit(f'<svg width="{page_width}" height="{page_height}">'),
+        F.array_join(F.transform(F.col("cs"), rect), ""),
+        F.lit("</svg>"),
+    )
+    return per_page.select("doc_id", "page", svg.alias("svg"))
 
 
 _FRAME_SCHEMA = T.StructType(

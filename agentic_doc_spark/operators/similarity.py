@@ -64,17 +64,34 @@ def derive_centroids(
     each of n_cells id-modulo buckets (cheap k-means++ stand-in; a real
     trainer can replace this without changing the plan shape — and the
     modulo form is reproducible in any engine, which the DuckDB oracle
-    uses)."""
+    uses). One map-side-combinable groupBy over n_cells groups — full
+    scan parallelism, no window sort."""
     bucketed = corpus.select(
         (F.col(id_col) % n_cells).alias("cell"),
         F.col(id_col),
         F.col(vec_col),
     )
-    w = Window.partitionBy("cell").orderBy(id_col)
-    return (
-        bucketed.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("cell", F.col(vec_col).alias("centroid"))
+    return bucketed.groupBy("cell").agg(
+        F.min_by(vec_col, id_col).alias("centroid")
+    )
+
+
+def _centroid_literal(centroids: DataFrame) -> F.Column:
+    """Collect the (small) centroid table to a literal array<struct<cell,
+    centroid>> column, cells ascending. n_cells is bounded (≤ ~10⁴ even
+    for billion-vector IVF), so this is a driver-side dimension load, not
+    a data collect."""
+    rows = sorted(centroids.collect(), key=lambda r: r["cell"])
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(r["cell"])).cast("long").alias("cell"),
+                F.array(*[F.lit(float(x)) for x in r["centroid"]]).alias(
+                    "centroid"
+                ),
+            )
+            for r in rows
+        ]
     )
 
 
@@ -84,19 +101,61 @@ def assign_cells(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Assign every vector to its nearest centroid (centroids broadcast)."""
-    c = F.broadcast(centroids)
-    scored = corpus.crossJoin(c).select(
-        F.col(id_col),
-        F.col(vec_col),
-        "cell",
-        cosine(F.col(vec_col), F.col("centroid")).alias("ccos"),
+    """Assign every vector to its nearest centroid — ZERO exchanges.
+
+    Centroids ride as a literal array column and the argmax runs INSIDE
+    the row (transform → fold), so assignment is a pure map over scan
+    partitions: at 10^10 vectors there is no shuffle term at all. (The
+    previous crossJoin + Window form shuffled corpus × n_cells rows by
+    vector id — the plan's scale-killer.) Scores are materialized once
+    in a staged transform before the fold — Catalyst does not CSE
+    interpreted HOF lambdas (CLAUDE.md perf ground rules)."""
+    v = F.col(vec_col)
+    scored = F.transform(
+        _centroid_literal(centroids),
+        lambda c: F.struct(
+            cosine(v, c["centroid"]).alias("cos"), c["cell"].alias("cell")
+        ),
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("cell"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, vec_col, "cell")
+    # strictly-greater fold over cells ASC == row_number over
+    # (cos DESC, cell ASC): ties keep the lowest cell
+    best = F.aggregate(
+        scored,
+        F.struct(
+            F.lit(-2.0).alias("cos"), F.lit(-1).cast("long").alias("cell")
+        ),
+        lambda acc, s: F.when(s["cos"] > acc["cos"], s).otherwise(acc),
+    )
+    return corpus.select(F.col(id_col), v.alias(vec_col), best["cell"].alias("cell"))
+
+
+def _probe_cells(
+    queries: DataFrame,
+    centroids: DataFrame,
+    n_probe: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Top-n_probe nearest cells per query, selected INSIDE the row
+    (array_sort with a (cos DESC, cell ASC) comparator + slice) — no
+    query-side shuffle either."""
+    qv = F.col(vec_col)
+    scored = F.transform(
+        _centroid_literal(centroids),
+        lambda c: F.struct(
+            cosine(qv, c["centroid"]).alias("cos"), c["cell"].alias("cell")
+        ),
+    )
+    cmp = lambda a, b: (  # noqa: E731
+        F.when(a["cos"] > b["cos"], F.lit(-1))
+        .when(a["cos"] < b["cos"], F.lit(1))
+        .otherwise(F.signum(a["cell"] - b["cell"]).cast("int"))
+    )
+    top = F.slice(F.array_sort(scored, cmp), 1, n_probe)
+    return queries.select(
+        F.col(id_col).alias("query_id"),
+        qv.alias("qv"),
+        F.explode(F.transform(top, lambda s: s["cell"])).alias("cell"),
     )
 
 
@@ -111,21 +170,14 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF ANN: probe the n_probe nearest cells per query, exact cosine
     within them. Approximate (recall < 1 when true neighbors live in
-    unprobed cells) but plan-identical at any scale."""
+    unprobed cells) but plan-identical at any scale.
+
+    Exchange budget: 1 for centroid derivation (bounded n_cells groups),
+    1 for the probe⋈assigned equi-join on cell, 1 for the per-query
+    top-k window — assignment and probe selection are row-local."""
     cents = derive_centroids(corpus, n_cells, vec_col, id_col)
     assigned = assign_cells(corpus, cents, vec_col, id_col)
-
-    qc = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    ).crossJoin(F.broadcast(cents)).select(
-        "query_id", "qv", "cell", cosine(F.col("qv"), F.col("centroid")).alias("ccos")
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.desc("ccos"), F.asc("cell"))
-    probes = (
-        qc.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= n_probe)
-        .select("query_id", "qv", "cell")
-    )
+    probes = _probe_cells(queries, cents, n_probe, vec_col, id_col)
     cand = probes.join(
         assigned.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell"

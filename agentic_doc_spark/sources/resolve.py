@@ -126,6 +126,43 @@ def is_valid_httpurl(url: str) -> bool:
         return False
 
 
+def stage_urls(
+    urls: Iterable[str], dest_dir: str, timeout: float = 30.0
+) -> list[str]:
+    """S5: driver-side URL staging (the Spark twin of the reference's
+    download_file loop, agentic_doc/connectors.py:454-517 +
+    utils.py:433-453). Each URL is fetched into ``dest_dir`` and the
+    staged paths are returned; a failed download is SKIPPED, not fatal
+    (R6 — reference parse.py:183-190 skips failed downloads the same
+    way). Scheme-gated by is_valid_httpurl (F5); ``file://`` is admitted
+    for tests/local mirrors.
+
+    Scale note: staging is inherently driver-side I/O (the reference does
+    the same); for large URL lists, stage to object storage and point
+    read_binary_dir at the bucket instead."""
+    import shutil
+    import urllib.request
+    from urllib.parse import urlparse
+
+    import os
+
+    os.makedirs(dest_dir, exist_ok=True)
+    staged: list[str] = []
+    for i, url in enumerate(urls):
+        if not (is_valid_httpurl(url) or url.startswith("file://")):
+            continue
+        name = Path(urlparse(url).path).name or "download"
+        out = str(Path(dest_dir) / f"{i:06d}_{name}")
+        try:
+            with urllib.request.urlopen(url, timeout=timeout) as r:
+                with open(out, "wb") as f:
+                    shutil.copyfileobj(r, f)
+            staged.append(out)
+        except Exception:  # R6: skip-and-continue
+            continue
+    return staged
+
+
 def create_connector(config: dict) -> dict:
     """S7: connector factory — type string → Spark reader options
     (agentic_doc/connectors.py:520-533 twin). Returns a reader-spec dict
@@ -144,12 +181,21 @@ def create_connector(config: dict) -> dict:
             "recursive": True,
         }
     if kind == "url":
-        raise NotImplementedError(
-            "URL ingest is a driver-side staging job (SURVEY.md S5) — fetch "
-            "to object storage, then read_binary_dir over the staging path"
+        # driver-side staging (S5), then the ordinary binary dir scan —
+        # staged names carry an index prefix, so no extension assumption
+        import tempfile
+
+        dest = config.get("staging_dir") or tempfile.mkdtemp(
+            prefix="agentic_doc_url_stage_"
         )
+        stage_urls(
+            config.get("urls", []), dest, timeout=config.get("timeout", 30.0)
+        )
+        return {"path": dest, "pattern": config.get("pattern") or "*", "recursive": False}
     if kind == "google_drive":
         raise NotImplementedError(
-            "Google Drive ingest is a driver-side staging job (SURVEY.md S4)"
+            "Google Drive ingest is a driver-side staging job (SURVEY.md S4): "
+            "OAuth + Drive export API, then read_binary_dir over the staging "
+            "path — same shape as the URL connector above"
         )
     raise ValueError(f"unknown connector_type: {kind}")

@@ -61,8 +61,10 @@ def test_connector_factory():
     assert local["path"] == "/x"
     s3 = create_connector({"connector_type": "s3", "bucket_name": "b", "prefix": "p"})
     assert s3["path"] == "s3a://b/p"
+    url = create_connector({"connector_type": "url", "urls": []})
+    assert url["path"] and url["pattern"] == "*"
     with pytest.raises(NotImplementedError):
-        create_connector({"connector_type": "url"})
+        create_connector({"connector_type": "google_drive"})
     with pytest.raises(ValueError):
         create_connector({"connector_type": "nope"})
 
@@ -112,6 +114,124 @@ def test_grounding_crop_specs(spark):
     assert r0["rel_path"] == f"page_0/text_{r0['chunk_id']}_0.png"
     assert 0 <= r0["px"]["x0"] < r0["px"]["x1"] <= 816
     assert 0 <= r0["px"]["y0"] < r0["px"]["y1"] <= 1056
+
+
+def test_url_connector_staging(spark, tmp_path):
+    # S5: driver-side staging + R6 skip-on-failure, end to end through
+    # parse() (reference connectors.py:454-517)
+    import functools
+    import http.server
+    import threading
+
+    from agentic_doc_spark.api import parse
+
+    src = tmp_path / "srv"
+    src.mkdir()
+    (src / "a.txt").write_text("url block one\n\nurl block two")
+    (src / "b.txt").write_text("second doc body")
+    handler = functools.partial(
+        http.server.SimpleHTTPRequestHandler, directory=str(src)
+    )
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    port = srv.server_address[1]
+    try:
+        spec = create_connector(
+            {
+                "connector_type": "url",
+                "urls": [
+                    f"http://127.0.0.1:{port}/a.txt",
+                    f"http://127.0.0.1:{port}/b.txt",
+                    f"http://127.0.0.1:{port}/missing.txt",  # 404 → skipped
+                    "ftp://bad.scheme/x",  # invalid scheme → skipped
+                ],
+                "staging_dir": str(tmp_path / "stage"),
+            }
+        )
+        df = read_binary_dir(spark, spec["path"], pattern=spec["pattern"])
+        assert df.count() == 2
+        out = parse(spark, spec["path"], connector_pattern=spec["pattern"])
+        rows = {
+            r["doc_id"].rsplit("_", 1)[-1]: r.asDict(recursive=True)
+            for r in out.collect()
+        }
+        assert [s["text"] for s in rows["a.txt"]["spans"]] == [
+            "url block one",
+            "url block two",
+        ]
+        assert rows["b.txt"]["markdown"] == "second doc body"
+    finally:
+        srv.shutdown()
+
+
+def test_crop_specs_partition_local_page_order(spark):
+    # per-page render locality without a global sort: within every
+    # partition rows must be non-decreasing on (doc_id, page)
+    from agentic_doc_spark.operators.multimodal import grounding_crop_specs
+
+    parsed = extract(corpus_df(spark, 2))
+    specs = grounding_crop_specs(parsed).select("doc_id", "page")
+    parts = specs.rdd.glom().collect()
+    for part in parts:
+        keys = [(r["doc_id"], r["page"]) for r in part]
+        assert keys == sorted(keys)
+
+
+def test_viz_crop_specs_svg(spark):
+    # K3: textual overlay renderer — one SVG per (doc, page), every chunk
+    # present as a rect + label, page-sized canvas
+    from agentic_doc_spark.operators.multimodal import (
+        grounding_crop_specs,
+        viz_crop_specs,
+    )
+
+    parsed = extract(corpus_df(spark, 1))
+    specs = grounding_crop_specs(parsed)
+    svgs = {
+        (r["doc_id"], r["page"]): r["svg"]
+        for r in viz_crop_specs(specs).collect()
+    }
+    single = svgs[("single-000000", 0)]
+    assert single.startswith('<svg width="816" height="1056">')
+    assert single.endswith("</svg>")
+    assert single.count("<rect ") == 2  # both chunks of the single doc
+    assert 'class="text"' in single
+    assert "single-000000:0:0</text>" in single
+    # every (doc, page) with specs got exactly one overlay row
+    n_pages = specs.select("doc_id", "page").distinct().count()
+    assert len(svgs) == n_pages
+
+
+def test_decode_image_real_when_pil_present(spark):
+    # inverted-guard regression: with an imaging library installed the
+    # REAL decode must run (and report true dimensions); without one the
+    # deterministic fake serves the same contract
+    import agentic_doc_spark.operators.multimodal as mm
+
+    if not mm._HAS_PIL:
+        pytest.skip("no imaging library in this environment")
+    import io
+
+    from PIL import Image
+
+    img = Image.new("RGB", (30, 20), color=(255, 0, 0))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    w, h, feat = mm._decode_image(buf.getvalue())
+    assert (w, h) == (30, 20)
+    assert len(feat) == 8
+    # pure red → red-heavy channel mean of 255/3/255 per cell
+    assert all(abs(f - (1.0 / 3.0)) < 1e-3 for f in feat)
+
+
+def test_decode_image_fallback_deterministic():
+    import agentic_doc_spark.operators.multimodal as mm
+
+    # non-image bytes always take the deterministic fallback, PIL or not
+    a = mm._decode_image(b"not an image")
+    b = mm._decode_image(b"not an image")
+    assert a[0] == b[0] and a[1] == b[1]
+    assert (a[2] == b[2]).all()
 
 
 def test_geometry(spark):

@@ -18,12 +18,20 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     out = str(tmp_path / "w_out")
     ckpt = str(tmp_path / "w_ckpt")
     t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
-    rows = [
-        (1, t0, "same text"),
+    # two micro-batches: within ONE batch "first occurrence" is arbitrary
+    # (partition order), so the deterministic contract is cross-batch —
+    # doc 1 arrives in batch 1, its duplicate doc 2 in batch 2 is
+    # suppressed by the state store while inside the watermark horizon
+    b1 = [(1, t0, "same text")]
+    spark.createDataFrame(b1, ["doc_id", "ts", "text"]).write.mode(
+        "append"
+    ).parquet(src)
+    stream_dedup_within_watermark(spark, src, out, ckpt, watermark="1 hour")
+    b2 = [
         (2, t0 + dt.timedelta(minutes=5), "same text"),  # dup within horizon
         (3, t0 + dt.timedelta(minutes=10), "other text"),
     ]
-    spark.createDataFrame(rows, ["doc_id", "ts", "text"]).write.mode(
+    spark.createDataFrame(b2, ["doc_id", "ts", "text"]).write.mode(
         "append"
     ).parquet(src)
     stream_dedup_within_watermark(spark, src, out, ckpt, watermark="1 hour")
