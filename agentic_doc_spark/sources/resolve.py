@@ -193,9 +193,32 @@ def create_connector(config: dict) -> dict:
         )
         return {"path": dest, "pattern": config.get("pattern") or "*", "recursive": False}
     if kind == "google_drive":
-        raise NotImplementedError(
-            "Google Drive ingest is a driver-side staging job (SURVEY.md S4): "
-            "OAuth + Drive export API, then read_binary_dir over the staging "
-            "path — same shape as the URL connector above"
+        # S4: same driver-side staging shape as URL (reference
+        # connectors.py:221-352). The Drive API client is injected as
+        # ``fetcher(file_id) -> bytes`` — OAuth flows are driver-side and
+        # environment-specific, so the connector owns staging + R6
+        # skip-on-failure while the caller owns auth.
+        import tempfile
+
+        fetcher = config.get("fetcher")
+        if fetcher is None:
+            raise NotImplementedError(
+                "google_drive needs a fetcher(file_id) -> bytes callable "
+                "(e.g. googleapiclient files().get_media) — OAuth is "
+                "driver-side; staging/skip semantics are handled here"
+            )
+        dest = config.get("staging_dir") or tempfile.mkdtemp(
+            prefix="agentic_doc_gdrive_stage_"
         )
+        import os
+
+        os.makedirs(dest, exist_ok=True)
+        for i, file_id in enumerate(config.get("file_ids", [])):
+            try:
+                data = fetcher(file_id)
+                with open(str(Path(dest) / f"{i:06d}_{file_id}"), "wb") as f:
+                    f.write(data)
+            except Exception:  # R6: skip-and-continue
+                continue
+        return {"path": dest, "pattern": config.get("pattern") or "*", "recursive": False}
     raise ValueError(f"unknown connector_type: {kind}")

@@ -63,10 +63,45 @@ def test_connector_factory():
     assert s3["path"] == "s3a://b/p"
     url = create_connector({"connector_type": "url", "urls": []})
     assert url["path"] and url["pattern"] == "*"
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(NotImplementedError):  # no fetcher injected
         create_connector({"connector_type": "google_drive"})
     with pytest.raises(ValueError):
         create_connector({"connector_type": "nope"})
+
+
+def test_google_drive_connector_staging(spark, tmp_path):
+    # S4: staging + R6 skip with an injected fetcher (the Drive API client
+    # slot; OAuth is driver-side so tests inject a fake)
+    from agentic_doc_spark.api import parse
+
+    blobs = {
+        "fileA": b"drive block one\n\ndrive block two",
+        "fileB": b"drive second doc",
+    }
+
+    def fetcher(file_id: str) -> bytes:
+        return blobs[file_id]  # KeyError for unknown ids → skipped (R6)
+
+    spec = create_connector(
+        {
+            "connector_type": "google_drive",
+            "file_ids": ["fileA", "fileB", "missing"],
+            "fetcher": fetcher,
+            "staging_dir": str(tmp_path / "gd_stage"),
+        }
+    )
+    df = read_binary_dir(spark, spec["path"], pattern=spec["pattern"])
+    assert df.count() == 2
+    out = parse(spark, spec["path"], connector_pattern=spec["pattern"])
+    rows = {
+        r["doc_id"].rsplit("_", 1)[-1]: r.asDict(recursive=True)
+        for r in out.collect()
+    }
+    assert [s["text"] for s in rows["fileA"]["spans"]] == [
+        "drive block one",
+        "drive block two",
+    ]
+    assert rows["fileB"]["markdown"] == "drive second doc"
 
 
 def test_json_sink_roundtrip(spark, tmp_path):
