@@ -130,3 +130,39 @@ def test_stream_extract_incremental(spark, tmp_path):
     m = spark.read.parquet(metrics)
     all_done = sorted(i for row in m.collect() for i in row["doc_ids_completed"])
     assert all_done == sorted(ids)
+
+
+def test_windowed_counts_late_data(spark, tmp_path):
+    # watermarked tumbling windows: a window is emitted once finalized,
+    # and an event later than the watermark horizon is dropped from it
+    from agentic_doc_spark.streaming.windows import stream_windowed_counts
+
+    src = str(tmp_path / "wc_in")
+    out = str(tmp_path / "wc_out")
+    ckpt = str(tmp_path / "wc_ckpt")
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def ev(minutes, typ, value):
+        return (t0 + dt.timedelta(minutes=minutes), typ, float(value))
+
+    cols = ["ts", "event_type", "value"]
+    # batch 1: two events in the 10:00 window; one at 12:30 pushes the
+    # watermark to 11:30 (> 11:00) so the 10:00 window can finalize
+    b1 = [ev(5, "click", 1), ev(20, "click", 2), ev(150, "view", 5)]
+    spark.createDataFrame(b1, cols).write.mode("append").parquet(src)
+    stream_windowed_counts(spark, src, out, ckpt)
+
+    # batch 2: a LATE click at 10:40 (behind the 11:30 watermark → must be
+    # dropped) plus a fresh event that keeps the stream moving
+    b2 = [ev(40, "click", 100), ev(240, "view", 7)]
+    spark.createDataFrame(b2, cols).write.mode("append").parquet(src)
+    stream_windowed_counts(spark, src, out, ckpt)
+
+    rows = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # the 10:00 click window finalized WITHOUT the late event
+    assert rows[(t0, "click")] == (2, 3.0)
+    # the late 10:40 click never created or modified an emitted window
+    assert all(n != 1 or tv != 100.0 for n, tv in rows.values())
