@@ -412,6 +412,25 @@ def q_lsh_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster canonicalization: connected components (iterative
+    min-label propagation) over the LSH+verify near-dup pairs of the
+    planted-clone corpus — component = the cluster's minimum doc_id,
+    i.e. the canonical survivor."""
+    from agentic_doc_spark.operators.dedup import (
+        connected_components,
+        lsh_jaccard_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    clones = docs.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = docs.select("doc_id", "text").unionByName(clones)
+    pairs = lsh_jaccard_pairs(corpus, threshold=0.8)
+    return connected_components(pairs)
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from agentic_doc_spark.operators.dedup import simhash_table
 
@@ -643,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
+        "near_dup_clusters": q_near_dup_clusters,
         "fingerprint_rolling": q_fingerprint_rolling,
         "jaccard_pairs": q_jaccard_pairs,
         "lsh_jaccard_pairs": q_lsh_jaccard_pairs,
@@ -1019,6 +1039,53 @@ def oracle_sql() -> dict[str, str]:
                    round(shared * 1.0 / (na + nb - shared), 6) AS jaccard
             FROM shared
             WHERE shared * 1.0 / (na + nb - shared) >= 0.8
+        """,
+        "near_dup_clusters": f"""
+            WITH RECURSIVE corpus AS ({_CLONED_CORPUS}),
+            n AS (
+              SELECT doc_id,
+                     {_SQL_WORDS.format(src=_NORM)} AS nw
+              FROM corpus
+            ), s AS (
+              SELECT doc_id, {_SHINGLES} AS sh FROM n
+            ), h AS (
+              SELECT doc_id, {_MINHASH_HV} AS hv FROM s
+            ), sig AS (
+              SELECT doc_id, {_MINHASH_SIG} AS sig FROM h
+            ), banded AS (
+              SELECT doc_id, u.b AS band_idx,
+                     md5(array_to_string(
+                         list_slice(sig, u.b * 4 + 1, u.b * 4 + 4), '_'))
+                       AS band_key
+              FROM sig, unnest(range(0, 4)) AS u(b)
+            ), cand AS (
+              SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+              FROM banded l JOIN banded r
+                ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+              WHERE l.doc_id < r.doc_id
+            ), e AS (
+              SELECT doc_id, len(sh) AS n_sh, u.g AS shingle
+              FROM s, unnest(sh) AS u(g)
+            ), shared AS (
+              SELECT c.a, c.b, l.n_sh AS na, r.n_sh AS nb, count(*) AS shared
+              FROM cand c
+              JOIN e l ON l.doc_id = c.a
+              JOIN e r ON r.doc_id = c.b AND r.shingle = l.shingle
+              GROUP BY 1, 2, 3, 4
+            ), verified AS (
+              SELECT a, b FROM shared
+              WHERE shared * 1.0 / (na + nb - shared) >= 0.8
+            ), sym AS (
+              SELECT a AS src, b AS dst FROM verified
+              UNION
+              SELECT b AS src, a AS dst FROM verified
+            ), walk(v, r) AS (
+              SELECT src, dst FROM sym
+              UNION
+              SELECT w.v, s2.dst FROM walk w JOIN sym s2 ON w.r = s2.src
+            )
+            SELECT v AS doc_id, least(v, min(r)) AS component
+            FROM walk GROUP BY v
         """,
         "ann_bruteforce": """
             WITH q AS (

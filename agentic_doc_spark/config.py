@@ -72,9 +72,23 @@ def build_spark(
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     master = master or f"local[{cpus}]"
+    if master.startswith("local["):
+        try:
+            local_threads = int(master[len("local[") : -1].replace("*", "0")) or cpus
+        except ValueError:
+            local_threads = cpus
+    else:
+        local_threads = cpus
     shuffle = shuffle_partitions or int(
         os.environ.get("SPARK_SHUFFLE_PARTITIONS", str(max(cpus, 8)))
     )
+    # Arrow batch size scales INVERSELY with parallelism so the aggregate
+    # Python-worker working set stays constant: measured on this box
+    # (BENCH/BASELINE.md §attribution sweep), 10k-record batches at 32
+    # workers saturate shared memory (8→32 efficiency 0.217, NEGATIVE
+    # absolute scaling) while 2k batches reach 0.74 — the pure-JVM control
+    # ceiling. At low parallelism bigger batches amortize IPC better.
+    arrow_batch = max(1024, 65536 // max(local_threads, 1))
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -83,7 +97,7 @@ def build_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

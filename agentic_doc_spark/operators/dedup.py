@@ -451,3 +451,68 @@ def embedding_near_pairs(
     return pairs.select(
         "a", "b", cosine(F.col("va"), F.col("vb")).alias("cos")
     ).filter(F.col("cos") >= threshold)
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-dup cluster canonicalization: connected components over a
+    candidate-pair edge list → (doc_id, component) where component is the
+    MINIMUM id in the cluster (the canonical survivor).
+
+    The step after pair generation in a real dedup pipeline: LSH/simhash
+    emit pairs, components decide which document of each duplicate
+    CLUSTER survives. Algorithm is iterative min-label propagation
+    (the standard large-graph CC on Spark — "hash-to-min", Rastogi et
+    al., ICDE 2013): each round joins labels to the symmetric edge list
+    and takes the min over (own label, neighbor labels); rounds needed
+    ≈ graph diameter (near-dup clusters are shallow — duplicates of one
+    source form a star). Each round is ONE shuffle join + one groupBy;
+    the convergence check is an aggregate (no driver-side row data).
+    """
+    # symmetric edges once; self-loops make isolated-after-filter rows safe
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("v"))
+        .distinct()
+        .withColumn("lbl", F.col("v"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        neigh_min = (
+            edges.join(labels, edges["dst"] == labels["v"])
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels["v"] == neigh_min["src"], "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("v").alias("doc_id"), F.col("lbl").alias("component"))

@@ -56,6 +56,7 @@ def main() -> None:
         "simhash",
         "lsh_jaccard_pairs",
         "ann_bruteforce",
+        "ann_ivf",
         "events_sessions",
     ]
     qs = entry.queries()

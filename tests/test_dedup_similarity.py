@@ -143,3 +143,18 @@ def test_embeddings_real_table(spark):
     rows = res.collect()
     assert len(rows) == 15  # 3 queries × 5 neighbors
     assert all(-1.0 <= r["cos"] <= 1.0 for r in rows)
+
+
+def test_connected_components_chain(spark):
+    # chain 1-2-3-4 needs multi-round propagation; 10-11 is a separate
+    # cluster; min id is the canonical survivor
+    from agentic_doc_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["a", "b"]
+    )
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
