@@ -27,8 +27,10 @@ class Settings:
       flags (agentic_doc/parse.py:60-61).
     - strip_boilerplate: north-rule HTML boilerplate strip (no reference
       analog).
-    - salt_buckets: salt width for the mega-document repartition
-      (north rule skew handling).
+
+    Mega-document skew needs no salt knob: the (doc_id, part_idx) shuffle
+    key IS the content-derived salt (pipeline.py stage 3), so there is no
+    salt-width parameter to tune.
     """
 
     split_size: int = 10
@@ -37,7 +39,6 @@ class Settings:
     include_marginalia: bool = True
     include_metadata_in_markdown: bool = True
     strip_boilerplate: bool = True
-    salt_buckets: int = 8
     use_pandas_udf: bool = True  # False = pure-JVM expression kernel
     #: "arrow"  = zero-shuffle mapInArrow engine (default — fastest, the
     #:            vectorized-Arrow-UDF execution the north rule mandates);

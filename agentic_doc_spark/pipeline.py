@@ -38,7 +38,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -137,7 +137,7 @@ def classify_spans(
     return _classify_native(df)
 
 
-def _classify_native(df: DataFrame) -> Column:
+def _classify_native(df: DataFrame) -> DataFrame:
     """Expression twin of functions/classify.classify_frame (JVM-only)."""
     text = F.coalesce(F.col("text"), F.lit(""))
     has_media = F.col("media_ref").isNotNull() & (F.col("media_ref") != "")
