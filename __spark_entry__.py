@@ -431,6 +431,20 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+def q_near_dup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup: LSH pairs → components → one survivor per
+    cluster + all unpaired docs (operators/dedup.near_dedup)."""
+    from agentic_doc_spark.operators.dedup import lsh_jaccard_pairs, near_dedup
+
+    docs = _docs(spark, sf_dir)
+    clones = docs.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = docs.select("doc_id", "text").unionByName(clones)
+    pairs = lsh_jaccard_pairs(corpus, threshold=0.8)
+    return near_dedup(corpus, pairs).select("doc_id")
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from agentic_doc_spark.operators.dedup import simhash_table
 
@@ -631,6 +645,74 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap sessionization (the batch twin of
+    streaming/sessionize.py): 30-min inactivity gap starts a new session;
+    per-session rollup. Gap measured via timestamp SUBTRACTION (interval)
+    — the stored-micros difference, identical under any session timezone
+    (no unix_timestamp / date_trunc conversions)."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = ev.select(
+        "user_id", "event_id", "ts", "value", F.lag("ts").over(w).alias("prev_ts")
+    )
+    marked = prev.withColumn(
+        "new_s",
+        F.when(
+            F.col("prev_ts").isNull()
+            | ((F.col("ts") - F.col("prev_ts")) > F.expr("INTERVAL 30 MINUTES")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sess = marked.withColumn(
+        "session_no",
+        F.sum("new_s")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("int"),
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+        F.substring(F.min("ts").cast("string"), 1, 19).alias("session_start"),
+    )
+
+
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping-priority query: segment-filtered customer
+    dim broadcast into orders⋈lineitem, revenue agg, deterministic top-10
+    (revenue rounded before ranking so cross-engine ties break on the
+    orderkey). Exercises filter pushdown through a 3-way join + global
+    top-k."""
+    from pyspark.sql import Window
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    j = (
+        li.filter(F.col("l_shipdate") > F.lit("1997-03-15"))
+        .join(
+            orders.filter(F.col("o_orderdate") < F.lit("1997-03-15")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    rev = j.groupBy("o_orderkey", "o_orderpriority").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("revenue")
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+    return (
+        rev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("o_orderkey", "o_orderpriority", "revenue", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -663,6 +745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "near_dup_clusters": q_near_dup_clusters,
+        "near_dup_survivors": q_near_dup_survivors,
         "fingerprint_rolling": q_fingerprint_rolling,
         "jaccard_pairs": q_jaccard_pairs,
         "lsh_jaccard_pairs": q_lsh_jaccard_pairs,
@@ -676,6 +759,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windows": q_events_windows,
         "events_rollup": q_events_rollup,
         "events_sessions": q_events_sessions,
+        "events_gap_sessions": q_events_gap_sessions,
+        "top_orders": q_top_orders,
     }
 
 
@@ -1087,6 +1172,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT v AS doc_id, least(v, min(r)) AS component
             FROM walk GROUP BY v
         """,
+        "near_dup_survivors": f"""
+            WITH RECURSIVE corpus AS ({_CLONED_CORPUS}),
+            n AS (
+              SELECT doc_id,
+                     {_SQL_WORDS.format(src=_NORM)} AS nw
+              FROM corpus
+            ), s AS (
+              SELECT doc_id, {_SHINGLES} AS sh FROM n
+            ), h AS (
+              SELECT doc_id, {_MINHASH_HV} AS hv FROM s
+            ), sig AS (
+              SELECT doc_id, {_MINHASH_SIG} AS sig FROM h
+            ), banded AS (
+              SELECT doc_id, u.b AS band_idx,
+                     md5(array_to_string(
+                         list_slice(sig, u.b * 4 + 1, u.b * 4 + 4), '_'))
+                       AS band_key
+              FROM sig, unnest(range(0, 4)) AS u(b)
+            ), cand AS (
+              SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+              FROM banded l JOIN banded r
+                ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+              WHERE l.doc_id < r.doc_id
+            ), e AS (
+              SELECT doc_id, len(sh) AS n_sh, u.g AS shingle
+              FROM s, unnest(sh) AS u(g)
+            ), shared AS (
+              SELECT c.a, c.b, l.n_sh AS na, r.n_sh AS nb, count(*) AS shared
+              FROM cand c
+              JOIN e l ON l.doc_id = c.a
+              JOIN e r ON r.doc_id = c.b AND r.shingle = l.shingle
+              GROUP BY 1, 2, 3, 4
+            ), verified AS (
+              SELECT a, b FROM shared
+              WHERE shared * 1.0 / (na + nb - shared) >= 0.8
+            ), sym AS (
+              SELECT a AS src, b AS dst FROM verified
+              UNION
+              SELECT b AS src, a AS dst FROM verified
+            ), walk(v, r) AS (
+              SELECT src, dst FROM sym
+              UNION
+              SELECT w.v, s2.dst FROM walk w JOIN sym s2 ON w.r = s2.src
+            ), losers AS (
+              SELECT v FROM walk GROUP BY v
+              HAVING v > least(v, min(r))
+            )
+            SELECT doc_id FROM corpus
+            WHERE doc_id NOT IN (SELECT v FROM losers)
+        """,
         "ann_bruteforce": """
             WITH q AS (
               SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
@@ -1205,5 +1340,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (PARTITION BY user_id
                         ORDER BY ts, event_id) AS INT) AS seq
             FROM events
+        """,
+        "events_gap_sessions": """
+            WITH o AS (
+              SELECT user_id, event_id, ts, value,
+                     lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_ts
+              FROM events
+            ), m AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN prev_ts IS NULL
+                            OR ts - prev_ts > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM o
+            ), s AS (
+              SELECT user_id, ts, value,
+                     sum(new_s) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+              FROM m
+            )
+            SELECT user_id, CAST(session_no AS INT) AS session_no,
+                   count(*) AS n_events,
+                   round(CAST(sum(value) AS DOUBLE), 6) AS total_value,
+                   substr(min(ts)::VARCHAR, 1, 19) AS session_start
+            FROM s GROUP BY user_id, session_no
+        """,
+        "top_orders": """
+            WITH rev AS (
+              SELECT o.o_orderkey, o.o_orderpriority,
+                     round(CAST(sum(l.l_extendedprice * (1 - l.l_discount))
+                           AS DOUBLE), 2) AS revenue
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              WHERE c.c_mktsegment = 'BUILDING'
+                AND o.o_orderdate < '1997-03-15'
+                AND l.l_shipdate > '1997-03-15'
+              GROUP BY 1, 2
+            ), ranked AS (
+              SELECT o_orderkey, o_orderpriority, revenue,
+                     row_number() OVER (ORDER BY revenue DESC,
+                                        o_orderkey ASC) AS rank
+              FROM rev
+            )
+            SELECT o_orderkey, o_orderpriority, revenue,
+                   CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 10
         """,
     }

@@ -516,3 +516,21 @@ def connected_components(
             break
     edges.unpersist()
     return labels.select(F.col("v").alias("doc_id"), F.col("lbl").alias("component"))
+
+
+def near_dedup(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """End-to-end near-dup removal: given candidate-verified pairs, keep
+    exactly ONE survivor per duplicate cluster (the minimum id — the
+    connected component's canonical member) plus every unpaired document.
+
+    Plan shape: CC label propagation (bounded rounds) → the loser set is
+    (doc_id != component) rows only → one LEFT ANTI join back to the
+    corpus. The anti join's right side is tiny relative to the corpus
+    (duplicate clusters only), so AQE broadcasts it at most scales."""
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("doc_id") != F.col("component")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -158,3 +158,39 @@ def test_connected_components_chain(spark):
         for r in connected_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    # approximation quality: with half the cells probed, IVF must recover
+    # a solid majority of the true top-3 neighbors on the test embeddings
+    from pyspark.sql import functions as F
+
+    from agentic_doc_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    queries = emb.filter(F.col("vec_id") < 20)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, queries, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, queries, k=3, n_cells=8, n_probe=4).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.6, f"IVF recall {recall:.2f} too low"
+
+
+def test_near_dedup_survivors(spark):
+    # one survivor (min id) per cluster, unpaired docs untouched
+    from agentic_doc_spark.operators.dedup import near_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "y"), (10, "z")], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["a", "b"])
+    got = sorted(r["doc_id"] for r in near_dedup(docs, pairs).collect())
+    assert got == [1, 10]
