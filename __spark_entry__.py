@@ -705,11 +705,14 @@ def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
         .alias("revenue")
     )
+    # global top-k via orderBy+limit → TakeOrderedAndProject (per-partition
+    # heaps merged at the driver) — NOT an unpartitioned row_number window,
+    # which would funnel every aggregated order through one task at scale.
+    # The rank column is then a 10-row window (trivial).
+    top = rev.orderBy(F.desc("revenue"), F.asc("o_orderkey")).limit(10)
     w = Window.orderBy(F.desc("revenue"), F.asc("o_orderkey"))
-    return (
-        rev.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("o_orderkey", "o_orderpriority", "revenue", "rank")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "o_orderkey", "o_orderpriority", "revenue", "rank"
     )
 
 
