@@ -64,3 +64,43 @@ def test_ingest_directory_end_to_end(spark, tmp_path):
     assert "All rights reserved" not in texts
     assert "home" not in texts  # nav link soup dropped (link density)
     assert "Body paragraph one." in texts
+
+
+def test_split_blocks_property_random_text():
+    # property: for ANY text assembled from words + blank-line separators,
+    # split_blocks returns exactly the non-empty stripped segments, in order
+    import random
+
+    rng = random.Random(7)
+    words = ["alpha", "beta", "gamma", "delta", "x1", "42"]
+    for _ in range(200):
+        blocks = [
+            " ".join(rng.choice(words) for _ in range(rng.randint(1, 6)))
+            for _ in range(rng.randint(0, 8))
+        ]
+        seps = [
+            "\n" + " " * rng.randint(0, 2) + "\n" * rng.randint(1, 3)
+            for _ in range(len(blocks) + 1)
+        ]
+        text = seps[0] + "".join(b + s for b, s in zip(blocks, seps[1:]))
+        got = split_blocks(text.encode(), "text")
+        assert got == blocks, text
+
+
+def test_split_blocks_html_tag_soup_order():
+    # block tags of any flavor become separators; inline tags do not split;
+    # script/style bodies vanish entirely
+    html = (
+        "<div>one <b>bold</b> piece</div>"
+        "<script>var x = 'SECRET';</script>"
+        "<ul><li>item a</li><li>item b</li></ul>"
+        "<style>.c{color:blue}</style>"
+        "<h2>final heading</h2>"
+    )
+    got = split_blocks(html.encode(), "html")
+    assert got == [
+        "one <b>bold</b> piece",
+        "item a",
+        "item b",
+        "final heading",
+    ]
