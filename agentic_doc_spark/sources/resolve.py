@@ -163,6 +163,33 @@ def stage_urls(
     return staged
 
 
+#: config keys whose values must never reach logs (F8 — the reference
+#: redacts its API key the same way, agentic_doc/utils.py logging filter)
+_SECRET_KEY_RE = None
+
+
+def redact_config(config: dict) -> dict:
+    """F8: credential redaction for connector configs — any key that looks
+    like a secret (key/token/secret/password/credential) is masked before
+    the config is logged or embedded in lineage/run metadata."""
+    import re
+
+    global _SECRET_KEY_RE
+    if _SECRET_KEY_RE is None:
+        _SECRET_KEY_RE = re.compile(
+            r"(?i)(api[_-]?key|token|secret|password|credential)"
+        )
+    out = {}
+    for k, v in config.items():
+        if isinstance(v, dict):
+            out[k] = redact_config(v)
+        elif _SECRET_KEY_RE.search(str(k)) and isinstance(v, str) and v:
+            out[k] = v[:2] + "***" if len(v) > 4 else "***"
+        else:
+            out[k] = v
+    return out
+
+
 def create_connector(config: dict) -> dict:
     """S7: connector factory — type string → Spark reader options
     (agentic_doc/connectors.py:520-533 twin). Returns a reader-spec dict

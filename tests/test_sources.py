@@ -282,3 +282,23 @@ def test_geometry(spark):
     assert r["cb"]["l"] == 0.0 and r["cb"]["r"] == 1.0
     assert (r["px"]["x0"], r["px"]["y0"], r["px"]["x1"], r["px"]["y1"]) == (0, 10, 100, 45)
     assert r["ok"]
+
+
+def test_redact_config():
+    # F8: secrets masked, structure and non-secrets preserved
+    from agentic_doc_spark.sources.resolve import redact_config
+
+    cfg = {
+        "connector_type": "s3",
+        "bucket_name": "corpus",
+        "aws_secret_access_key": "AKIAXXXXYYYYZZZZ",
+        "nested": {"api_key": "sk-abcdef123", "path": "/x"},
+        "token": "ab",
+    }
+    red = redact_config(cfg)
+    assert red["bucket_name"] == "corpus"
+    assert red["aws_secret_access_key"] == "AK***"
+    assert red["nested"]["api_key"] == "sk***"
+    assert red["nested"]["path"] == "/x"
+    assert red["token"] == "***"
+    assert cfg["aws_secret_access_key"] == "AKIAXXXXYYYYZZZZ"  # input untouched
