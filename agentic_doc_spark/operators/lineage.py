@@ -17,12 +17,17 @@ schema.
 
 from __future__ import annotations
 
+from typing import Iterator
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
 def doc_checksum_col() -> F.Column:
-    """Deterministic per-document checksum over the ordered output spans."""
+    """Deterministic per-document checksum over the ordered output spans
+    (expression form — kept as the semantic reference; the hot path is
+    the Arrow kernel below, byte-identical, pinned by
+    test_lineage.py::test_kernel_checksum_matches_expression)."""
     parts = F.transform(
         F.col("spans"),
         lambda s: F.concat_ws(
@@ -37,18 +42,99 @@ def doc_checksum_col() -> F.Column:
     return F.sha2(F.array_join(parts, "\x1e"), 256)
 
 
+def _per_doc_checksums(parsed: DataFrame) -> DataFrame:
+    """(partition_id, doc_id, n_spans, doc_checksum) via a mapInArrow
+    kernel: vectorized string assembly (pandas C ops) + hashlib sha256.
+
+    The JVM expression twin (sha2 inside an interpreted HOF) measured 8×
+    SLOWER at 32 threads than at 8 on the same data — MessageDigest and
+    HOF allocation contend under high thread counts (BENCH/BASELINE.md
+    spark-submit section). Heavy per-row hashing belongs in a kernel."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import numpy as np
+
+        for batch in batches:
+            if not batch.num_rows:
+                continue
+            pids = batch.column("partition_id")
+            doc_ids = batch.column("doc_id")
+            spans = batch.column("spans")
+            if isinstance(spans, pa.ChunkedArray):
+                spans = spans.combine_chunks()
+            lengths = np.asarray(
+                pc.list_value_length(spans)
+                .fill_null(0)
+                .to_numpy(zero_copy_only=False),
+                dtype=np.int64,
+            )
+            flat = spans.flatten()
+            # single-pass C++ string assembly (no pandas concat chain —
+            # that allocated one 5M-row intermediate per operand)
+            did = pc.take(doc_ids, pa.array(pc.list_parent_indices(spans)))
+            line = pc.binary_join_element_wise(
+                did,
+                pc.cast(flat.field("offset"), pa.string()),
+                pc.fill_null(flat.field("kind"), ""),
+                pc.fill_null(flat.field("text"), ""),
+                pc.fill_null(flat.field("media_ref"), ""),
+                "\x1f",
+            )
+            offsets = pa.array(
+                np.concatenate([[0], np.cumsum(lengths)]).astype(np.int32)
+            )
+            per_doc = pc.binary_join(
+                pa.ListArray.from_arrays(offsets, line), "\x1e"
+            )
+            if per_doc.offset == 0 and per_doc.null_count == 0:
+                # hash straight off the utf-8 value buffer — no Python
+                # string materialization
+                bufs = per_doc.buffers()
+                voff = np.frombuffer(
+                    bufs[1], dtype=np.int32, count=len(per_doc) + 1
+                )
+                data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+                sums = [
+                    hashlib.sha256(data[voff[i] : voff[i + 1]]).hexdigest()
+                    for i in range(len(per_doc))
+                ]
+            else:  # sliced/nullable fallback, identical bytes
+                sums = [
+                    hashlib.sha256(
+                        (s.as_py() or "").encode("utf-8")
+                    ).hexdigest()
+                    for s in per_doc
+                ]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pids,
+                    doc_ids,
+                    pa.array(lengths, pa.int64()),
+                    pa.array(sums, pa.string()),
+                ],
+                names=["partition_id", "doc_id", "n_spans", "doc_checksum"],
+            )
+
+    with_pid = parsed.select(
+        F.spark_partition_id().alias("partition_id"), "doc_id", "spans"
+    )
+    return with_pid.mapInArrow(
+        run,
+        "partition_id int, doc_id string, n_spans long, doc_checksum string",
+    )
+
+
 def lineage_rows(
     parsed: DataFrame, run_id: str, input_snapshot_id: str
 ) -> DataFrame:
     """One lineage row per Spark partition of the parsed output
-    (EXTRACTION_METRICS schema). All-JVM: partition id via
-    spark_partition_id, one narrow groupBy."""
-    per_doc = parsed.select(
-        F.spark_partition_id().alias("partition_id"),
-        "doc_id",
-        F.size("spans").cast("long").alias("n_spans"),
-        doc_checksum_col().alias("doc_checksum"),
-    )
+    (EXTRACTION_METRICS schema): Arrow checksum kernel + one narrow
+    groupBy."""
+    per_doc = _per_doc_checksums(parsed)
     return per_doc.groupBy("partition_id").agg(
         F.lit(run_id).alias("run_id"),
         F.lit(input_snapshot_id).alias("input_snapshot_id"),
@@ -105,14 +191,20 @@ def run_with_resume(
 ) -> DataFrame:
     """Resume-aware execution: filter completed docs, extract the rest,
     write the output sink, THEN append lineage. Returns the newly parsed
-    rows (persisted when an output sink is given).
+    rows.
 
     Commit-order invariant: lineage marks documents completed, so it must
     be the LAST write — a crash between output and lineage re-extracts
-    those docs next run (at-least-once, duplicates in the output the
-    caller dedups by doc_id / overwrites by partition), whereas
-    lineage-first would silently skip them forever (data loss).
-    """
+    those docs next run (at-least-once), whereas lineage-first would
+    silently skip them forever (data loss).
+
+    With an output sink, each run writes its own ``run_id=<id>``
+    partition directory (idempotent overwrite — re-running a crashed
+    run_id replaces its partial output) and the lineage rows are computed
+    FROM THE DURABLY WRITTEN FILES, so checksums can never diverge from
+    what readers see — and nothing is cached in executor memory (a full
+    .persist() of the parsed corpus caused GC thrash at high thread
+    counts; measured in the spark-submit two-level run)."""
     from pyspark.errors import AnalysisException
 
     try:
@@ -121,8 +213,12 @@ def run_with_resume(
     except AnalysisException:  # first run: no metrics table yet
         todo = raw
     parsed = extract_fn(todo)
-    parsed = parsed.persist()
     if output_path is not None:
-        parsed.write.mode("append").parquet(output_path)
+        run_dir = f"{output_path}/run_id={run_id}"
+        parsed.write.mode("overwrite").parquet(run_dir)
+        durable = spark.read.parquet(run_dir)
+        write_lineage(durable, metrics_path, run_id, input_snapshot_id)
+        return durable
+    parsed = parsed.persist()
     write_lineage(parsed, metrics_path, run_id, input_snapshot_id)
     return parsed

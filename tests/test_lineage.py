@@ -110,3 +110,31 @@ def test_corrupt_metrics_table_raises(spark, tmp_path):
     from pyspark.errors import AnalysisException
 
     assert not isinstance(exc_info.value, AnalysisException)
+
+
+def test_kernel_checksum_matches_expression(spark):
+    # the Arrow checksum kernel must be byte-identical to the expression
+    # reference (doc_checksum_col)
+    from pyspark.sql import functions as F
+
+    from agentic_doc_spark.operators.lineage import (
+        _per_doc_checksums,
+        doc_checksum_col,
+    )
+
+    parsed = extract(corpus_df(spark, 2))
+    want = {
+        r["doc_id"]: r["c"]
+        for r in parsed.select("doc_id", doc_checksum_col().alias("c")).collect()
+    }
+    got = {
+        r["doc_id"]: r["doc_checksum"]
+        for r in _per_doc_checksums(parsed).collect()
+    }
+    assert got == want
+    n = {r["doc_id"]: r["n_spans"] for r in _per_doc_checksums(parsed).collect()}
+    sizes = {
+        r["doc_id"]: r["s"]
+        for r in parsed.select("doc_id", F.size("spans").alias("s")).collect()
+    }
+    assert n == {k: v for k, v in sizes.items()}

@@ -302,3 +302,24 @@ def test_redact_config():
     assert red["nested"]["path"] == "/x"
     assert red["token"] == "***"
     assert cfg["aws_secret_access_key"] == "AKIAXXXXYYYYZZZZ"  # input untouched
+
+
+def test_resize_media_shape_contract(spark):
+    from agentic_doc_spark.operators.multimodal import resize_media
+
+    media = spark.createDataFrame(
+        [("m1", bytearray(b"payload-one")), ("m2", bytearray(b"payload-two"))],
+        "media_ref string, content binary",
+    )
+    import agentic_doc_spark.operators.multimodal as mm
+
+    rows = {r["media_ref"]: r for r in resize_media(media, 16, 8).collect()}
+    assert set(rows) == {"m1", "m2"}
+    for r in rows.values():
+        assert (r["width"], r["height"]) == (16, 8)
+        if not mm._HAS_PIL:  # fake path emits exactly w*h*3 RGB bytes
+            assert len(bytes(r["content"])) == 16 * 8 * 3
+        else:  # non-image payload falls back to the fake even with PIL
+            assert len(bytes(r["content"])) == 16 * 8 * 3
+    again = {r["media_ref"]: r for r in resize_media(media, 16, 8).collect()}
+    assert bytes(rows["m1"]["content"]) == bytes(again["m1"]["content"])
