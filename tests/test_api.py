@@ -169,3 +169,14 @@ def test_parse_bytes_route(spark):
     row = out.collect()[0]
     assert [s["text"] for s in row["spans"]] == ["alpha block", "beta block"]
     assert row["markdown"] == "alpha block\n\nbeta block"
+
+
+def test_parse_empty_and_unmatched_directories(spark, tmp_path):
+    # P7-adjacent robustness: a dir with no admitted files parses to an
+    # empty ParsedDocument frame, not an error
+    only_bin = tmp_path / "only_bin"
+    only_bin.mkdir()
+    (only_bin / "junk.xyz").write_bytes(b"\x00\x01\x02")
+    out = parse(spark, str(only_bin))
+    assert out.count() == 0
+    assert "markdown" in out.columns
