@@ -417,7 +417,13 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity with an explicit zero-norm convention: a
+    zero-norm side scores 0.0 (orthogonal) instead of raising — under
+    Spark's default ANSI mode a plain division throws divideByZeroError,
+    so one all-zero embedding would crash every cosine-based query."""
+    return F.coalesce(
+        F.try_divide(_dot(a, b), _norm(a) * _norm(b)), F.lit(0.0)
+    )
 
 
 def sign_bucket(vec: Column, dims: tuple[int, ...] = (0, 1, 2, 3, 4, 5, 6, 7)) -> Column:
@@ -472,6 +478,10 @@ def connected_components(
     ≈ graph diameter (near-dup clusters are shallow — duplicates of one
     source form a star). Each round is ONE shuffle join + one groupBy;
     the convergence check is an aggregate (no driver-side row data).
+
+    The RETURNED DataFrame is persisted (recomputing it would replay the
+    whole iterative join chain); call ``.unpersist()`` on it when done.
+    Intermediate rounds and the edge list are unpersisted here.
     """
     # symmetric edges once; self-loops make isolated-after-filter rows safe
     edges = (

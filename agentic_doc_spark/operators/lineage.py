@@ -208,7 +208,23 @@ def run_with_resume(
     from pyspark.errors import AnalysisException
 
     try:
-        done = completed_doc_ids(spark, metrics_path)
+        metrics = spark.read.parquet(metrics_path)
+        # run-id replay guard: the per-run output dir is overwritten on
+        # retry (idempotent for a run that crashed BEFORE its lineage
+        # commit), so a run_id that already committed lineage must never
+        # be reused — overwriting its output with the residual todo set
+        # would delete committed rows that lineage marks completed.
+        if (
+            output_path is not None
+            and metrics.filter(F.col("run_id") == run_id).limit(1).count() > 0
+        ):
+            raise ValueError(
+                f"run_id {run_id!r} already committed lineage — a retry "
+                "must use a fresh run_id (resume skips completed docs)"
+            )
+        done = metrics.select(
+            F.explode("doc_ids_completed").alias("doc_id")
+        ).distinct()
         todo = resume_filter(raw, done)
     except AnalysisException:  # first run: no metrics table yet
         todo = raw

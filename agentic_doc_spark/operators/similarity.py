@@ -100,6 +100,7 @@ def assign_cells(
     centroids: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    cent_lit: F.Column | None = None,
 ) -> DataFrame:
     """Assign every vector to its nearest centroid — ZERO exchanges.
 
@@ -109,22 +110,30 @@ def assign_cells(
     previous crossJoin + Window form shuffled corpus × n_cells rows by
     vector id — the plan's scale-killer.) Scores are materialized once
     in a staged transform before the fold — Catalyst does not CSE
-    interpreted HOF lambdas (CLAUDE.md perf ground rules)."""
+    interpreted HOF lambdas (CLAUDE.md perf ground rules).
+
+    NaN cosine (zero-norm vector) sorts GREATEST, exactly as both the
+    previous row_number window and the DuckDB oracle order it: such a
+    vector lands in the lowest cell rather than a phantom cell."""
     v = F.col(vec_col)
     scored = F.transform(
-        _centroid_literal(centroids),
+        cent_lit if cent_lit is not None else _centroid_literal(centroids),
         lambda c: F.struct(
             cosine(v, c["centroid"]).alias("cos"), c["cell"].alias("cell")
         ),
     )
-    # strictly-greater fold over cells ASC == row_number over
-    # (cos DESC, cell ASC): ties keep the lowest cell
+    # fold over cells ASC == row_number over (cos DESC NULLS/NaN first,
+    # cell ASC): take s when strictly greater OR when s is the first NaN
     best = F.aggregate(
         scored,
         F.struct(
             F.lit(-2.0).alias("cos"), F.lit(-1).cast("long").alias("cell")
         ),
-        lambda acc, s: F.when(s["cos"] > acc["cos"], s).otherwise(acc),
+        lambda acc, s: F.when(
+            (s["cos"] > acc["cos"])
+            | (F.isnan(s["cos"]) & ~F.isnan(acc["cos"])),
+            s,
+        ).otherwise(acc),
     )
     return corpus.select(F.col(id_col), v.alias(vec_col), best["cell"].alias("cell"))
 
@@ -135,19 +144,22 @@ def _probe_cells(
     n_probe: int,
     vec_col: str,
     id_col: str,
+    cent_lit: F.Column | None = None,
 ) -> DataFrame:
     """Top-n_probe nearest cells per query, selected INSIDE the row
-    (array_sort with a (cos DESC, cell ASC) comparator + slice) — no
-    query-side shuffle either."""
+    (array_sort with a (cos DESC — NaN greatest, cell ASC) comparator +
+    slice) — no query-side shuffle either."""
     qv = F.col(vec_col)
     scored = F.transform(
-        _centroid_literal(centroids),
+        cent_lit if cent_lit is not None else _centroid_literal(centroids),
         lambda c: F.struct(
             cosine(qv, c["centroid"]).alias("cos"), c["cell"].alias("cell")
         ),
     )
     cmp = lambda a, b: (  # noqa: E731
-        F.when(a["cos"] > b["cos"], F.lit(-1))
+        F.when(F.isnan(a["cos"]) & ~F.isnan(b["cos"]), F.lit(-1))
+        .when(F.isnan(b["cos"]) & ~F.isnan(a["cos"]), F.lit(1))
+        .when(a["cos"] > b["cos"], F.lit(-1))
         .when(a["cos"] < b["cos"], F.lit(1))
         .otherwise(F.signum(a["cell"] - b["cell"]).cast("int"))
     )
@@ -176,8 +188,9 @@ def ivf_topk(
     1 for the probe⋈assigned equi-join on cell, 1 for the per-query
     top-k window — assignment and probe selection are row-local."""
     cents = derive_centroids(corpus, n_cells, vec_col, id_col)
-    assigned = assign_cells(corpus, cents, vec_col, id_col)
-    probes = _probe_cells(queries, cents, n_probe, vec_col, id_col)
+    cent_lit = _centroid_literal(cents)  # ONE collect, shared by both sides
+    assigned = assign_cells(corpus, cents, vec_col, id_col, cent_lit=cent_lit)
+    probes = _probe_cells(queries, cents, n_probe, vec_col, id_col, cent_lit=cent_lit)
     cand = probes.join(
         assigned.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell"

@@ -79,15 +79,26 @@ def read_bytes(spark: SparkSession, data: bytes, doc_id: str = "bytes-0") -> Dat
 
 def _is_parquet_corpus(p: str) -> bool:
     """Canonical-corpus detection: a ``*.parquet`` path OR a parquet
-    DIRECTORY (the normal ``df.write.parquet()`` layout — ``_SUCCESS``
-    marker / ``part-*.parquet`` files). Remote URIs are detected by
-    extension only; pass ``format='parquet'`` to force."""
+    DIRECTORY (the normal ``df.write.parquet()`` layout). Remote URIs are
+    detected by extension only; pass ``format='parquet'`` to force.
+
+    A directory routes to the parquet reader only when it contains
+    parquet data files AND no admitted raw-document files — a raw corpus
+    with one stray ``report.parquet`` (or a ``_SUCCESS`` marker from a
+    non-parquet Spark write) must still take the binary-ingest route."""
     if p.endswith(".parquet"):
         return True
     d = Path(p)
     if not d.is_dir():  # remote URI or plain file
         return False
-    return (d / "_SUCCESS").exists() or any(d.glob("*.parquet"))
+    has_parquet = any(d.glob("*.parquet"))
+    if not has_parquet:
+        return False
+    raw_exts = tuple(f".{e}" for e in VALID_EXTENSIONS)
+    has_raw = any(
+        f.suffix.lower() in raw_exts for f in d.iterdir() if f.is_file()
+    )
+    return not has_raw
 
 
 def resolve(spark: SparkSession, documents: DocumentsInput, **options) -> DataFrame:
@@ -126,6 +137,15 @@ def is_valid_httpurl(url: str) -> bool:
         return False
 
 
+def _safe_name(name: str) -> str:
+    """Staging-filename sanitizer: path separators and control chars from
+    untrusted names (URL basenames, Drive file ids) must not escape the
+    staging directory."""
+    import re
+
+    return re.sub(r"[^A-Za-z0-9._-]", "_", name)[:128] or "download"
+
+
 def stage_urls(
     urls: Iterable[str], dest_dir: str, timeout: float = 30.0
 ) -> list[str]:
@@ -151,14 +171,20 @@ def stage_urls(
     for i, url in enumerate(urls):
         if not (is_valid_httpurl(url) or url.startswith("file://")):
             continue
-        name = Path(urlparse(url).path).name or "download"
+        name = _safe_name(Path(urlparse(url).path).name or "download")
         out = str(Path(dest_dir) / f"{i:06d}_{name}")
+        tmp = out + ".part"
         try:
             with urllib.request.urlopen(url, timeout=timeout) as r:
-                with open(out, "wb") as f:
+                with open(tmp, "wb") as f:
                     shutil.copyfileobj(r, f)
+            os.replace(tmp, out)  # publish only complete downloads
             staged.append(out)
-        except Exception:  # R6: skip-and-continue
+        except Exception:  # R6: skip-and-continue, no partial file left
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
             continue
     return staged
 
@@ -170,24 +196,29 @@ _SECRET_KEY_RE = None
 
 def redact_config(config: dict) -> dict:
     """F8: credential redaction for connector configs — any key that looks
-    like a secret (key/token/secret/password/credential) is masked before
-    the config is logged or embedded in lineage/run metadata."""
+    like a secret (api key / access key / token / secret / password /
+    credential / authorization / bearer) is masked before the config is
+    logged or embedded in lineage/run metadata. Recurses into nested
+    dicts AND lists."""
     import re
 
     global _SECRET_KEY_RE
     if _SECRET_KEY_RE is None:
         _SECRET_KEY_RE = re.compile(
-            r"(?i)(api[_-]?key|token|secret|password|credential)"
+            r"(?i)(api[_-]?key|access[_-]?key|token|secret|passw(or)?d"
+            r"|credential|authorization|bearer|session[_-]?key)"
         )
-    out = {}
-    for k, v in config.items():
+
+    def _redact_value(key: str, v):
         if isinstance(v, dict):
-            out[k] = redact_config(v)
-        elif _SECRET_KEY_RE.search(str(k)) and isinstance(v, str) and v:
-            out[k] = v[:2] + "***" if len(v) > 4 else "***"
-        else:
-            out[k] = v
-    return out
+            return redact_config(v)
+        if isinstance(v, (list, tuple)):
+            return type(v)(_redact_value(key, x) for x in v)
+        if _SECRET_KEY_RE.search(key) and isinstance(v, str) and v:
+            return v[:2] + "***" if len(v) > 4 else "***"
+        return v
+
+    return {k: _redact_value(str(k), v) for k, v in config.items()}
 
 
 def create_connector(config: dict) -> dict:
@@ -209,12 +240,16 @@ def create_connector(config: dict) -> dict:
         }
     if kind == "url":
         # driver-side staging (S5), then the ordinary binary dir scan —
-        # staged names carry an index prefix, so no extension assumption
+        # staged names carry an index prefix, so no extension assumption.
+        # The staging dir is WIPED first: stale files from prior runs (or
+        # .part leftovers of a hard-killed stager) must not be ingested.
+        import shutil
         import tempfile
 
         dest = config.get("staging_dir") or tempfile.mkdtemp(
             prefix="agentic_doc_url_stage_"
         )
+        shutil.rmtree(dest, ignore_errors=True)
         stage_urls(
             config.get("urls", []), dest, timeout=config.get("timeout", 30.0)
         )
@@ -225,6 +260,7 @@ def create_connector(config: dict) -> dict:
         # ``fetcher(file_id) -> bytes`` — OAuth flows are driver-side and
         # environment-specific, so the connector owns staging + R6
         # skip-on-failure while the caller owns auth.
+        import shutil
         import tempfile
 
         fetcher = config.get("fetcher")
@@ -239,11 +275,13 @@ def create_connector(config: dict) -> dict:
         )
         import os
 
+        shutil.rmtree(dest, ignore_errors=True)  # no stale staged files
         os.makedirs(dest, exist_ok=True)
         for i, file_id in enumerate(config.get("file_ids", [])):
             try:
                 data = fetcher(file_id)
-                with open(str(Path(dest) / f"{i:06d}_{file_id}"), "wb") as f:
+                out_name = f"{i:06d}_{_safe_name(str(file_id))}"
+                with open(str(Path(dest) / out_name), "wb") as f:
                     f.write(data)
             except Exception:  # R6: skip-and-continue
                 continue

@@ -122,20 +122,16 @@ def main() -> None:
         }
     )
 
-    out = REPO / "BENCH" / "BASELINE.md"
-    text = out.read_text()
-    marker = "\n## spark-submit two-level run"
-    if marker in text:
-        text = text[: text.index(marker)]
+    from _md_sections import replace_section
+
     rows = "\n".join(
         f"| local[{c}] | {results[c]['sec']:.2f} s | {thr[c]:,.0f} docs/s |"
         for c in (8, 32)
     )
-    out.write_text(
-        text.rstrip()
-        + f"""
-
-## spark-submit two-level run
+    replace_section(
+        REPO / "BENCH" / "BASELINE.md",
+        "spark-submit two-level run",
+        f"""## spark-submit two-level run
 
 The north rule's literal execution mode: `spark-submit --py-files
 agentic_doc_spark.zip scripts/run_extraction_job.py` (full production

@@ -128,16 +128,12 @@ def main() -> None:
         f"| {r['eff_8_to_32']:.3f} |"
         for r in rows
     )
-    out = REPO / "BENCH" / "BASELINE.md"
-    text = out.read_text()
-    marker = "\n## 8→32 attribution sweep"
-    if marker in text:
-        text = text[: text.index(marker)]
-    out.write_text(
-        text.rstrip()
-        + f"""
+    from _md_sections import replace_section
 
-## 8→32 attribution sweep
+    replace_section(
+        REPO / "BENCH" / "BASELINE.md",
+        "8→32 attribution sweep",
+        f"""## 8→32 attribution sweep
 
 `python scripts/scaling_sweep.py {sf_dir} {rep}` — same input, fresh
 process per cell, min-of-3:
@@ -145,7 +141,7 @@ process per cell, min-of-3:
 | config | local[8] | local[32] | 8→32 efficiency |
 |---|---|---|---|
 {table}
-"""
+""",
     )
 
 

@@ -194,3 +194,29 @@ def test_near_dedup_survivors(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3)], ["a", "b"])
     got = sorted(r["doc_id"] for r in near_dedup(docs, pairs).collect())
     assert got == [1, 10]
+
+
+def test_ivf_zero_norm_vector_assignment(spark):
+    # a zero-norm vector (NaN cosine to every centroid) must land in the
+    # LOWEST cell — matching both the row_number form and DuckDB's
+    # NaN-greatest ordering — never in a phantom cell
+    from pyspark.sql import functions as F
+
+    from agentic_doc_spark.operators.similarity import (
+        assign_cells,
+        derive_centroids,
+        ivf_topk,
+    )
+
+    rows = [(i, [float(i + 1), float(2 * i + 1)]) for i in range(8)]
+    rows.append((99, [0.0, 0.0]))  # zero-norm
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = derive_centroids(emb, n_cells=4)
+    got = {
+        r["vec_id"]: r["cell"] for r in assign_cells(emb, cents).collect()
+    }
+    assert got[99] == 0  # NaN-greatest → first (lowest) cell
+    assert all(c >= 0 for c in got.values())  # nobody in a phantom cell
+    # and the zero vector is reachable as an IVF candidate
+    res = ivf_topk(emb, emb.filter(F.col("vec_id") == 1), k=8, n_cells=4, n_probe=4)
+    assert 99 in {r["neighbor_id"] for r in res.collect()}

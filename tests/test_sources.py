@@ -323,3 +323,38 @@ def test_resize_media_shape_contract(spark):
             assert len(bytes(r["content"])) == 16 * 8 * 3
     again = {r["media_ref"]: r for r in resize_media(media, 16, 8).collect()}
     assert bytes(rows["m1"]["content"]) == bytes(again["m1"]["content"])
+
+
+def test_mixed_dir_with_stray_parquet_routes_to_binary(spark, tmp_path):
+    # a raw corpus containing one stray parquet file (or a _SUCCESS
+    # marker) must still take the binary-ingest route
+    from agentic_doc_spark.api import parse
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    (d / "a.txt").write_text("real doc body")
+    (d / "report.parquet").write_bytes(b"PAR1 not really")
+    (d / "_SUCCESS").write_bytes(b"")
+    out = parse(spark, str(d))
+    rows = {r["doc_id"].rsplit("/", 1)[-1]: r for r in out.collect()}
+    assert set(rows) == {"a.txt"}
+    assert rows["a.txt"]["markdown"] == "real doc body"
+
+
+def test_stage_urls_no_partial_files(tmp_path):
+    # a failed mid-stream download must leave NO partial file behind
+    import os
+
+    from agentic_doc_spark.sources.resolve import stage_urls
+
+    src = tmp_path / "f.txt"
+    src.write_text("ok body")
+    dest = tmp_path / "stage"
+    staged = stage_urls(
+        [f"file://{src}", "file:///nonexistent/definitely/missing.txt"],
+        str(dest),
+    )
+    assert len(staged) == 1
+    names = os.listdir(dest)
+    assert len(names) == 1
+    assert not any(n.endswith(".part") for n in names)
