@@ -356,6 +356,36 @@ def q_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rep_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter signal: duplicate-bigram fraction."""
+    from agentic_doc_spark.functions.textstats import repetition_ratio
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.round(repetition_ratio(F.col("text")), 6).alias("rep_ratio")
+    )
+
+
+def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: deterministic synthetic PII (email/phone/IP derived
+    from doc_id) appended to each text, then masked by scrub_pii."""
+    from agentic_doc_spark.functions.textstats import scrub_pii
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 (555) 010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" at 10.0.0.1 now"),
+        ).alias("dirty"),
+    )
+    return docs.select(
+        "doc_id", scrub_pii(F.col("dirty")).alias("clean")
+    )
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from agentic_doc_spark.functions.textstats import fingerprint
 
@@ -741,6 +771,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "quality_langid": q_quality_langid,
         "lang_rollup": q_lang_rollup,
+        "rep_ratio": q_rep_ratio,
+        "scrub_pii": q_scrub_pii,
         "fingerprint": q_fingerprint,
         "dedup_exact": q_dedup_exact,
         "minhash_bands": q_minhash_bands,
@@ -831,6 +863,31 @@ _MINHASH_SIG = (
     "list_min(list_transform(hv, h -> "
     "((2 * s + 1) * h + 12289 * s + 1) % 2147483647)))"
 )
+
+# PII scrub twin — the regex constants are shared with the Spark side
+# (agentic_doc_spark.functions.textstats), so both engines run the SAME
+# patterns; DuckDB needs the 'g' flag for replace-all.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+?[0-9][0-9()\- ]{7,}[0-9]"
+_PII_IPV4 = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+_PII_SQL = f"""
+    WITH dirty AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id
+                  || '@example.com or +1 (555) 010-'
+                  || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                  || ' at 10.0.0.1 now' AS dirty
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(dirty, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_IPV4}', '<IP>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g') AS clean
+    FROM dirty
+"""
 
 _CLONED_CORPUS = """
   SELECT doc_id, text FROM documents
@@ -952,6 +1009,25 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(n_tok), 6) AS avg_tok
             FROM d GROUP BY pred_lang
         """,
+        "rep_ratio": f"""
+            WITH w AS (
+              SELECT doc_id, {_SQL_WORDS.format(src=_NORM)} AS toks
+              FROM documents
+            ), g AS (
+              SELECT doc_id, greatest(len(toks) - 1, 0) AS k,
+                     list_transform(
+                       range(1, greatest(greatest(len(toks) - 1, 0), 1) + 1),
+                       i -> array_to_string(list_slice(toks, i, i + 1), ' '))
+                       AS grams
+              FROM w
+            )
+            SELECT doc_id,
+                   round(CAST(CASE WHEN k > 0
+                         THEN 1.0 - len(list_distinct(grams)) * 1.0 / k
+                         ELSE 0.0 END AS DOUBLE), 6) AS rep_ratio
+            FROM g
+        """,
+        "scrub_pii": _PII_SQL,
         "fingerprint": f"""
             SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents
         """,

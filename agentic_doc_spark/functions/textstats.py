@@ -148,3 +148,38 @@ def fingerprint_rolling(text: Column, window: int = 8) -> Column:
         lambda i: F.md5(F.array_join(F.slice(toks, i + 1, window), " ")),
     )
     return F.array_min(shingles)
+
+
+def repetition_ratio(text: Column, ngram: int = 2) -> Column:
+    """Gopher-style repetition signal: fraction of word n-grams that are
+    duplicates (1 - distinct/total), 0.0 for texts shorter than one
+    n-gram. High values flag boilerplate-ish repeated content (Rae et
+    al., "Scaling Language Models: ... Gopher", 2021 — repetition
+    filters). Pure Catalyst expression; portable twin in oracle_sql()."""
+    toks = words(normalize_text(text))
+    n = F.size(toks)
+    k = F.greatest(n - ngram + 1, F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, ngram), " "),
+    )
+    distinct = F.size(F.array_distinct(grams))
+    return F.when(k > 0, 1.0 - distinct / k).otherwise(F.lit(0.0))
+
+
+#: PII patterns (portable Java/RE2 subset): emails, long digit runs that
+#: look like phone numbers, IPv4 addresses.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+?[0-9][0-9()\- ]{7,}[0-9]"
+PII_IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+def scrub_pii(text: Column) -> Column:
+    """PII scrubbing for training corpora: emails → <EMAIL>, phone-shaped
+    digit runs → <PHONE>, IPv4 addresses → <IP>. Order matters (emails
+    first so their digits don't half-match the phone pattern). All
+    regexp_replace — JVM-side, no UDF."""
+    out = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IPV4_RE, "<IP>")
+    out = F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")
+    return out

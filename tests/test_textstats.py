@@ -62,3 +62,48 @@ def test_rolling_fingerprint_stability(spark):
     # at minimum it is deterministic
     assert f1 == _one(spark, t1, fingerprint_rolling)
     assert len(f1) == 32 and len(f2) == 32
+
+
+def test_repetition_ratio(spark):
+    from pyspark.sql import functions as F
+
+    from agentic_doc_spark.functions.textstats import repetition_ratio
+
+    rows = [
+        ("clean", "alpha beta gamma delta epsilon"),   # all bigrams unique
+        ("loop", "spam spam spam spam spam"),          # one distinct bigram
+        ("short", "hello"),                            # < one bigram → 0.0
+        ("empty", ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["rr"]
+        for r in df.select(
+            "doc_id", F.round(repetition_ratio(F.col("text")), 4).alias("rr")
+        ).collect()
+    }
+    assert got["clean"] == 0.0
+    assert got["loop"] == 0.75  # 4 bigrams, 1 distinct → 1 - 1/4
+    assert got["short"] == 0.0
+    assert got["empty"] == 0.0
+
+
+def test_scrub_pii(spark):
+    from pyspark.sql import functions as F
+
+    from agentic_doc_spark.functions.textstats import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (
+                "d1",
+                "mail me at jane.doe+spam@sub.example.co.uk or call "
+                "+44 (0)20 7946 0958; server 192.168.001.1 is up",
+            )
+        ],
+        ["doc_id", "text"],
+    )
+    got = df.select(scrub_pii(F.col("text")).alias("t")).collect()[0]["t"]
+    assert "<EMAIL>" in got and "jane.doe" not in got
+    assert "<PHONE>" in got and "7946" not in got
+    assert "<IP>" in got and "192.168" not in got
