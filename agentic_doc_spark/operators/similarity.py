@@ -110,7 +110,8 @@ def assign_cells(
     previous crossJoin + Window form shuffled corpus × n_cells rows by
     vector id — the plan's scale-killer.) Scores are materialized once
     in a staged transform before the fold — Catalyst does not CSE
-    interpreted HOF lambdas (CLAUDE.md perf ground rules).
+    interpreted HOF lambdas (repo perf ground rules; measured on the
+    minhash kernel).
 
     NaN cosine (zero-norm vector) sorts GREATEST, exactly as both the
     previous row_number window and the DuckDB oracle order it: such a
