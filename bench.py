@@ -69,7 +69,7 @@ def main() -> None:
     times: dict[str, float] = {}
     for name in headline:
         best = float("inf")
-        for _ in range(2):  # min-of-2: exclude plan-compile/JIT warm-up
+        for _ in range(3):  # min-of-3: exclude plan-compile/JIT warm-up
             t0 = time.perf_counter()
             _force(qs[name](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
