@@ -32,27 +32,49 @@ except ImportError:
     _HAS_PIL = False
 
 
-def _decode_image(data: bytes) -> tuple[int, int, np.ndarray]:
-    """Decode → (width, height, 8-dim feature vector).
+def _decode_array(data: bytes) -> np.ndarray | None:
+    """bytes → uint8 (h, w, ch) array, or None when undecodable.
 
-    Real path (when an imaging library is installed): PIL decode → RGB →
-    4×2 downsample → per-cell channel means as the feature vector
-    (reference page_to_image, agentic_doc/utils.py:110-124). Fallback
-    (this container ships no imaging library, or the payload is not a
-    decodable image): a deterministic fake — dims from the byte hash,
-    features from a seeded generator — keeping every downstream shape
-    contract real."""
-    if _HAS_PIL and data:
+    Decode ladder: PIL (any format, when installed) → the pure-stdlib
+    PNG codec (functions/png.py — REAL even in this container) → None."""
+    if not data:
+        return None
+    if _HAS_PIL:
         import io
 
         try:
             img = Image.open(io.BytesIO(data)).convert("RGB")
-            width, height = img.size
-            arr = np.asarray(img.resize((4, 2)), dtype=np.float32) / 255.0
-            feat = arr.mean(axis=2).reshape(-1).astype(np.float32)  # 8 cells
-            return width, height, feat
+            return np.asarray(img, dtype=np.uint8)
         except Exception:
-            pass  # non-image payload → deterministic fake below
+            pass
+    from agentic_doc_spark.functions import png
+
+    if png.is_png(data):
+        try:
+            return png.decode_png(data)
+        except Exception:
+            return None
+    return None
+
+
+def _decode_image(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode → (width, height, 8-dim feature vector).
+
+    Real path: decode (PIL or pure-PNG) → 4×2 nearest downsample →
+    per-cell channel means /255 (reference page_to_image,
+    agentic_doc/utils.py:110-124). Fallback for undecodable payloads: a
+    deterministic fake — dims from the byte hash, features from a seeded
+    generator — keeping every downstream shape contract real."""
+    arr = _decode_array(data)
+    if arr is not None:
+        from agentic_doc_spark.functions.png import resize_nearest
+
+        height, width = arr.shape[:2]
+        small = resize_nearest(arr, 4, 2).astype(np.float32) / 255.0
+        if small.ndim == 2:
+            small = small[:, :, None]
+        feat = small.mean(axis=2).reshape(-1).astype(np.float32)  # 8 cells
+        return width, height, feat
     h = hashlib.sha256(data).digest()
     width = 64 + h[0] % 192
     height = 64 + h[1] % 192
@@ -194,6 +216,69 @@ def viz_crop_specs(
     return per_page.select("doc_id", "page", svg.alias("svg"))
 
 
+_CROPS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("rel_path", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+
+def render_grounding_crops(
+    parsed: DataFrame,
+    pages: DataFrame,
+    page_width: int = 816,
+    page_height: int = 1056,
+) -> DataFrame:
+    """S9/K2 for REAL: crop PNG bytes per grounding, named exactly as the
+    reference writes them (save_groundings_as_images,
+    agentic_doc/utils.py:63-169: ``page_{p}/{type}_{chunk_id}_{i}.png``).
+
+    ``pages`` is (doc_id, page, content BINARY) — rasterized page images
+    (PNG; any PIL-readable format when PIL is present). The crop specs
+    (geometry, clamping, naming) come from grounding_crop_specs; this
+    join + mapInPandas kernel decodes each page ONCE per partition-local
+    group and emits one PNG per grounding. Undecodable pages are skipped
+    (R6). The join is an equi-join on (doc_id, page) — at 10^12 docs both
+    sides partition on the same key, no broadcast assumption."""
+    from agentic_doc_spark.functions.png import crop, encode_png
+
+    specs = grounding_crop_specs(parsed, page_width, page_height)
+    joined = specs.join(pages, ["doc_id", "page"]).select(
+        "doc_id", "page", "rel_path", "px", "content"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            # decode each distinct page payload once per batch
+            cache: dict[tuple, np.ndarray | None] = {}
+            for doc_id, page, rel, px, data in zip(
+                pdf["doc_id"], pdf["page"], pdf["rel_path"], pdf["px"], pdf["content"]
+            ):
+                key = (doc_id, page)
+                if key not in cache:
+                    arr = _decode_array(bytes(data) if data is not None else b"")
+                    cache[key] = arr
+                arr = cache[key]
+                if arr is None:  # R6: undecodable page → skip its crops
+                    continue
+                piece = crop(
+                    arr,
+                    int(px["x0"]),
+                    int(px["y0"]),
+                    int(px["x1"]),
+                    int(px["y1"]),
+                )
+                if piece.size == 0:
+                    continue
+                rows.append((doc_id, rel, bytearray(encode_png(piece))))
+            yield pd.DataFrame(rows, columns=["doc_id", "rel_path", "content"])
+
+    return joined.mapInPandas(run, _CROPS_SCHEMA)
+
+
 _RESIZED_SCHEMA = T.StructType(
     [
         T.StructField("media_ref", T.StringType()),
@@ -206,31 +291,25 @@ _RESIZED_SCHEMA = T.StructType(
 
 def resize_media(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
     """Resize images to a fixed training shape (media_ref, width, height,
-    content). Real path: PIL decode → resize → PNG re-encode; fallback:
-    the deterministic fake emits a sha-derived payload of the target
-    shape so batching/schema stay production-shaped.
+    content). REAL path: decode (PIL or the pure-stdlib PNG codec) →
+    nearest-neighbor resize → PNG re-encode; fallback for undecodable
+    payloads: a deterministic sha-derived payload of the target shape so
+    batching/schema stay production-shaped.
 
     Scale: pure mapInPandas over binary parquet — decode dominates, so
     partitioning by file size (maxPartitionBytes) load-balances; output
     bytes are bounded by the target shape, not the input."""
+    from agentic_doc_spark.functions.png import encode_png, resize_nearest
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for ref, data in zip(pdf["media_ref"], pdf["content"]):
                 b = bytes(data) if data is not None else b""
-                out: bytes | None = None
-                if _HAS_PIL and b:
-                    import io
-
-                    try:
-                        img = Image.open(io.BytesIO(b)).convert("RGB")
-                        buf = io.BytesIO()
-                        img.resize((width, height)).save(buf, format="PNG")
-                        out = buf.getvalue()
-                    except Exception:
-                        out = None
-                if out is None:  # deterministic fake, bounded size
+                arr = _decode_array(b)
+                if arr is not None:
+                    out = encode_png(resize_nearest(arr, width, height))
+                else:  # deterministic fake, bounded size
                     seed = hashlib.sha256(b).digest()
                     reps = (width * height * 3) // len(seed) + 1
                     out = (seed * reps)[: width * height * 3]
