@@ -39,7 +39,9 @@ print("PREP", big.count())
 """
 
 
-def spark_submit(cores: int, run_id: str, inp: str) -> tuple[int, float]:
+def spark_submit(
+    cores: int, run_id: str, inp: str, sink: str = "parquet"
+) -> tuple[int, float]:
     out = WORK / f"out_{cores}"
     metrics = WORK / f"metrics_{cores}"
     for p in (out, metrics):
@@ -67,6 +69,8 @@ def spark_submit(cores: int, run_id: str, inp: str) -> tuple[int, float]:
         str(metrics),
         "--run-id",
         run_id,
+        "--sink",
+        sink,
     ]
     import os
 
@@ -81,8 +85,18 @@ def spark_submit(cores: int, run_id: str, inp: str) -> tuple[int, float]:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    rep = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.1")
+    ap.add_argument("rep", nargs="?", type=int, default=64)
+    ap.add_argument("--levels", default="8,32")
+    ap.add_argument("--sink", default="parquet", choices=["parquet", "noop"])
+    args = ap.parse_args()
+    sf_dir, rep = args.sf_dir, args.rep
+    levels = tuple(int(x) for x in args.levels.split(","))
+    lo_c, hi_c = levels
+    ratio = hi_c / lo_c
 
     WORK.mkdir(exist_ok=True)
     inp = str(WORK / "raw")
@@ -101,24 +115,25 @@ def main() -> None:
             z.write(f, f"agentic_doc_spark/{f.relative_to(pkg)}")
 
     results = {}
-    for cores in (8, 32):
+    for cores in levels:
         # two runs per level; keep the faster (JIT/page-cache warm-up)
         walls = []
         for i in range(2):
-            n, wall = spark_submit(cores, f"sub{cores}r{i}", inp)
+            n, wall = spark_submit(cores, f"sub{cores}r{i}", inp, args.sink)
             walls.append(wall)
             # fresh output/metrics per run (spark_submit clears them), so
             # every run re-extracts the full corpus — no resume shortcut
         results[cores] = {"n": n, "sec": min(walls)}
 
     thr = {c: results[c]["n"] / results[c]["sec"] for c in results}
-    eff = round((thr[32] / thr[8]) / 4.0, 3)
+    eff = round((thr[hi_c] / thr[lo_c]) / ratio, 3)
     print(
         {
-            "n_docs": results[8]["n"],
+            "sink": args.sink,
+            "n_docs": results[lo_c]["n"],
             "sec": {c: results[c]["sec"] for c in results},
             "docs_per_sec": {c: round(thr[c], 1) for c in results},
-            "efficiency_8_to_32": eff,
+            f"efficiency_{lo_c}_to_{hi_c}": eff,
         }
     )
 
@@ -126,8 +141,30 @@ def main() -> None:
 
     rows = "\n".join(
         f"| local[{c}] | {results[c]['sec']:.2f} s | {thr[c]:,.0f} docs/s |"
-        for c in (8, 32)
+        for c in levels
     )
+    if args.sink == "noop":
+        replace_section(
+            REPO / "BENCH" / "BASELINE.md",
+            f"spark-submit kernel pair (noop sink, {lo_c}→{hi_c})",
+            f"""## spark-submit kernel pair (noop sink, {lo_c}→{hi_c})
+
+The north rule's literal execution mode measured compute-only:
+`spark-submit --py-files agentic_doc_spark.zip scripts/run_extraction_job.py
+--sink noop` on {results[lo_c]['n']:,} documents, best-of-2 per level —
+the same job as the production run minus sink I/O and lineage, so this
+is the N→4N number the execution mode itself supports:
+
+| parallelism | job wall | throughput |
+|---|---|---|
+{rows}
+
+Scaling efficiency {lo_c}→{hi_c}: **{eff:.3f}**.
+
+Reproduce: `python scripts/scaling_submit.py {sf_dir} {rep} --levels {lo_c},{hi_c} --sink noop`
+""",
+        )
+        return
     replace_section(
         REPO / "BENCH" / "BASELINE.md",
         "spark-submit two-level run",
@@ -136,13 +173,13 @@ def main() -> None:
 The north rule's literal execution mode: `spark-submit --py-files
 agentic_doc_spark.zip scripts/run_extraction_job.py` (full production
 job — extraction + parquet output write + lineage append + resume
-check) on {results[8]['n']:,} documents, best-of-2 per level:
+check) on {results[lo_c]['n']:,} documents, best-of-2 per level:
 
 | parallelism | job wall | throughput |
 |---|---|---|
 {rows}
 
-Scaling efficiency 8→32 (throughput ratio / core ratio): **{eff:.3f}**.
+Scaling efficiency {lo_c}→{hi_c} (throughput ratio / core ratio): **{eff:.3f}**.
 Includes sink I/O and lineage, hence not directly comparable to the
 kernel-only table above; the N→4N claim rests on the 4→16 pair there.
 
