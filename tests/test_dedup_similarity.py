@@ -220,3 +220,12 @@ def test_ivf_zero_norm_vector_assignment(spark):
     # and the zero vector is reachable as an IVF candidate
     res = ivf_topk(emb, emb.filter(F.col("vec_id") == 1), k=8, n_cells=4, n_probe=4)
     assert 99 in {r["neighbor_id"] for r in res.collect()}
+
+
+def test_connected_components_empty_pairs(spark):
+    from agentic_doc_spark.operators.dedup import connected_components, near_dedup
+
+    pairs = spark.createDataFrame([], "a long, b long")
+    assert connected_components(pairs).count() == 0
+    docs = spark.createDataFrame([(1, "x"), (2, "y")], ["doc_id", "text"])
+    assert near_dedup(docs, pairs).count() == 2  # nothing removed

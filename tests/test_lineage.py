@@ -138,3 +138,29 @@ def test_kernel_checksum_matches_expression(spark):
         for r in parsed.select("doc_id", F.size("spans").alias("s")).collect()
     }
     assert n == {k: v for k, v in sizes.items()}
+
+
+def test_replay_guard_rejects_committed_run_id(spark, tmp_path):
+    # reusing a run_id whose lineage already committed must raise, never
+    # overwrite the committed output partition with the residual todo set
+    metrics = str(tmp_path / "metrics")
+    output = str(tmp_path / "parsed")
+    raw = corpus_df(spark, 1)
+    n = raw.count()
+    run_with_resume(
+        spark, raw, metrics, "runX", "snap1", extract, output_path=output
+    )
+    assert spark.read.parquet(output).count() == n
+    import pytest
+
+    with pytest.raises(ValueError, match="already committed"):
+        run_with_resume(
+            spark, raw, metrics, "runX", "snap1", extract, output_path=output
+        )
+    # committed rows untouched
+    assert spark.read.parquet(output).count() == n
+    # a FRESH run_id proceeds (and has nothing left to do)
+    p = run_with_resume(
+        spark, raw, metrics, "runY", "snap1", extract, output_path=output
+    )
+    assert p.count() == 0
