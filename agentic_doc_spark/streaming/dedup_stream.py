@@ -85,3 +85,92 @@ def stream_dedup_within_watermark(
         q.awaitTermination()
         return q
     return writer.start()
+
+
+def stream_near_dedup(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    state_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    available_now: bool = True,
+):
+    """Incremental NEAR-duplicate suppression: minhash-LSH band keys as
+    the dedup signature, first-seen wins across micro-batches/restarts.
+
+    Per epoch (foreachBatch — reuses the batch minhash kernel):
+    1. band the new docs (operators/dedup.minhash_bands_fast);
+    2. drop any new doc whose band key collides with the STATE (a doc
+       already accepted in an earlier epoch) — LSH-candidate semantics:
+       precision follows the banding parameters, the same trade the
+       batch lsh_jaccard_pairs path verifies exactly;
+    3. within the batch, the lowest id of each colliding group wins;
+    4. append the survivors' rows to the sink and their bands to the
+       state table.
+
+    State is (doc_id, band_idx, band_key) — bounded by accepted docs ×
+    n_bands, independent of text size; at 10^12 docs the state join is an
+    equi-join on band key, the same shape as the batch path."""
+    from pyspark.errors import AnalysisException
+
+    from agentic_doc_spark.operators.dedup import minhash_bands_fast
+
+    schema = spark.read.parquet(input_path).schema
+    src = spark.readStream.schema(schema).parquet(input_path)
+
+    def process_batch(batch_df, epoch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        bands = minhash_bands_fast(
+            batch_df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+        ).persist()
+        try:
+            state = spark.read.parquet(state_path)
+        except AnalysisException:
+            state = None
+        # vs state: any collision with an ALREADY-ACCEPTED doc kills the new one
+        dead = None
+        if state is not None:
+            dead = (
+                bands.join(
+                    state.select("band_idx", "band_key").distinct(),
+                    ["band_idx", "band_key"],
+                )
+                .select("doc_id")
+                .distinct()
+            )
+        # within the batch: lowest id per band bucket wins
+        w_min = bands.groupBy("band_idx", "band_key").agg(
+            F.min("doc_id").alias("winner")
+        )
+        batch_dead = (
+            bands.join(w_min, ["band_idx", "band_key"])
+            .filter(F.col("doc_id") != F.col("winner"))
+            .select("doc_id")
+            .distinct()
+        )
+        losers = batch_dead if dead is None else dead.unionByName(batch_dead).distinct()
+        survivors = batch_df.join(
+            losers.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
+        ).persist()
+        try:
+            survivors.write.mode("append").parquet(output_path)
+            bands.join(
+                survivors.select(F.col(id_col).alias("doc_id")), "doc_id"
+            ).write.mode("append").parquet(state_path)
+        finally:
+            survivors.unpersist()
+            bands.unpersist()
+
+    writer = (
+        src.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()

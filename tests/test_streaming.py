@@ -166,3 +166,44 @@ def test_windowed_counts_late_data(spark, tmp_path):
     assert rows[(t0, "click")] == (2, 3.0)
     # the late 10:40 click never created or modified an emitted window
     assert all(n != 1 or tv != 100.0 for n, tv in rows.values())
+
+
+def test_stream_near_dedup_incremental(spark, tmp_path):
+    # LSH-banded near-dup suppression across micro-batches: a later
+    # near-identical doc collides with the accepted state and is dropped;
+    # within a batch the lowest id of a colliding bucket wins
+    from agentic_doc_spark.streaming.dedup_stream import stream_near_dedup
+
+    src = str(tmp_path / "nd_in")
+    out = str(tmp_path / "nd_out")
+    ckpt = str(tmp_path / "nd_ckpt")
+    state = str(tmp_path / "nd_state")
+
+    tx = (
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "while seven ships sail slowly past the old stone bridge"
+    )
+    ty = (
+        "completely different subject matter about spark physical plans "
+        "and shuffle partitions under adaptive query execution settings"
+    )
+    tz = (
+        "a third unrelated passage describing parquet row groups column "
+        "chunks page headers and dictionary encoded binary data layouts"
+    )
+    b1 = [(1, tx), (2, ty)]
+    spark.createDataFrame(b1, ["doc_id", "text"]).write.mode("append").parquet(src)
+    stream_near_dedup(spark, src, out, ckpt, state)
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {1, 2}
+
+    # batch 2: 3 is a near-clone of 1 (one word changed) → dropped by
+    # state collision; 4 is new; 5 is an exact clone of 4 in the SAME
+    # batch → in-batch bucket minimum keeps 4
+    b2 = [(3, tx.replace("seven", "nine")), (4, tz), (5, tz)]
+    spark.createDataFrame(b2, ["doc_id", "text"]).write.mode("append").parquet(src)
+    stream_near_dedup(spark, src, out, ckpt, state)
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {1, 2, 4}
+    # state holds bands only for accepted docs
+    sdocs = {r["doc_id"] for r in spark.read.parquet(state).select("doc_id").distinct().collect()}
+    assert sdocs == {1, 2, 4}
