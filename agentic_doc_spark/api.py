@@ -34,6 +34,7 @@ def parse(
     include_marginalia: bool | None = None,
     include_metadata_in_markdown: bool | None = None,
     result_save_dir: str | None = None,
+    grounding_save_dir: str | None = None,
     connector_path: str | None = None,
     connector_pattern: str | None = None,
     extraction_model: T.StructType | None = None,
@@ -92,6 +93,17 @@ def parse(
         df = layout_parse(route_doc_types(df))
 
     parsed = extract(df, settings)
+
+    if grounding_save_dir:
+        # reference behavior: image_path is populated ONLY when a
+        # grounding save dir is given (agentic_doc/parse.py:441-448);
+        # render_grounding_crops(parsed, pages) produces the bytes at
+        # exactly these paths
+        from agentic_doc_spark.operators.multimodal import (
+            attach_grounding_image_paths,
+        )
+
+        parsed = attach_grounding_image_paths(parsed, grounding_save_dir)
 
     schema = extraction_model or extraction_schema
     if schema is not None:

@@ -171,6 +171,45 @@ def grounding_crop_specs(
     )
 
 
+def attach_grounding_image_paths(parsed: DataFrame, save_dir: str) -> DataFrame:
+    """Populate ``grounding.image_path`` with the exact path the crop
+    renderer writes (``{save_dir}/page_{p}/{type}_{chunk_id}_{i}.png`` —
+    reference save_groundings_as_images naming, agentic_doc/utils.py:
+    150-156; the reference sets image_path only when a grounding save
+    dir is given, parse.py:441-448). Pure in-row transform — the path is
+    deterministic, so no join with the rendered crops is needed."""
+    from pyspark.sql import functions as F
+
+    base = save_dir.rstrip("/")
+    chunks = F.transform(
+        F.col("chunks"),
+        lambda c: F.struct(
+            c["text"].alias("text"),
+            F.transform(
+                c["grounding"],
+                lambda g, i: F.struct(
+                    g["page"].alias("page"),
+                    g["box"].alias("box"),
+                    F.concat(
+                        F.lit(f"{base}/page_"),
+                        g["page"],
+                        F.lit("/"),
+                        c["chunk_type"],
+                        F.lit("_"),
+                        c["chunk_id"],
+                        F.lit("_"),
+                        i,
+                        F.lit(".png"),
+                    ).alias("image_path"),
+                ),
+            ).alias("grounding"),
+            c["chunk_type"].alias("chunk_type"),
+            c["chunk_id"].alias("chunk_id"),
+        ),
+    )
+    return parsed.withColumn("chunks", chunks)
+
+
 def viz_crop_specs(
     specs: DataFrame, page_width: int = 816, page_height: int = 1056
 ) -> DataFrame:

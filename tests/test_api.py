@@ -180,3 +180,28 @@ def test_parse_empty_and_unmatched_directories(spark, tmp_path):
     out = parse(spark, str(only_bin))
     assert out.count() == 0
     assert "markdown" in out.columns
+
+
+def test_grounding_save_dir_sets_image_paths(spark):
+    # reference contract: image_path populated iff grounding_save_dir
+    # given, with the exact crop-file naming (utils.py:150-156)
+    from agentic_doc_spark.operators.multimodal import grounding_crop_specs
+
+    df = corpus_df(spark, 1)
+    out = parse(spark, df, grounding_save_dir="/tmp/gsave")
+    row = [r for r in out.collect() if r["doc_id"] == "single-000000"][0]
+    paths = [g["image_path"] for c in row["chunks"] for g in c["grounding"]]
+    assert all(p and p.startswith("/tmp/gsave/page_0/text_") for p in paths)
+    # byte-exact agreement with the crop renderer's rel_path naming
+    specs = {
+        r["rel_path"]
+        for r in grounding_crop_specs(
+            parse(spark, df).filter("doc_id = 'single-000000'")
+        ).collect()
+    }
+    assert {p[len("/tmp/gsave/"):] for p in paths} == specs
+    # and WITHOUT the flag: image_path stays NULL
+    row2 = [r for r in parse(spark, df).collect() if r["doc_id"] == "single-000000"][0]
+    assert all(
+        g["image_path"] is None for c in row2["chunks"] for g in c["grounding"]
+    )
