@@ -7,6 +7,11 @@ decode, filter-0 on encode. JPEG and exotic PNGs still route to PIL when
 present (operators/multimodal.py), and the deterministic fake remains
 the last-resort fallback. Public-spec implementation (RFC 2083 / W3C
 PNG); no external code.
+
+Perf boundary: filters None/Up/Sub decode fully vectorized; Average and
+Paeth (which libpng picks adaptively) fall back to a per-byte Python
+loop — when decoding libpng-authored rasters in bulk, install an imaging
+library so the decode ladder takes the C path first.
 """
 
 from __future__ import annotations
@@ -51,8 +56,12 @@ def decode_png(data: bytes) -> np.ndarray:
             pos + 4 : pos + 8
         ]
         chunk = data[pos + 8 : pos + 8 + length]
+        if len(chunk) < length:
+            raise ValueError("truncated PNG chunk")
         pos += 12 + length  # length + type + data + crc
         if ctype == b"IHDR":
+            if length != 13:
+                raise ValueError("bad IHDR length")
             width, height, bit_depth, color_type, _, _, interlace = (
                 struct.unpack(">IIBBBBB", chunk)
             )
@@ -85,10 +94,9 @@ def decode_png(data: bytes) -> np.ndarray:
             recon = filt
         elif ftype == 2:  # Up
             recon = (filt + prev) & 0xFF
-        elif ftype == 1:  # Sub — sequential along x
-            recon = filt.copy()
-            for x in range(ch, stride):
-                recon[x] = (recon[x] + recon[x - ch]) & 0xFF
+        elif ftype == 1:  # Sub — per-channel cumulative sum mod 256
+            recon = filt.reshape(-1, ch).cumsum(axis=0).astype(np.int64)
+            recon = (recon & 0xFF).reshape(-1).astype(np.int32)
         elif ftype == 3:  # Average
             recon = filt.copy()
             for x in range(stride):

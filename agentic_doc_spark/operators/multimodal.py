@@ -67,13 +67,22 @@ def _decode_image(data: bytes) -> tuple[int, int, np.ndarray]:
     generator — keeping every downstream shape contract real."""
     arr = _decode_array(data)
     if arr is not None:
-        from agentic_doc_spark.functions.png import resize_nearest
-
         height, width = arr.shape[:2]
-        small = resize_nearest(arr, 4, 2).astype(np.float32) / 255.0
-        if small.ndim == 2:
-            small = small[:, :, None]
-        feat = small.mean(axis=2).reshape(-1).astype(np.float32)  # 8 cells
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        # TRUE per-cell means over a 4×2 grid (every pixel contributes —
+        # nearest-neighbor point samples would all land on background for
+        # sparse-ink document pages, collapsing every page to the same
+        # feature vector)
+        ys = np.linspace(0, height, 3, dtype=np.int64)
+        xs = np.linspace(0, width, 5, dtype=np.int64)
+        cells = [
+            arr[ys[r] : max(ys[r + 1], ys[r] + 1),
+                xs[c] : max(xs[c + 1], xs[c] + 1)].mean() / 255.0
+            for r in range(2)
+            for c in range(4)
+        ]
+        feat = np.asarray(cells, dtype=np.float32)
         return width, height, feat
     h = hashlib.sha256(data).digest()
     width = 64 + h[0] % 192
@@ -177,34 +186,51 @@ def attach_grounding_image_paths(parsed: DataFrame, save_dir: str) -> DataFrame:
     reference save_groundings_as_images naming, agentic_doc/utils.py:
     150-156; the reference sets image_path only when a grounding save
     dir is given, parse.py:441-448). Pure in-row transform — the path is
-    deterministic, so no join with the rendered crops is needed."""
+    deterministic, so no join with the rendered crops is needed.
+
+    image_path stays NULL for groundings the renderer would SKIP
+    (invalid/degenerate boxes — the same box_is_valid predicate
+    grounding_crop_specs filters on), so no path ever points at a file
+    that cannot exist. A page that later fails to decode is the one case
+    this in-row transform cannot see; the renderer logs those by absence.
+    NULL chunk / grounding elements pass through as NULL."""
     from pyspark.sql import functions as F
 
+    from agentic_doc_spark.functions.geometry import box_is_valid
+
     base = save_dir.rstrip("/")
+
+    def grounding_out(c, g, i):
+        path = F.concat(
+            F.lit(f"{base}/page_"),
+            g["page"],
+            F.lit("/"),
+            c["chunk_type"],
+            F.lit("_"),
+            c["chunk_id"],
+            F.lit("_"),
+            i,
+            F.lit(".png"),
+        )
+        new = F.struct(
+            g["page"].alias("page"),
+            g["box"].alias("box"),
+            F.when(box_is_valid(g["box"]), path).alias("image_path"),
+        )
+        return F.when(g.isNotNull(), new)  # NULL element stays NULL
+
     chunks = F.transform(
         F.col("chunks"),
-        lambda c: F.struct(
-            c["text"].alias("text"),
-            F.transform(
-                c["grounding"],
-                lambda g, i: F.struct(
-                    g["page"].alias("page"),
-                    g["box"].alias("box"),
-                    F.concat(
-                        F.lit(f"{base}/page_"),
-                        g["page"],
-                        F.lit("/"),
-                        c["chunk_type"],
-                        F.lit("_"),
-                        c["chunk_id"],
-                        F.lit("_"),
-                        i,
-                        F.lit(".png"),
-                    ).alias("image_path"),
-                ),
-            ).alias("grounding"),
-            c["chunk_type"].alias("chunk_type"),
-            c["chunk_id"].alias("chunk_id"),
+        lambda c: F.when(
+            c.isNotNull(),
+            F.struct(
+                c["text"].alias("text"),
+                F.transform(
+                    c["grounding"], lambda g, i: grounding_out(c, g, i)
+                ).alias("grounding"),
+                c["chunk_type"].alias("chunk_type"),
+                c["chunk_id"].alias("chunk_id"),
+            ),
         ),
     )
     return parsed.withColumn("chunks", chunks)
@@ -289,10 +315,15 @@ def render_grounding_crops(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from collections import OrderedDict
+
         for pdf in batches:
             rows = []
-            # decode each distinct page payload once per batch
-            cache: dict[tuple, np.ndarray | None] = {}
+            # decode each page once per key GROUP: rows arrive key-sorted
+            # (sortWithinPartitions) so a small LRU suffices — an
+            # unbounded per-batch cache of decoded pages (~2.6 MB each)
+            # would grow without limit on page-diverse batches
+            cache: OrderedDict[tuple, np.ndarray | None] = OrderedDict()
             for doc_id, page, rel, px, data in zip(
                 pdf["doc_id"], pdf["page"], pdf["rel_path"], pdf["px"], pdf["content"]
             ):
@@ -300,6 +331,8 @@ def render_grounding_crops(
                 if key not in cache:
                     arr = _decode_array(bytes(data) if data is not None else b"")
                     cache[key] = arr
+                    while len(cache) > 8:
+                        cache.popitem(last=False)
                 arr = cache[key]
                 if arr is None:  # R6: undecodable page → skip its crops
                     continue

@@ -112,57 +112,22 @@ def stream_near_dedup(
 
     State is (doc_id, band_idx, band_key) — bounded by accepted docs ×
     n_bands, independent of text size; at 10^12 docs the state join is an
-    equi-join on band key, the same shape as the batch path."""
-    from pyspark.errors import AnalysisException
+    equi-join on band key, the same shape as the batch path.
 
-    from agentic_doc_spark.operators.dedup import minhash_bands_fast
-
+    Replay-idempotent: each epoch writes its output and state bands into
+    its own ``epoch=<id>`` partition with OVERWRITE (Structured Streaming
+    replays an epoch after a crash before checkpoint commit — a blind
+    append would duplicate every survivor), and the state read EXCLUDES
+    the current epoch so a half-committed prior attempt can't make the
+    replayed docs collide with themselves."""
     schema = spark.read.parquet(input_path).schema
     src = spark.readStream.schema(schema).parquet(input_path)
 
     def process_batch(batch_df, epoch_id: int) -> None:
-        if not batch_df.head(1):
-            return
-        bands = minhash_bands_fast(
-            batch_df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-        ).persist()
-        try:
-            state = spark.read.parquet(state_path)
-        except AnalysisException:
-            state = None
-        # vs state: any collision with an ALREADY-ACCEPTED doc kills the new one
-        dead = None
-        if state is not None:
-            dead = (
-                bands.join(
-                    state.select("band_idx", "band_key").distinct(),
-                    ["band_idx", "band_key"],
-                )
-                .select("doc_id")
-                .distinct()
-            )
-        # within the batch: lowest id per band bucket wins
-        w_min = bands.groupBy("band_idx", "band_key").agg(
-            F.min("doc_id").alias("winner")
+        _process_near_dedup_batch(
+            spark, batch_df, int(epoch_id), output_path, state_path,
+            text_col, id_col,
         )
-        batch_dead = (
-            bands.join(w_min, ["band_idx", "band_key"])
-            .filter(F.col("doc_id") != F.col("winner"))
-            .select("doc_id")
-            .distinct()
-        )
-        losers = batch_dead if dead is None else dead.unionByName(batch_dead).distinct()
-        survivors = batch_df.join(
-            losers.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
-        ).persist()
-        try:
-            survivors.write.mode("append").parquet(output_path)
-            bands.join(
-                survivors.select(F.col(id_col).alias("doc_id")), "doc_id"
-            ).write.mode("append").parquet(state_path)
-        finally:
-            survivors.unpersist()
-            bands.unpersist()
 
     writer = (
         src.writeStream.foreachBatch(process_batch)
@@ -174,3 +139,72 @@ def stream_near_dedup(
         q.awaitTermination()
         return q
     return writer.start()
+
+
+def _process_near_dedup_batch(
+    spark: SparkSession,
+    batch_df,
+    epoch_id: int,
+    output_path: str,
+    state_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """One near-dedup epoch (module-level so replay idempotency is
+    directly testable by invoking the same epoch twice)."""
+    from pyspark.errors import AnalysisException
+
+    from agentic_doc_spark.operators.dedup import minhash_bands_fast
+
+    if not batch_df.head(1):
+        return
+    bands = minhash_bands_fast(
+        batch_df.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
+    ).persist()
+    try:
+        # exclude this epoch's own partition: a replayed batch must not
+        # collide with its prior half-committed attempt
+        state = spark.read.parquet(state_path).filter(
+            F.col("epoch") != epoch_id
+        )
+        if not state.head(1):
+            state = None
+    except AnalysisException:
+        state = None
+    # vs state: any collision with an ALREADY-ACCEPTED doc kills the new one
+    dead = None
+    if state is not None:
+        dead = (
+            bands.join(
+                state.select("band_idx", "band_key").distinct(),
+                ["band_idx", "band_key"],
+            )
+            .select("doc_id")
+            .distinct()
+        )
+    # within the batch: lowest id per band bucket wins
+    w_min = bands.groupBy("band_idx", "band_key").agg(
+        F.min("doc_id").alias("winner")
+    )
+    batch_dead = (
+        bands.join(w_min, ["band_idx", "band_key"])
+        .filter(F.col("doc_id") != F.col("winner"))
+        .select("doc_id")
+        .distinct()
+    )
+    losers = batch_dead if dead is None else dead.unionByName(batch_dead).distinct()
+    survivors = batch_df.join(
+        losers.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
+    ).persist()
+    try:
+        survivors.write.mode("overwrite").parquet(
+            f"{output_path}/epoch={epoch_id}"
+        )
+        bands.join(
+            survivors.select(F.col(id_col).alias("doc_id")), "doc_id"
+        ).write.mode("overwrite").parquet(f"{state_path}/epoch={epoch_id}")
+    finally:
+        survivors.unpersist()
+        bands.unpersist()

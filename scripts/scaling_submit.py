@@ -144,6 +144,11 @@ def main() -> None:
         for c in levels
     )
     if args.sink == "noop":
+        pair_desc = (
+            "the N→4N number the execution mode itself supports"
+            if ratio == 4.0
+            else f"a {ratio:g}× parallelism pair in the same execution mode"
+        )
         replace_section(
             REPO / "BENCH" / "BASELINE.md",
             f"spark-submit kernel pair (noop sink, {lo_c}→{hi_c})",
@@ -153,7 +158,7 @@ The north rule's literal execution mode measured compute-only:
 `spark-submit --py-files agentic_doc_spark.zip scripts/run_extraction_job.py
 --sink noop` on {results[lo_c]['n']:,} documents, best-of-2 per level —
 the same job as the production run minus sink I/O and lineage, so this
-is the N→4N number the execution mode itself supports:
+is {pair_desc}:
 
 | parallelism | job wall | throughput |
 |---|---|---|

@@ -207,3 +207,37 @@ def test_stream_near_dedup_incremental(spark, tmp_path):
     # state holds bands only for accepted docs
     sdocs = {r["doc_id"] for r in spark.read.parquet(state).select("doc_id").distinct().collect()}
     assert sdocs == {1, 2, 4}
+
+
+def test_stream_near_dedup_replay_idempotent(spark, tmp_path):
+    # a replayed epoch (crash before checkpoint commit) must neither
+    # duplicate output rows nor make docs collide with their own prior
+    # half-committed attempt
+    from agentic_doc_spark.streaming.dedup_stream import (
+        _process_near_dedup_batch,
+    )
+
+    out = str(tmp_path / "r_out")
+    state = str(tmp_path / "r_state")
+    batch = spark.createDataFrame(
+        [
+            (1, "a very particular sentence about streaming replay safety"),
+            (2, "some other entirely unrelated body of words goes here"),
+        ],
+        ["doc_id", "text"],
+    )
+    _process_near_dedup_batch(spark, batch, 0, out, state)
+    first = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert first == [1, 2]
+    # replay the SAME epoch with the same data
+    _process_near_dedup_batch(spark, batch, 0, out, state)
+    again = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert again == [1, 2]  # no duplicates, no self-collision wipeout
+    # a LATER epoch still sees epoch-0 state: a clone of doc 1 is dropped
+    b2 = spark.createDataFrame(
+        [(3, "a very particular sentence about streaming replay safety")],
+        ["doc_id", "text"],
+    )
+    _process_near_dedup_batch(spark, b2, 1, out, state)
+    final = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert final == [1, 2]
