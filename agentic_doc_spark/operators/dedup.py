@@ -459,11 +459,26 @@ def embedding_near_pairs(
     ).filter(F.col("cos") >= threshold)
 
 
+def _truncate_lineage(df: DataFrame) -> DataFrame:
+    """Cut an iterative DataFrame's logical lineage: reliable checkpoint
+    when the session has a checkpoint dir (survives executor loss —
+    what a production job sets), localCheckpoint otherwise (local mode /
+    tests). Either way the returned frame's plan is a leaf scan, so
+    plan analysis stays O(1) per round instead of O(rounds), and a lost
+    executor replays one round, not the whole chain."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "a",
     b_col: str = "b",
     max_iter: int = 25,
+    checkpoint_interval: int = 5,
+    raise_on_non_convergence: bool = False,
 ) -> DataFrame:
     """Near-dup cluster canonicalization: connected components over a
     candidate-pair edge list → (doc_id, component) where component is the
@@ -482,6 +497,15 @@ def connected_components(
     The RETURNED DataFrame is persisted (recomputing it would replay the
     whole iterative join chain); call ``.unpersist()`` on it when done.
     Intermediate rounds and the edge list are unpersisted here.
+
+    Lineage is TRUNCATED every ``checkpoint_interval`` rounds and once on
+    the final labels (reliable checkpoint when a checkpoint dir is set,
+    else localCheckpoint): without it the unrolled plan grows by two
+    joins per round — quadratic driver re-analysis at 25 rounds and a
+    full-chain replay on executor loss. Non-convergence (graph diameter
+    > max_iter) is SURFACED: a warning naming the residual changed count
+    by default, ValueError when ``raise_on_non_convergence`` — silently
+    non-canonical labels would make near_dedup keep extra survivors.
     """
     # symmetric edges once; self-loops make isolated-after-filter rows safe
     edges = (
@@ -498,7 +522,8 @@ def connected_components(
         .withColumn("lbl", F.col("v"))
         .persist()
     )
-    for _ in range(max_iter):
+    changed = 0
+    for i in range(max_iter):
         neigh_min = (
             edges.join(labels, edges["dst"] == labels["v"])
             .groupBy("src")
@@ -524,8 +549,28 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+        if (i + 1) % checkpoint_interval == 0:
+            checkpointed = _truncate_lineage(labels)
+            labels.unpersist()
+            labels = checkpointed
     edges.unpersist()
-    return labels.select(F.col("v").alias("doc_id"), F.col("lbl").alias("component"))
+    if changed != 0:
+        msg = (
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — returned labels are not "
+            "canonical; raise max_iter (rounds needed ≈ graph diameter)"
+        )
+        if raise_on_non_convergence:
+            labels.unpersist()
+            raise ValueError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
+    final = _truncate_lineage(
+        labels.select(F.col("v").alias("doc_id"), F.col("lbl").alias("component"))
+    )
+    labels.unpersist()
+    return final
 
 
 def near_dedup(

@@ -2,10 +2,16 @@
 
 The pipeline is per-document (no cross-document windows), so the idiomatic
 Structured Streaming shape is a file/table stream + ``foreachBatch``: each
-micro-batch runs the SAME batch plan (pipeline.extract) and appends results
-+ lineage atomically per epoch. Checkpointing gives exactly-once sink
-appends; the lineage table additionally enables exact cross-run resume
-(operators/lineage.py) even if the checkpoint is lost — the anti-join path.
+micro-batch runs the SAME batch plan (pipeline.extract) and commits results
++ lineage idempotently per epoch. Structured Streaming REPLAYS an epoch
+after a crash that happens before the checkpoint commit, so a blind
+``mode("append")`` would duplicate every parsed row and its lineage row on
+replay; instead each epoch writes its own ``epoch=<id>`` partition
+directory with OVERWRITE (the same pattern as dedup_stream.py's near-dup
+state), making replay a no-op rewrite — exactly-once output under
+crash-replay. The lineage table additionally enables exact cross-run
+resume (operators/lineage.py) even if the checkpoint is lost — the
+anti-join path.
 
 This mirrors the reference's incremental posture (idempotent re-runs via
 timestamped results, agentic_doc/parse.py:453-467) with real streaming
@@ -45,15 +51,9 @@ def stream_extract(
     )
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        parsed = extract(batch_df, settings).persist()
-        try:
-            parsed.write.mode("append").parquet(output_path)
-            if metrics_path is not None:
-                lineage_rows(
-                    parsed, f"{run_id}-epoch{epoch_id}", f"epoch-{epoch_id}"
-                ).write.mode("append").parquet(metrics_path)
-        finally:
-            parsed.unpersist()
+        _process_extract_batch(
+            batch_df, int(epoch_id), output_path, metrics_path, run_id, settings
+        )
 
     writer = (
         src.writeStream.foreachBatch(process_batch)
@@ -65,3 +65,35 @@ def stream_extract(
         q.awaitTermination()
         return q
     return writer.start()
+
+
+def _process_extract_batch(
+    batch_df: DataFrame,
+    epoch_id: int,
+    output_path: str,
+    metrics_path: str | None,
+    run_id: str,
+    settings: Settings = DEFAULT_SETTINGS,
+) -> None:
+    """One extraction epoch (module-level so replay idempotency is
+    directly testable by invoking the same epoch twice).
+
+    Replay-idempotent commit: the epoch's parsed rows land in
+    ``{output_path}/epoch=<id>`` with OVERWRITE — a replayed epoch
+    rewrites the same partition instead of appending duplicates — and
+    lineage is computed FROM THE DURABLY WRITTEN FILES (the
+    run_with_resume invariant: checksums can never diverge from what
+    readers see) into ``{metrics_path}/epoch=<id>``, also OVERWRITE.
+    Output commits before lineage: a crash between the two re-extracts
+    the epoch on replay (at-least-once work, exactly-once rows), whereas
+    lineage-first would mark unwritten docs completed."""
+    if not batch_df.head(1):
+        return
+    spark = batch_df.sparkSession
+    epoch_dir = f"{output_path}/epoch={epoch_id}"
+    extract(batch_df, settings).write.mode("overwrite").parquet(epoch_dir)
+    if metrics_path is not None:
+        durable = spark.read.parquet(epoch_dir)
+        lineage_rows(
+            durable, f"{run_id}-epoch{epoch_id}", f"epoch-{epoch_id}"
+        ).write.mode("overwrite").parquet(f"{metrics_path}/epoch={epoch_id}")

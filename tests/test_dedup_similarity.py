@@ -222,6 +222,36 @@ def test_ivf_zero_norm_vector_assignment(spark):
     assert 99 in {r["neighbor_id"] for r in res.collect()}
 
 
+def test_connected_components_checkpoint_bounds_plan(spark):
+    # a deep chain forces many propagation rounds; with a small
+    # checkpoint_interval the FINAL plan must be a leaf scan (lineage
+    # truncated), not an unrolled join chain — and labels stay correct
+    from agentic_doc_spark.operators.dedup import connected_components
+
+    n = 12  # path graph 0-1-...-12 → diameter 12
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n)], ["a", "b"])
+    comp = connected_components(pairs, checkpoint_interval=2)
+    assert {r["component"] for r in comp.collect()} == {0}
+    plan = comp._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan, plan  # lineage truncated, not unrolled
+
+
+def test_connected_components_non_convergence_surfaced(spark):
+    import warnings
+
+    import pytest
+
+    from agentic_doc_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(12)], ["a", "b"])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        connected_components(pairs, max_iter=2)
+        assert any("did not converge" in str(x.message) for x in w)
+    with pytest.raises(ValueError, match="did not converge"):
+        connected_components(pairs, max_iter=2, raise_on_non_convergence=True)
+
+
 def test_connected_components_empty_pairs(spark):
     from agentic_doc_spark.operators.dedup import connected_components, near_dedup
 

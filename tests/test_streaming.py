@@ -132,6 +132,32 @@ def test_stream_extract_incremental(spark, tmp_path):
     assert all_done == sorted(ids)
 
 
+def test_stream_extract_replay_idempotent(spark, tmp_path):
+    # a replayed epoch (crash before checkpoint commit) must not duplicate
+    # parsed rows OR lineage rows — epoch-partition OVERWRITE commit
+    from agentic_doc_spark.streaming.stream import _process_extract_batch
+
+    out = str(tmp_path / "re_out")
+    metrics = str(tmp_path / "re_metrics")
+    batch = corpus_df(spark, 1)
+    n_docs = batch.count()
+
+    _process_extract_batch(batch, 0, out, metrics, "stream")
+    assert spark.read.parquet(out).count() == n_docs
+    m1 = spark.read.parquet(metrics).collect()
+
+    # replay the SAME epoch with the same data
+    _process_extract_batch(batch, 0, out, metrics, "stream")
+    got = spark.read.parquet(out)
+    assert got.count() == n_docs
+    assert got.select("doc_id").distinct().count() == n_docs
+    m2 = spark.read.parquet(metrics).collect()
+    assert len(m2) == len(m1)
+    assert sorted(i for r in m2 for i in r["doc_ids_completed"]) == sorted(
+        i for r in m1 for i in r["doc_ids_completed"]
+    )
+
+
 def test_windowed_counts_late_data(spark, tmp_path):
     # watermarked tumbling windows: a window is emitted once finalized,
     # and an event later than the watermark horizon is dropped from it
