@@ -34,6 +34,7 @@ def parse(
     include_marginalia: bool | None = None,
     include_metadata_in_markdown: bool | None = None,
     result_save_dir: str | None = None,
+    result_format: str = "parquet",
     grounding_save_dir: str | None = None,
     connector_path: str | None = None,
     connector_pattern: str | None = None,
@@ -50,9 +51,12 @@ def parse(
     - ``extraction_model``: StructType schema (the Pydantic-model analog);
       ``extraction_schema``: DDL/JSON-schema string. Mutually exclusive
       (U5, agentic_doc/parse.py:119-122).
-    - ``result_save_dir``: when set, results are also appended there and
+    - ``result_save_dir``: when set, results are also written there and
       the same DataFrame is returned (reference entry point 3,
-      parse.py:325-367).
+      parse.py:325-367). ``result_format="parquet"`` appends a table;
+      ``"json"`` writes the reference's per-document JSON export
+      (timestamped result_name, parse.py:453-467) readable back via
+      ``sinks.read_parsed_json``.
     - ``config``: full Settings object; wins over keyword flags
       (reference precedence, parse.py:93-101).
     """
@@ -107,13 +111,19 @@ def parse(
 
     schema = extraction_model or extraction_schema
     if schema is not None:
+        if (
+            extraction_metadata_col is not None
+            and extraction_metadata_col not in df.columns
+        ):
+            # silently ignoring a missing metadata column would drop the
+            # user's requested extraction_metadata with no signal
+            raise ValueError(
+                f"extraction_metadata_col {extraction_metadata_col!r} is not "
+                f"a column of the input (columns: {df.columns})"
+            )
         if extraction_payload_col in df.columns:
             cols = ["doc_id", extraction_payload_col]
-            md_col = (
-                extraction_metadata_col
-                if extraction_metadata_col in (df.columns)
-                else None
-            )
+            md_col = extraction_metadata_col
             if md_col:
                 cols.append(md_col)
             payloads = df.select(*cols)
@@ -144,13 +154,36 @@ def parse(
                     ),
                 )
         else:
+            # no payload column: extraction is NULL but typed as the SAME
+            # struct the payload path produces — one query, one dtype,
+            # whether or not the input carried payloads
             from pyspark.sql import functions as F
 
+            from agentic_doc_spark.operators.extraction import metadata_schema
+
+            st = (
+                T._parse_datatype_string(schema)
+                if isinstance(schema, str)
+                else schema
+            )
             parsed = parsed.withColumn(
-                "extraction", F.lit(None).cast("string")
+                "extraction", F.lit(None).cast(st)
             ).withColumn("extraction_error", F.lit(None).cast("string"))
+            if extraction_metadata_col is not None:
+                parsed = parsed.withColumn(
+                    "extraction_metadata",
+                    F.lit(None).cast(metadata_schema(st)),
+                )
         parsed = extraction_page_guard(parsed, settings.extraction_split_size)
 
     if result_save_dir:
-        parsed.write.mode("append").parquet(result_save_dir)
+        if result_format == "json":
+            # reference entry point 3 writes per-doc timestamped JSON
+            # results (parse.py:453-467); read back via
+            # sinks.read_parsed_json
+            from agentic_doc_spark.sources.sinks import write_json_results
+
+            write_json_results(parsed, result_save_dir)
+        else:
+            parsed.write.mode("append").parquet(result_save_dir)
     return parsed

@@ -123,6 +123,54 @@ def test_save_dir_roundtrip(spark, tmp_path):
     assert spark.read.parquet(out_dir).count() == df.count()
 
 
+def test_save_dir_json_roundtrip(spark, tmp_path):
+    # result_format="json": the reference's per-doc JSON export through
+    # the facade, read back via read_parsed_json with identical spans
+    from agentic_doc_spark.sources.sinks import read_parsed_json
+
+    df = corpus_df(spark, 1)
+    out_dir = str(tmp_path / "json_results")
+    parsed = parse(spark, df, result_save_dir=out_dir, result_format="json")
+    back = read_parsed_json(spark, out_dir)
+    assert back.count() == df.count()
+    want = {
+        r["doc_id"]: [tuple(s) for s in r["spans"]] for r in parsed.collect()
+    }
+    for r in back.collect():
+        assert [tuple(s) for s in r["spans"]] == want[r["doc_id"]]
+        assert r["result_name"].startswith(r["doc_id"] + "_")  # F4 naming
+
+
+def test_extraction_fallback_schema_matches_payload_path(spark):
+    # same query, same dtype: with the payload column absent, extraction
+    # must still be a struct of the user schema (not a NULL string)
+    schema = "title string, pages int"
+    with_payload = parse(
+        spark,
+        corpus_df(spark, 1).withColumn(
+            "extraction_payload", F.lit(json.dumps({"title": "t", "pages": 1}))
+        ),
+        extraction_schema=schema,
+    )
+    without_payload = parse(spark, corpus_df(spark, 1), extraction_schema=schema)
+    get = lambda df, c: df.schema[c].dataType  # noqa: E731
+    assert get(with_payload, "extraction") == get(without_payload, "extraction")
+    assert get(with_payload, "extraction_error") == get(
+        without_payload, "extraction_error"
+    )
+    assert without_payload.filter(F.col("extraction").isNotNull()).count() == 0
+
+
+def test_extraction_metadata_col_missing_raises(spark):
+    with pytest.raises(ValueError, match="extraction_metadata_col"):
+        parse(
+            spark,
+            corpus_df(spark, 1),
+            extraction_schema="title string",
+            extraction_metadata_col="no_such_column",
+        )
+
+
 def test_parse_raw_file_directory(spark, tmp_path):
     # the reference's core UX: parse(<dir of files>) end-to-end
     # (agentic_doc/parse.py:140-163) — mixed txt/md/html, undecodable
