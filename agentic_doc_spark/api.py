@@ -36,6 +36,8 @@ def parse(
     result_save_dir: str | None = None,
     result_format: str = "parquet",
     grounding_save_dir: str | None = None,
+    page_rasters: DataFrame | None = None,
+    render_groundings: bool = True,
     connector_path: str | None = None,
     connector_pattern: str | None = None,
     extraction_model: T.StructType | None = None,
@@ -57,6 +59,11 @@ def parse(
       ``"json"`` writes the reference's per-document JSON export
       (timestamped result_name, parse.py:453-467) readable back via
       ``sinks.read_parsed_json``.
+    - ``grounding_save_dir``: populate ``grounding.image_path`` AND write
+      the crop PNGs there (reference parse.py:441-448 + utils.py:63-169);
+      ``page_rasters`` supplies renderer output (doc_id, page, content),
+      else pages are synthesized deterministically from the layout;
+      ``render_groundings=False`` attaches paths only.
     - ``config``: full Settings object; wins over keyword flags
       (reference precedence, parse.py:93-101).
     """
@@ -100,14 +107,29 @@ def parse(
 
     if grounding_save_dir:
         # reference behavior: image_path is populated ONLY when a
-        # grounding save dir is given (agentic_doc/parse.py:441-448);
-        # render_grounding_crops(parsed, pages) produces the bytes at
-        # exactly these paths
+        # grounding save dir is given (agentic_doc/parse.py:441-448),
+        # and the crop PNGs are written there
+        # (save_groundings_as_images, utils.py:63-169). ``page_rasters``
+        # (doc_id, page, content) supplies real page images when the
+        # caller has a renderer; otherwise rasterize_pages synthesizes
+        # deterministic layout pages so the loop closes in-engine.
         from agentic_doc_spark.operators.multimodal import (
             attach_grounding_image_paths,
+            rasterize_pages,
+            render_grounding_crops,
+            write_grounding_images,
         )
 
         parsed = attach_grounding_image_paths(parsed, grounding_save_dir)
+        if render_groundings:
+            pages = (
+                page_rasters
+                if page_rasters is not None
+                else rasterize_pages(parsed)
+            )
+            write_grounding_images(
+                render_grounding_crops(parsed, pages), grounding_save_dir
+            )
 
     schema = extraction_model or extraction_schema
     if schema is not None:

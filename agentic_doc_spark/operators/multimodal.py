@@ -57,8 +57,8 @@ def _decode_array(data: bytes) -> np.ndarray | None:
     return None
 
 
-def _decode_image(data: bytes) -> tuple[int, int, np.ndarray]:
-    """Decode → (width, height, 8-dim feature vector).
+def _decode_image(data: bytes) -> tuple[int, int, np.ndarray, bool]:
+    """Decode → (width, height, 8-dim feature vector, decoded flag).
 
     Real path: decode (PIL or pure-PNG) → 4×2 nearest downsample →
     per-cell channel means /255 (reference page_to_image,
@@ -83,13 +83,13 @@ def _decode_image(data: bytes) -> tuple[int, int, np.ndarray]:
             for c in range(4)
         ]
         feat = np.asarray(cells, dtype=np.float32)
-        return width, height, feat
+        return width, height, feat, True
     h = hashlib.sha256(data).digest()
     width = 64 + h[0] % 192
     height = 64 + h[1] % 192
     rng = np.random.default_rng(int.from_bytes(h[2:10], "big"))
     feat = rng.standard_normal(8).astype(np.float32)
-    return width, height, feat
+    return width, height, feat, False
 
 
 _FEATURES_SCHEMA = T.StructType(
@@ -98,12 +98,19 @@ _FEATURES_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("features", T.ArrayType(T.FloatType())),
+        T.StructField("decoded", T.BooleanType()),
     ]
 )
 
 
 def extract_media_features(media: DataFrame) -> DataFrame:
     """media(media_ref, content BINARY) → per-media features.
+
+    ``decoded`` SURFACES the codec boundary per row: True = features came
+    from real pixel data (PIL or the pure PNG codec), False = the payload
+    was undecodable and the features are the deterministic hash fake —
+    downstream consumers (ANN, dedup) filter on it instead of silently
+    training on fakes.
 
     Arrow-batched; scale path: media bytes stay columnar in parquet, the
     decode cost dominates so partitioning by file size (maxPartitionBytes)
@@ -113,10 +120,12 @@ def extract_media_features(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for ref, data in zip(pdf["media_ref"], pdf["content"]):
-                w, h, feat = _decode_image(bytes(data) if data is not None else b"")
-                rows.append((ref, w, h, feat.tolist()))
+                b = bytes(data) if data is not None else b""
+                w, h, feat, ok = _decode_image(b)
+                rows.append((ref, w, h, feat.tolist(), ok))
             yield pd.DataFrame(
-                rows, columns=["media_ref", "width", "height", "features"]
+                rows,
+                columns=["media_ref", "width", "height", "features", "decoded"],
             )
 
     return media.mapInPandas(run, _FEATURES_SCHEMA)
@@ -295,40 +304,61 @@ def render_grounding_crops(
     pages: DataFrame,
     page_width: int = 816,
     page_height: int = 1056,
+    count_decodes: bool = False,
 ) -> DataFrame:
     """S9/K2 for REAL: crop PNG bytes per grounding, named exactly as the
     reference writes them (save_groundings_as_images,
     agentic_doc/utils.py:63-169: ``page_{p}/{type}_{chunk_id}_{i}.png``).
 
     ``pages`` is (doc_id, page, content BINARY) — rasterized page images
-    (PNG; any PIL-readable format when PIL is present). The crop specs
-    (geometry, clamping, naming) come from grounding_crop_specs; this
-    join + mapInPandas kernel decodes each page ONCE per partition-local
-    group and emits one PNG per grounding. Undecodable pages are skipped
-    (R6). The join is an equi-join on (doc_id, page) — at 10^12 docs both
-    sides partition on the same key, no broadcast assumption."""
+    (PNG; any PIL-readable format when PIL is present; rasterize_pages
+    synthesizes them when no renderer output is available). The crop
+    specs (geometry, clamping, naming) come from grounding_crop_specs;
+    this join + mapInPandas kernel decodes each page ONCE per
+    partition-local group and emits one PNG per grounding. Undecodable
+    pages are skipped (R6). The join is an equi-join on (doc_id, page) —
+    at 10^12 docs both sides partition on the same key, no broadcast
+    assumption. The (doc_id, page) sort runs AFTER the join so the
+    decode-once LRU holds under EVERY join strategy — a shuffled hash
+    join interleaves keys arbitrarily, and pre-join order does not
+    survive its exchange.
+
+    ``count_decodes=True`` appends a ``cache_miss`` column (True on the
+    row that triggered the page decode) — the instrumentation the
+    decode-locality test pins the once-per-page property with."""
     from agentic_doc_spark.functions.png import crop, encode_png
 
     specs = grounding_crop_specs(parsed, page_width, page_height)
-    joined = specs.join(pages, ["doc_id", "page"]).select(
-        "doc_id", "page", "rel_path", "px", "content"
+    joined = (
+        specs.join(pages, ["doc_id", "page"])
+        .select("doc_id", "page", "rel_path", "px", "content")
+        .sortWithinPartitions("doc_id", "page")
     )
+    schema = _CROPS_SCHEMA
+    if count_decodes:
+        schema = T.StructType(
+            _CROPS_SCHEMA.fields + [T.StructField("cache_miss", T.BooleanType())]
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from collections import OrderedDict
 
+        cols = [f.name for f in schema.fields]
+        # decode each page once per key GROUP: rows arrive key-sorted
+        # (sortWithinPartitions AFTER the join) so a small LRU suffices —
+        # an unbounded cache of decoded pages (~2.6 MB each) would grow
+        # without limit on page-diverse partitions. Scoped to the
+        # PARTITION (outside the batch loop) so a group that straddles an
+        # Arrow batch boundary still decodes once.
+        cache: OrderedDict[tuple, np.ndarray | None] = OrderedDict()
         for pdf in batches:
             rows = []
-            # decode each page once per key GROUP: rows arrive key-sorted
-            # (sortWithinPartitions) so a small LRU suffices — an
-            # unbounded per-batch cache of decoded pages (~2.6 MB each)
-            # would grow without limit on page-diverse batches
-            cache: OrderedDict[tuple, np.ndarray | None] = OrderedDict()
             for doc_id, page, rel, px, data in zip(
                 pdf["doc_id"], pdf["page"], pdf["rel_path"], pdf["px"], pdf["content"]
             ):
                 key = (doc_id, page)
-                if key not in cache:
+                miss = key not in cache
+                if miss:
                     arr = _decode_array(bytes(data) if data is not None else b"")
                     cache[key] = arr
                     while len(cache) > 8:
@@ -345,10 +375,107 @@ def render_grounding_crops(
                 )
                 if piece.size == 0:
                     continue
-                rows.append((doc_id, rel, bytearray(encode_png(piece))))
-            yield pd.DataFrame(rows, columns=["doc_id", "rel_path", "content"])
+                out = (doc_id, rel, bytearray(encode_png(piece)))
+                rows.append(out + (miss,) if count_decodes else out)
+            yield pd.DataFrame(rows, columns=cols)
 
-    return joined.mapInPandas(run, _CROPS_SCHEMA)
+    return joined.mapInPandas(run, schema)
+
+
+_PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("page", T.IntegerType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+
+def rasterize_pages(
+    parsed: DataFrame, page_width: int = 816, page_height: int = 1056
+) -> DataFrame:
+    """K1's raster half: (doc_id, page, content PNG) page images rendered
+    from the parsed layout itself — the in-engine stand-in for a PDF
+    renderer (reference page_to_image, agentic_doc/utils.py:110-124,
+    rasterizes with pypdfium2; this container has no PDF renderer, so the
+    page is SYNTHESIZED deterministically from the chunk geometry: each
+    grounding box draws a bordered block with ragged dark "text runs"
+    whose ink pattern derives from sha256(chunk_id)). Feeding these to
+    render_grounding_crops closes the parse → crop-files loop with zero
+    caller-supplied rasters; swap in real renderer output (same schema)
+    when one is available.
+
+    Plan shape: one groupBy (doc_id, page) over the exploded crop specs
+    (map-side combinable collect_list, groups are page-sized), then a
+    pure mapInPandas render — canvas memory is one page (~2.6 MB) at a
+    time per worker."""
+    from pyspark.sql import functions as F
+
+    from agentic_doc_spark.functions.png import encode_png
+
+    specs = grounding_crop_specs(parsed, page_width, page_height)
+    per_page = specs.groupBy("doc_id", "page").agg(
+        F.sort_array(
+            F.collect_list(F.struct("chunk_id", "chunk_type", "px"))
+        ).alias("cs")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, page, cs in zip(pdf["doc_id"], pdf["page"], pdf["cs"]):
+                canvas = np.full((page_height, page_width, 3), 255, np.uint8)
+                for c in cs:
+                    px = c["px"]
+                    x0, y0 = int(px["x0"]), int(px["y0"])
+                    x1, y1 = int(px["x1"]), int(px["y1"])
+                    if x1 <= x0 or y1 <= y0:
+                        continue
+                    seed = hashlib.sha256(
+                        str(c["chunk_id"]).encode()
+                    ).digest()
+                    # block background tint + 2px border
+                    canvas[y0:y1, x0:x1] = (
+                        205 + seed[0] % 50,
+                        215 + seed[1] % 40,
+                        225 + seed[2] % 30,
+                    )
+                    canvas[y0 : min(y0 + 2, y1), x0:x1] = 60
+                    canvas[max(y1 - 2, y0) : y1, x0:x1] = 60
+                    canvas[y0:y1, x0 : min(x0 + 2, x1)] = 60
+                    canvas[y0:y1, max(x1 - 2, x0) : x1] = 60
+                    # ragged text runs: 2px dark lines, widths from the seed
+                    for li, y in enumerate(range(y0 + 5, y1 - 4, 7)):
+                        frac = 0.5 + (seed[(3 + li) % 32] % 115) / 256.0
+                        xe = x0 + 3 + int((x1 - x0 - 6) * min(frac, 1.0))
+                        canvas[y : y + 2, x0 + 3 : max(xe, x0 + 4)] = 30
+                rows.append((doc_id, int(page), bytearray(encode_png(canvas))))
+            yield pd.DataFrame(rows, columns=["doc_id", "page", "content"])
+
+    return per_page.mapInPandas(run, _PAGES_SCHEMA)
+
+
+def write_grounding_images(crops: DataFrame, save_dir: str) -> None:
+    """Materialize rendered crops as files: ``{save_dir}/{rel_path}`` —
+    the exact paths attach_grounding_image_paths put in
+    ``grounding.image_path``. Executor-side foreachPartition (no
+    driver collect); ``save_dir`` must be storage every executor can
+    reach (local fs in local mode, NFS/object-store mount on a
+    cluster)."""
+    base = save_dir.rstrip("/")
+
+    def write_part(rows) -> None:
+        import os
+
+        for row in rows:
+            out = f"{base}/{row['rel_path']}"
+            os.makedirs(os.path.dirname(out), exist_ok=True)
+            tmp = f"{out}.part"
+            with open(tmp, "wb") as f:
+                f.write(bytes(row["content"]))
+            os.replace(tmp, out)  # publish whole files only
+
+    crops.foreachPartition(write_part)
 
 
 _RESIZED_SCHEMA = T.StructType(

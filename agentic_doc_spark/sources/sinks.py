@@ -36,7 +36,15 @@ def write_json_results(parsed: DataFrame, path: str) -> None:
 
 def read_parsed_json(spark: SparkSession, path: str) -> DataFrame:
     """Round-trip loader (parse.py:201-221 twin) — re-reads the JSON export
-    with the canonical schema (F7: from_json/to_json parity)."""
-    return spark.read.schema(
-        PARSED_DOCUMENT.add("result_name", "string")
-    ).json(path)
+    with the canonical schema (F7: from_json/to_json parity).
+
+    Builds a FRESH StructType: ``PARSED_DOCUMENT.add(...)`` would mutate
+    the module-global schema in place (StructType.add is in-place), making
+    every later pipeline stage emit a phantom result_name column."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(PARSED_DOCUMENT.fields)
+        + [T.StructField("result_name", T.StringType())]
+    )
+    return spark.read.schema(schema).json(path)

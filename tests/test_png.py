@@ -137,3 +137,94 @@ def test_render_grounding_crops_real_bytes(spark):
         got = decode_png(crops[rel])
         want = page_arr[px["y0"] : px["y1"], px["x0"] : px["x1"]]
         assert (got == want).all()
+
+
+def test_rasterize_pages_synthesizes_decodable_layout_pages(spark):
+    # K1 raster half: every parsed page with valid groundings renders to a
+    # real page-sized PNG with ink inside the grounding boxes
+    from agentic_doc_spark.operators.multimodal import (
+        grounding_crop_specs,
+        rasterize_pages,
+    )
+    from agentic_doc_spark.pipeline import extract
+    from agentic_doc_spark.synth import corpus_df
+
+    parsed = extract(corpus_df(spark, 1))
+    pages = {
+        (r["doc_id"], r["page"]): bytes(r["content"])
+        for r in rasterize_pages(parsed).collect()
+    }
+    spec_pages = {
+        (r["doc_id"], r["page"])
+        for r in grounding_crop_specs(parsed).collect()
+    }
+    assert set(pages) == spec_pages and pages
+    one = decode_png(next(iter(pages.values())))
+    assert one.shape == (1056, 816, 3)
+    assert one.min() < 80  # text-run ink, not a blank page
+    # deterministic: a second render is byte-identical
+    again = {
+        (r["doc_id"], r["page"]): bytes(r["content"])
+        for r in rasterize_pages(parsed).collect()
+    }
+    assert again == pages
+
+
+def test_parse_grounding_save_dir_end_to_end(spark, tmp_path):
+    # parse(grounding_save_dir=...) with ZERO caller-supplied rasters:
+    # every non-null image_path has its PNG file on disk, and each crop's
+    # pixel dims match the spec's clamped rect
+    from agentic_doc_spark.api import parse
+    from agentic_doc_spark.operators.multimodal import grounding_crop_specs
+    from agentic_doc_spark.synth import corpus_df
+
+    save = str(tmp_path / "gsave")
+    out = parse(spark, corpus_df(spark, 1), grounding_save_dir=save)
+    paths = [
+        g["image_path"]
+        for r in out.collect()
+        for c in (r["chunks"] or [])
+        for g in (c["grounding"] or [])
+        if g["image_path"] is not None
+    ]
+    assert paths
+    specs = {
+        f"{save}/{r['rel_path']}": r["px"]
+        for r in grounding_crop_specs(out).collect()
+    }
+    import os
+
+    for p in paths:
+        assert os.path.isfile(p), p
+        with open(p, "rb") as f:
+            img = decode_png(f.read())
+        px = specs[p]
+        assert img.shape[:2] == (px["y1"] - px["y0"], px["x1"] - px["x0"])
+
+
+def test_render_crops_decode_once_per_page(spark):
+    # the post-join sortWithinPartitions pins the once-per-(doc,page)
+    # decode property under every join strategy: total cache misses ==
+    # distinct rendered (doc_id, page) groups
+    from pyspark.sql import functions as F
+
+    from agentic_doc_spark.operators.multimodal import (
+        rasterize_pages,
+        render_grounding_crops,
+    )
+    from agentic_doc_spark.pipeline import extract
+    from agentic_doc_spark.synth import corpus_df
+
+    parsed = extract(corpus_df(spark, 2))
+    pages = rasterize_pages(parsed)
+    crops = render_grounding_crops(parsed, pages, count_decodes=True).cache()
+    n_groups = (
+        crops.select(
+            F.split(F.col("rel_path"), "/").getItem(0).alias("p"), "doc_id"
+        )
+        .distinct()
+        .count()
+    )
+    n_decodes = crops.filter("cache_miss").count()
+    assert n_decodes == n_groups, (n_decodes, n_groups)
+    crops.unpersist()

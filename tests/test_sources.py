@@ -124,9 +124,27 @@ def test_media_features_stub(spark):
     assert len(rows) == 2
     assert all(64 <= rows[m]["width"] <= 256 for m in rows)
     assert all(len(rows[m]["features"]) == 8 for m in rows)
+    # the codec boundary is SURFACED, not silent: garbage bytes → decoded=False
+    assert all(rows[m]["decoded"] is False for m in rows)
     # determinism
     again = {r["media_ref"]: r for r in extract_media_features(media).collect()}
     assert rows["m1"]["features"] == again["m1"]["features"]
+
+
+def test_media_features_decoded_flag_real_png(spark):
+    import numpy as np
+
+    from agentic_doc_spark.functions.png import encode_png
+
+    arr = np.arange(10 * 12 * 3, dtype=np.uint8).reshape(10, 12, 3)
+    media = spark.createDataFrame(
+        [("real", bytearray(encode_png(arr))), ("fake", bytearray(b"junk"))],
+        "media_ref string, content binary",
+    )
+    rows = {r["media_ref"]: r for r in extract_media_features(media).collect()}
+    assert rows["real"]["decoded"] is True
+    assert (rows["real"]["width"], rows["real"]["height"]) == (12, 10)
+    assert rows["fake"]["decoded"] is False
 
 
 def test_sample_frames_stub(spark):
