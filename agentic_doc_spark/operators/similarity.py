@@ -113,9 +113,11 @@ def assign_cells(
     interpreted HOF lambdas (repo perf ground rules; measured on the
     minhash kernel).
 
-    NaN cosine (zero-norm vector) sorts GREATEST, exactly as both the
-    previous row_number window and the DuckDB oracle order it: such a
-    vector lands in the lowest cell rather than a phantom cell."""
+    Zero-norm vectors score 0.0 to every centroid (cosine() is
+    try_divide + coalesce(0.0)), so they land in the lowest cell via the
+    fold's keep-first-on-tie behavior. The NaN comparator branches cover
+    NaN-VALUED embeddings only (NaN sorts greatest → lowest cell, never
+    a phantom cell), matching the DuckDB oracle's ordering."""
     v = F.col(vec_col)
     scored = F.transform(
         cent_lit if cent_lit is not None else _centroid_literal(centroids),
@@ -148,8 +150,10 @@ def _probe_cells(
     cent_lit: F.Column | None = None,
 ) -> DataFrame:
     """Top-n_probe nearest cells per query, selected INSIDE the row
-    (array_sort with a (cos DESC — NaN greatest, cell ASC) comparator +
-    slice) — no query-side shuffle either."""
+    (array_sort with a (cos DESC, cell ASC) comparator + slice) — no
+    query-side shuffle either. Zero-norm queries score 0.0 everywhere
+    (try_divide + coalesce) and probe the lowest cells; the NaN branches
+    in the comparator handle NaN-valued embeddings only (NaN greatest)."""
     qv = F.col(vec_col)
     scored = F.transform(
         cent_lit if cent_lit is not None else _centroid_literal(centroids),

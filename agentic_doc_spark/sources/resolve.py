@@ -112,7 +112,28 @@ def resolve(spark: SparkSession, documents: DocumentsInput, **options) -> DataFr
     if isinstance(documents, (str, Path)):
         p = str(documents)
         if options.pop("format", None) == "parquet" or _is_parquet_corpus(p):
-            return spark.read.schema(DOCUMENTS_RAW).parquet(p)
+            # validate the ACTUAL parquet schema before forcing
+            # DOCUMENTS_RAW onto it — a forced schema null-fills missing
+            # columns, so an arbitrary parquet dataset would silently
+            # yield all-null doc_id/spans instead of an error. Footer
+            # read only (no data scan).
+            actual = spark.read.parquet(p)
+            missing = [
+                f.name for f in DOCUMENTS_RAW.fields
+                if f.name not in actual.columns
+            ]
+            if missing:
+                raise ValueError(
+                    f"parquet input at {p!r} is not a documents_raw corpus: "
+                    f"missing column(s) {missing} (found {actual.columns}); "
+                    "expected (doc_id string, spans array<struct<kind,text,"
+                    "media_ref,offset>>)"
+                )
+            if set(actual.columns) == {f.name for f in DOCUMENTS_RAW.fields}:
+                return spark.read.schema(DOCUMENTS_RAW).parquet(p)
+            # superset (e.g. extraction_payload riding along): keep the
+            # extra columns — forcing DOCUMENTS_RAW would drop them
+            return actual
         return read_binary_dir(spark, p, **options)
     if isinstance(documents, Iterable):
         paths = [str(x) for x in documents]
@@ -144,6 +165,25 @@ def _safe_name(name: str) -> str:
     import re
 
     return re.sub(r"[^A-Za-z0-9._-]", "_", name)[:128] or "download"
+
+
+def _clean_staging(dest: str) -> None:
+    """Remove ONLY files the stager itself creates — the ``NNNNNN_*``
+    staged names and ``*.part`` leftovers of a hard-killed run. A
+    caller-supplied staging_dir may contain unrelated pre-existing files;
+    an rmtree of an arbitrary user path would silently delete them."""
+    import re
+
+    d = Path(dest)
+    if not d.is_dir():
+        return
+    staged = re.compile(r"^\d{6}_")
+    for f in d.iterdir():
+        if f.is_file() and (staged.match(f.name) or f.name.endswith(".part")):
+            try:
+                f.unlink()
+            except OSError:
+                pass
 
 
 def stage_urls(
@@ -241,15 +281,15 @@ def create_connector(config: dict) -> dict:
     if kind == "url":
         # driver-side staging (S5), then the ordinary binary dir scan —
         # staged names carry an index prefix, so no extension assumption.
-        # The staging dir is WIPED first: stale files from prior runs (or
-        # .part leftovers of a hard-killed stager) must not be ingested.
-        import shutil
+        # Stale STAGED files from prior runs (NNNNNN_* and .part
+        # leftovers of a hard-killed stager) are removed first; unrelated
+        # pre-existing files in a caller-supplied staging_dir survive.
         import tempfile
 
         dest = config.get("staging_dir") or tempfile.mkdtemp(
             prefix="agentic_doc_url_stage_"
         )
-        shutil.rmtree(dest, ignore_errors=True)
+        _clean_staging(dest)
         stage_urls(
             config.get("urls", []), dest, timeout=config.get("timeout", 30.0)
         )
@@ -260,7 +300,6 @@ def create_connector(config: dict) -> dict:
         # ``fetcher(file_id) -> bytes`` — OAuth flows are driver-side and
         # environment-specific, so the connector owns staging + R6
         # skip-on-failure while the caller owns auth.
-        import shutil
         import tempfile
 
         fetcher = config.get("fetcher")
@@ -275,7 +314,7 @@ def create_connector(config: dict) -> dict:
         )
         import os
 
-        shutil.rmtree(dest, ignore_errors=True)  # no stale staged files
+        _clean_staging(dest)  # stale staged files only; user files survive
         os.makedirs(dest, exist_ok=True)
         for i, file_id in enumerate(config.get("file_ids", [])):
             try:

@@ -69,6 +69,49 @@ def test_connector_factory():
         create_connector({"connector_type": "nope"})
 
 
+def test_staging_dir_preserves_unrelated_files(tmp_path):
+    # a caller-supplied staging_dir with pre-existing unrelated files must
+    # NOT be wiped — only stager-created NNNNNN_* and *.part leftovers go
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    keep = stage / "important_notes.txt"
+    keep.write_text("do not delete")
+    (stage / "000001_stale_staged.bin").write_bytes(b"old")
+    (stage / "000002_half.pdf.part").write_bytes(b"partial")
+    spec = create_connector(
+        {"connector_type": "url", "urls": [], "staging_dir": str(stage)}
+    )
+    assert spec["path"] == str(stage)
+    assert keep.read_text() == "do not delete"  # survived
+    assert not (stage / "000001_stale_staged.bin").exists()  # stale staged gone
+    assert not (stage / "000002_half.pdf.part").exists()  # .part leftover gone
+
+
+def test_parquet_schema_mismatch_raises(spark, tmp_path):
+    # an arbitrary parquet dataset must error clearly, not null-fill
+    from agentic_doc_spark.sources.resolve import resolve
+
+    p = str(tmp_path / "not_docs")
+    spark.createDataFrame([(1, "x")], ["id", "name"]).write.parquet(p)
+    with pytest.raises(ValueError, match="not a documents_raw corpus"):
+        resolve(spark, p)
+
+
+def test_parquet_superset_keeps_extra_columns(spark, tmp_path):
+    # a documents_raw corpus with an extraction_payload column riding
+    # along keeps it through resolve (the facade's payload path needs it)
+    from agentic_doc_spark.sources.resolve import resolve
+    from agentic_doc_spark.synth import corpus_df
+
+    p = str(tmp_path / "docs_plus")
+    corpus_df(spark, 1).withColumn(
+        "extraction_payload", F.lit('{"title":"t"}')
+    ).write.parquet(p)
+    df = resolve(spark, p)
+    assert "extraction_payload" in df.columns
+    assert df.count() == corpus_df(spark, 1).count()
+
+
 def test_google_drive_connector_staging(spark, tmp_path):
     # S4: staging + R6 skip with an injected fetcher (the Drive API client
     # slot; OAuth is driver-side so tests inject a fake)
