@@ -1336,10 +1336,35 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": """
             WITH e AS (
               SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-            ), cents AS (
+            ), cents0 AS (
               SELECT vec_id % 8 AS cell,
                      arg_min(v, vec_id) AS centroid
               FROM e GROUP BY 1
+            ), assigned0 AS (
+              -- Lloyd round 1: assignment against the seed centroids
+              SELECT vec_id, v, cell FROM (
+                SELECT e.vec_id, e.v, c.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(e.v, c.centroid) DESC,
+                                  c.cell ASC) AS rn
+                FROM e, cents0 c
+              ) WHERE rn = 1
+            ), dmeans AS (
+              -- per-dim member means, rounded to 6 dp (the cross-engine
+              -- determinism contract of refine_centroids)
+              SELECT cell, pos, round(avg(x), 6) AS m
+              FROM (
+                SELECT cell, unnest(v) AS x,
+                       unnest(range(1, len(v) + 1)) AS pos
+                FROM assigned0
+              )
+              GROUP BY cell, pos
+            ), refined AS (
+              SELECT cell, list(m ORDER BY pos) AS centroid
+              FROM dmeans GROUP BY cell
+            ), cents AS (
+              SELECT c0.cell, COALESCE(r.centroid, c0.centroid) AS centroid
+              FROM cents0 c0 LEFT JOIN refined r ON c0.cell = r.cell
             ), assigned AS (
               SELECT vec_id, v, cell FROM (
                 SELECT e.vec_id, e.v, c.cell,

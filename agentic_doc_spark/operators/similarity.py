@@ -76,6 +76,44 @@ def derive_centroids(
     )
 
 
+def refine_centroids(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """One Lloyd (k-means) refinement round: assign every vector to its
+    nearest current centroid, then move each centroid to the per-dim MEAN
+    of its members. Materially improves IVF recall over the id-modulo
+    seeds at the same query-time plan shape.
+
+    Deterministic across engines: the mean is computed in double and
+    ROUNDED to 6 decimals, so any engine (the DuckDB oracle included)
+    reproduces bit-identical refined centroids regardless of summation
+    order; a cell that attracts no members keeps its seed centroid.
+
+    Plan: zero-exchange assignment (centroid literal + in-row argmax
+    fold) + posexplode, then ONE exchange of ≤ partitions × n_cells ×
+    dim partially-aggregated rows (map-side combine) — bounded by the
+    centroid table size, not the corpus."""
+    assigned = assign_cells(corpus, centroids, vec_col, id_col)
+    dims = assigned.select(
+        "cell", F.posexplode(F.col(vec_col)).alias("pos", "x")
+    )
+    means = dims.groupBy("cell", "pos").agg(F.avg("x").alias("m"))
+    refined = means.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda s: F.round(s["m"], 6),
+        ).alias("refined")
+    )
+    return (
+        centroids.select("cell", F.col("centroid").alias("seed"))
+        .join(refined, "cell", "left")
+        .select("cell", F.coalesce("refined", "seed").alias("centroid"))
+    )
+
+
 def _centroid_literal(centroids: DataFrame) -> F.Column:
     """Collect the (small) centroid table to a literal array<struct<cell,
     centroid>> column, cells ascending. n_cells is bounded (≤ ~10⁴ even
@@ -184,15 +222,21 @@ def ivf_topk(
     n_probe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    refine: int = 1,
 ) -> DataFrame:
     """IVF ANN: probe the n_probe nearest cells per query, exact cosine
     within them. Approximate (recall < 1 when true neighbors live in
-    unprobed cells) but plan-identical at any scale.
+    unprobed cells) but plan-identical at any scale. ``refine`` Lloyd
+    rounds (default 1) move the id-modulo seed centroids to member
+    means — better-shaped cells, higher recall, same query-time plan.
 
     Exchange budget: 1 for centroid derivation (bounded n_cells groups),
-    1 for the probe⋈assigned equi-join on cell, 1 for the per-query
-    top-k window — assignment and probe selection are row-local."""
+    1 bounded exchange per refine round, 1 for the probe⋈assigned
+    equi-join on cell, 1 for the per-query top-k window — assignment and
+    probe selection are row-local."""
     cents = derive_centroids(corpus, n_cells, vec_col, id_col)
+    for _ in range(refine):
+        cents = refine_centroids(corpus, cents, vec_col, id_col)
     cent_lit = _centroid_literal(cents)  # ONE collect, shared by both sides
     assigned = assign_cells(corpus, cents, vec_col, id_col, cent_lit=cent_lit)
     probes = _probe_cells(queries, cents, n_probe, vec_col, id_col, cent_lit=cent_lit)

@@ -176,12 +176,21 @@ def test_ivf_recall_vs_bruteforce(spark):
         (r["query_id"], r["neighbor_id"])
         for r in brute_force_topk(emb, queries, k=3).collect()
     }
-    approx = {
-        (r["query_id"], r["neighbor_id"])
-        for r in ivf_topk(emb, queries, k=3, n_cells=8, n_probe=4).collect()
-    }
-    recall = len(truth & approx) / len(truth)
-    assert recall >= 0.6, f"IVF recall {recall:.2f} too low"
+
+    def recall(refine: int) -> float:
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(
+                emb, queries, k=3, n_cells=8, n_probe=4, refine=refine
+            ).collect()
+        }
+        return len(truth & approx) / len(truth)
+
+    r0, r1 = recall(0), recall(1)
+    assert r1 >= 0.6, f"IVF recall {r1:.2f} too low"
+    # the Lloyd round must not cost recall on this corpus (measured
+    # 0.817 → 0.85 at sf0.001)
+    assert r1 >= r0, f"refined {r1:.3f} < seed {r0:.3f}"
 
 
 def test_near_dedup_survivors(spark):
