@@ -67,13 +67,18 @@ def main() -> None:
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
 
     times: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name in headline:
-        best = float("inf")
+        runs = []
         for _ in range(3):  # min-of-3: exclude plan-compile/JIT warm-up
             t0 = time.perf_counter()
             _force(qs[name](spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        times[name] = round(min(runs), 3)
+        # max-min across the 3 runs: lets a reader separate box-load
+        # noise (wide spread) from a real plan regression (tight spread,
+        # higher min) without a re-run
+        spread[name] = round(max(runs) - min(runs), 3)
 
     total = round(sum(times.values()), 3)
     dps = round(n_docs / max(times["extract_merge"], 1e-9), 1)
@@ -84,6 +89,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "queries_spread": spread,
                 "sf": sf,
                 "docs_per_sec_extract": dps,
                 "n_docs": n_docs,
