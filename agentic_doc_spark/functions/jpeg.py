@@ -1,0 +1,575 @@
+"""Pure-stdlib baseline JPEG codec (numpy + huffman, no imaging libs).
+
+Implements the baseline sequential DCT process of the public JPEG spec
+(ITU-T T.81 / ISO 10918-1): 8-bit samples, Huffman entropy coding,
+grayscale or YCbCr with arbitrary 1-2× chroma subsampling factors and
+restart markers on the decode side; the encoder emits 4:4:4 with the
+Annex K example quantization/Huffman tables (quality-scaled via the
+usual IJG formula) — enough to round-trip tests without PIL and to
+decode the common baseline scans real corpora carry. Progressive,
+arithmetic-coded, 12-bit, and hierarchical modes are out of scope and
+raise ValueError (the decode ladder in operators/multimodal.py then
+falls through to the deterministic-fake path, with the boundary
+surfaced by the ``decoded`` flag).
+
+Reference analog: the upstream engine crops any cv2-readable image
+(/root/reference/agentic_doc/utils.py:417-430); this codec extends the
+no-dependency coverage from PNG (functions/png.py) to baseline JPEG.
+Not copied from any implementation — written against the spec's
+annexes (zigzag Table 5, quant Annex K.1, Huffman Annex K.3).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# zigzag scan order: index k in the stream -> natural row-major index
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# Annex K.1 example quantization tables (luminance / chrominance)
+_QT_LUM = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+_QT_CHR = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+)
+
+# Annex K.3 example Huffman tables: (BITS counts[1..16], HUFFVAL)
+_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHR = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_AC_CHR = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+# 1-D IDCT basis: _BASIS[u, x] = a(u)/2 * cos((2x+1) u pi / 16)
+_BASIS = np.array(
+    [
+        [
+            (np.sqrt(0.5) if u == 0 else 1.0)
+            / 2.0
+            * np.cos((2 * x + 1) * u * np.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+def is_jpeg(data: bytes) -> bool:
+    return len(data) > 3 and data[:2] == b"\xff\xd8"
+
+
+def _canonical_codes(bits: list[int], values: list[int]):
+    """(BITS, HUFFVAL) -> {(length, code): symbol} (spec C.2 generate)."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded bytes with FF00 de-stuffing;
+    RSTn markers are surfaced for predictor resets."""
+
+    def __init__(self, data: bytes, start: int):
+        self.data = data
+        self.pos = start
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("jpeg: truncated entropy data")
+        byte = d[self.pos]
+        if byte == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0
+            if nxt != 0x00:  # a real marker, not a stuffed data FF
+                raise _EndOfScan()
+        b = (byte >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+            if byte == 0xFF:  # skip the stuffed 0x00
+                self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def consume_restart(self) -> None:
+        """Byte-align past any padding, then step over the RSTn marker
+        (spec E.1.2: restart markers are byte-aligned; padding bits of
+        the preceding byte are discarded)."""
+        if self.bit:
+            cur = self.data[self.pos]
+            self.pos += 2 if cur == 0xFF else 1  # FF data byte is stuffed
+            self.bit = 0
+        if not (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("jpeg: expected restart marker")
+        self.pos += 2
+
+
+class _EndOfScan(Exception):
+    pass
+
+
+def _read_huff(br: _BitReader, table) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("jpeg: invalid huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """Spec F.12: map s magnitude bits to a signed value."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JPEG bytes -> uint8 array (h, w) gray or (h, w, 3) RGB."""
+    if not is_jpeg(data):
+        raise ValueError("not a JPEG (missing SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    i = 2
+    while i < len(data):
+        if data[i] != 0xFF:
+            raise ValueError("jpeg: expected marker")
+        marker = data[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        i += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM/RSTn: no payload
+            continue
+        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                      0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"jpeg: unsupported frame type 0x{marker:02x} "
+                "(baseline sequential only)"
+            )
+        (seglen,) = struct.unpack(">H", data[i : i + 2])
+        seg = data[i + 2 : i + seglen]
+        if marker == 0xDB:  # DQT
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 15
+                j += 1
+                if pq == 0:
+                    qt[tq] = np.frombuffer(
+                        seg[j : j + 64], dtype=np.uint8
+                    ).astype(np.int64)
+                    j += 64
+                else:
+                    qt[tq] = np.frombuffer(
+                        seg[j : j + 128], dtype=">u2"
+                    ).astype(np.int64)
+                    j += 128
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+            if prec != 8:
+                raise ValueError("jpeg: only 8-bit precision supported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
+                )
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 15
+                bits = list(seg[j + 1 : j + 17])
+                n = sum(bits)
+                values = list(seg[j + 17 : j + 17 + n])
+                huff[(tc, th)] = _canonical_codes(bits, values)
+                j += 17 + n
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("jpeg: SOS before SOF0")
+            ns = seg[0]
+            scan = {}
+            for c in range(ns):
+                cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan[cid] = (tabs >> 4, tabs & 15)
+            return _decode_scan(
+                data, i + seglen, frame, scan, qt, huff, restart_interval
+            )
+        i += seglen
+    raise ValueError("jpeg: no scan data found")
+
+
+def _decode_scan(data, start, frame, scan, qt, huff, restart_interval):
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = [
+        np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8)) for c in comps
+    ]
+    br = _BitReader(data, start)
+    preds = [0] * len(comps)
+    idct_t = _BASIS.T
+
+    def decode_block(ci):
+        c = comps[ci]
+        dc_tab = huff[(0, scan[c["id"]][0])]
+        ac_tab = huff[(1, scan[c["id"]][1])]
+        q = qt[c["tq"]]
+        coef = np.zeros(64)
+        s = _read_huff(br, dc_tab)
+        diff = _extend(br.read_bits(s), s) if s else 0
+        preds[ci] += diff
+        coef[0] = preds[ci] * q[0]
+        k = 0
+        while k < 63:
+            rs = _read_huff(br, ac_tab)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                break  # EOB
+            k += r + 1
+            if k > 63:
+                raise ValueError("jpeg: AC index overrun")
+            coef[_ZIGZAG[k]] = _extend(br.read_bits(s), s) * q[k]
+        block = idct_t @ coef.reshape(8, 8) @ _BASIS + 128.0
+        return block
+
+    mcus_done = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcus_done == restart_interval:
+                br.consume_restart()
+                preds[:] = [0] * len(comps)
+                mcus_done = 0
+            try:
+                for ci, c in enumerate(comps):
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            blk = decode_block(ci)
+                            y0 = (my * c["v"] + by) * 8
+                            x0 = (mx * c["h"] + bx) * 8
+                            planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
+            except _EndOfScan:
+                raise ValueError("jpeg: scan ended early")
+            mcus_done += 1
+
+    # upsample to full resolution and crop to (h, w)
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        if c["h"] != hmax or c["v"] != vmax:
+            p = np.repeat(
+                np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+            )
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        return np.clip(full[0] + 0.5, 0, 255).astype(np.uint8)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(rgb + 0.5, 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Encoder (test/fixture side): baseline 4:4:4, Annex K tables
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill (spec F.1.2.3)
+
+
+def _encode_codes(bits, values):
+    """(BITS, HUFFVAL) -> {symbol: (code, length)}."""
+    enc = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            enc[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return enc
+
+
+def _quality_scale(qt: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling: 50 -> table as-is, 100 -> all ones."""
+    quality = min(max(quality, 1), 100)
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((qt * s + 50) // 100, 1, 255)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """signed value -> (category s, s magnitude bits)."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    s = a.bit_length()
+    bits = v if v > 0 else v + (1 << s) - 1
+    return s, bits
+
+
+def _downsample2(p: np.ndarray) -> np.ndarray:
+    """2×2 box average with edge replication for odd dims."""
+    h, w = p.shape
+    if h % 2:
+        p = np.vstack([p, p[-1:]])
+    if w % 2:
+        p = np.hstack([p, p[:, -1:]])
+    return (p[0::2, 0::2] + p[1::2, 0::2] + p[0::2, 1::2] + p[1::2, 1::2]) / 4.0
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quality: int = 90,
+    restart_interval: int = 0,
+    subsampling: str = "444",
+) -> bytes:
+    """uint8 (h, w[, 1|3]) -> baseline JPEG bytes.
+
+    ``subsampling``: "444" (default) or "420" (2×2 luma MCUs with box-
+    averaged half-res chroma — the layout nearly all real baseline JPEGs
+    use). ``restart_interval`` > 0 emits a DRI segment and RSTn markers
+    every that many MCUs (exercises the decoder's restart path)."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nc = arr.shape
+    if nc == 1:
+        planes = [arr[:, :, 0].astype(np.float64)]
+    elif nc == 3:
+        r, g, b = (arr[:, :, c].astype(np.float64) for c in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+    else:
+        raise ValueError("encode_jpeg expects 1 or 3 channels")
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    sub420 = subsampling == "420" and nc == 3
+    if sub420:
+        planes = [planes[0], _downsample2(planes[1]), _downsample2(planes[2])]
+        factors = [(2, 2), (1, 1), (1, 1)]
+    else:
+        factors = [(1, 1)] * nc
+
+    qts = [_quality_scale(_QT_LUM, quality)]
+    if nc == 3:
+        qts.append(_quality_scale(_QT_CHR, quality))
+    dc_enc = [_encode_codes(*_DC_LUM), _encode_codes(*_DC_CHR)]
+    ac_enc = [_encode_codes(*_AC_LUM), _encode_codes(*_AC_CHR)]
+
+    out = bytearray(b"\xff\xd8")  # SOI
+
+    def segment(marker: int, payload: bytes) -> None:
+        out.extend(b"\xff" + bytes([marker]))
+        out.extend(struct.pack(">H", len(payload) + 2))
+        out.extend(payload)
+
+    for tid, q in enumerate(qts):
+        segment(0xDB, bytes([tid]) + bytes(int(x) for x in q))
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for c in range(nc):
+        tq = 0 if c == 0 else 1
+        hf, vf = factors[c]
+        sof += bytes([c + 1, (hf << 4) | vf, tq])
+    segment(0xC0, sof)
+    tables = [(0, 0, _DC_LUM), (1, 0, _AC_LUM)]
+    if nc == 3:
+        tables += [(0, 1, _DC_CHR), (1, 1, _AC_CHR)]
+    for tc, th, (bits, values) in tables:
+        segment(
+            0xC4,
+            bytes([(tc << 4) | th]) + bytes(bits) + bytes(values),
+        )
+    if restart_interval:
+        segment(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([nc])
+    for c in range(nc):
+        t = 0 if c == 0 else 1
+        sos += bytes([c + 1, (t << 4) | t])
+    sos += bytes([0, 63, 0])
+    segment(0xDA, sos)
+
+    bw = _BitWriter()
+    preds = [0] * nc
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    def encode_block(ci: int, byb: int, bxb: int) -> None:
+        q = qts[0 if ci == 0 else 1]
+        dct = dc_enc[0 if ci == 0 else 1]
+        act = ac_enc[0 if ci == 0 else 1]
+        p = planes[ci]
+        # edge blocks replicate the last row/col (spec A.2.4)
+        ys = np.clip(np.arange(byb * 8, byb * 8 + 8), 0, p.shape[0] - 1)
+        xs = np.clip(np.arange(bxb * 8, bxb * 8 + 8), 0, p.shape[1] - 1)
+        block = p[np.ix_(ys, xs)] - 128.0
+        coefs = _BASIS @ block @ _BASIS.T
+        zz = coefs.reshape(-1)[_ZIGZAG]
+        qz = np.round(zz / q).astype(np.int64)
+        diff = int(qz[0]) - preds[ci]
+        preds[ci] = int(qz[0])
+        s, bits = _magnitude(diff)
+        code, ln = dct[s]
+        bw.write(code, ln)
+        if s:
+            bw.write(bits, s)
+        run = 0
+        any_ac = bool(np.any(qz[1:]))
+        last_nz = int(np.max(np.nonzero(qz)[0])) if any_ac else 0
+        for k in range(1, 64):
+            v = int(qz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = act[0xF0]  # ZRL
+                bw.write(code, ln)
+                run -= 16
+            s, bits = _magnitude(v)
+            code, ln = act[(run << 4) | s]
+            bw.write(code, ln)
+            bw.write(bits, s)
+            run = 0
+        if last_nz < 63:
+            code, ln = act[0x00]  # EOB
+            bw.write(code, ln)
+
+    mcus_done = 0
+    rst_n = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcus_done == restart_interval:
+                bw.flush()
+                bw.out.extend(b"\xff" + bytes([0xD0 + rst_n]))
+                rst_n = (rst_n + 1) % 8
+                preds = [0] * nc
+                mcus_done = 0
+            mcus_done += 1
+            for ci in range(nc):
+                hf, vf = factors[ci]
+                for by in range(vf):
+                    for bx in range(hf):
+                        encode_block(ci, my * vf + by, mx * hf + bx)
+    bw.flush()
+    out.extend(bw.out)
+    out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)

@@ -36,7 +36,8 @@ def _decode_array(data: bytes) -> np.ndarray | None:
     """bytes → uint8 (h, w, ch) array, or None when undecodable.
 
     Decode ladder: PIL (any format, when installed) → the pure-stdlib
-    PNG codec (functions/png.py — REAL even in this container) → None."""
+    PNG codec (functions/png.py) → the pure-stdlib baseline JPEG decoder
+    (functions/jpeg.py) — both REAL even in this container → None."""
     if not data:
         return None
     if _HAS_PIL:
@@ -47,11 +48,17 @@ def _decode_array(data: bytes) -> np.ndarray | None:
             return np.asarray(img, dtype=np.uint8)
         except Exception:
             pass
-    from agentic_doc_spark.functions import png
+    from agentic_doc_spark.functions import jpeg, png
 
     if png.is_png(data):
         try:
             return png.decode_png(data)
+        except Exception:
+            return None
+    if jpeg.is_jpeg(data):
+        try:
+            arr = jpeg.decode_jpeg(data)
+            return arr[:, :, None] if arr.ndim == 2 else arr
         except Exception:
             return None
     return None

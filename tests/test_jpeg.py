@@ -1,0 +1,104 @@
+"""Pure-stdlib baseline JPEG codec (functions/jpeg.py): encoder-decoder
+round-trip (skipif-free — no PIL needed), restart markers, subsampled
+upsampling, unsupported-mode rejection, and the multimodal decode ladder."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from agentic_doc_spark.functions.jpeg import decode_jpeg, encode_jpeg, is_jpeg
+
+
+def _gradient(h, w, ch=3):
+    y = np.arange(h, dtype=np.uint32)[:, None, None]
+    x = np.arange(w, dtype=np.uint32)[None, :, None]
+    c = np.arange(ch, dtype=np.uint32)[None, None, :]
+    return ((y * 7 + x * 13 + c * 29) % 256).astype(np.uint8)
+
+
+@pytest.mark.parametrize(
+    "shape,quality,max_err",
+    [
+        ((16, 16, 3), 95, 25),
+        ((24, 17, 3), 90, 45),  # non-multiple-of-8 edges
+        ((8, 8, 1), 90, 5),  # grayscale
+        ((33, 41, 3), 75, 110),
+    ],
+)
+def test_roundtrip_lossy_bounded(shape, quality, max_err):
+    arr = _gradient(*shape)
+    data = encode_jpeg(arr, quality=quality)
+    assert is_jpeg(data)
+    back = decode_jpeg(data)
+    want = arr if shape[-1] == 3 else arr[:, :, 0]
+    assert back.shape == want.shape
+    err = np.abs(back.astype(int) - want.astype(int))
+    assert err.max() <= max_err
+    assert err.mean() <= max_err / 4
+
+
+def test_smooth_image_near_exact():
+    smooth = np.tile(
+        np.linspace(40, 200, 64).astype(np.uint8)[None, :, None], (32, 1, 3)
+    )
+    back = decode_jpeg(encode_jpeg(smooth, quality=95))
+    assert np.abs(back.astype(int) - smooth.astype(int)).max() <= 2
+
+
+def test_restart_markers_roundtrip():
+    arr = _gradient(40, 56, 3)  # 5×7 = 35 MCUs
+    plain = decode_jpeg(encode_jpeg(arr, quality=90))
+    rst = decode_jpeg(encode_jpeg(arr, quality=90, restart_interval=4))
+    # restart markers change framing only, not reconstruction
+    assert (plain == rst).all()
+
+
+def test_420_subsampled_roundtrip():
+    # the layout nearly all real baseline JPEGs use: 2x2 luma blocks per
+    # MCU + half-res chroma; decoder must upsample back to full dims.
+    # Use a chroma-smooth image (constant hue) so the 4:2:0 loss is small.
+    h, w = 40, 56
+    lum = ((np.arange(h)[:, None] * 3 + np.arange(w)[None, :] * 5) % 200).astype(
+        np.uint8
+    ) + 20
+    arr = np.stack([lum, lum, lum], axis=-1)  # gray in RGB: Cb=Cr=128
+    data = encode_jpeg(arr, quality=92, subsampling="420")
+    back = decode_jpeg(data)
+    assert back.shape == (h, w, 3)
+    err = np.abs(back.astype(int) - arr.astype(int))
+    assert err.max() <= 30 and err.mean() <= 6
+
+
+def test_420_odd_dims_roundtrip():
+    arr = _gradient(19, 21, 3)
+    back = decode_jpeg(encode_jpeg(arr, quality=90, subsampling="420"))
+    assert back.shape == (19, 21, 3)
+
+
+def test_rejects_progressive_and_garbage():
+    arr = _gradient(8, 8, 3)
+    data = bytearray(encode_jpeg(arr))
+    # flip SOF0 (0xC0) into SOF2 (progressive, 0xC2)
+    idx = data.find(b"\xff\xc0")
+    data[idx + 1] = 0xC2
+    with pytest.raises(ValueError, match="unsupported frame type"):
+        decode_jpeg(bytes(data))
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8garbage-not-a-real-scan")
+    assert not is_jpeg(b"plainly not a jpeg")
+
+
+def test_decode_ladder_handles_jpeg(spark):
+    # multimodal features decode a baseline JPEG for REAL (decoded=True,
+    # true dims) with no PIL in the container
+    from agentic_doc_spark.operators.multimodal import extract_media_features
+
+    arr = _gradient(20, 32, 3)
+    media = spark.createDataFrame(
+        [("j1", bytearray(encode_jpeg(arr, quality=92)))],
+        "media_ref string, content binary",
+    )
+    row = extract_media_features(media).collect()[0]
+    assert row["decoded"] is True
+    assert (row["width"], row["height"]) == (32, 20)
