@@ -208,7 +208,22 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> uint8 array (h, w) gray or (h, w, 3) RGB."""
+    """Baseline JPEG bytes -> uint8 array (h, w) gray or (h, w, 3) RGB.
+
+    Raises ValueError for anything unsupported, truncated, or corrupt —
+    structural errors from crafted streams (short tables, dangling
+    references) are folded into ValueError so callers need one except."""
+    try:
+        return _decode_jpeg(data)
+    except ValueError:
+        raise
+    except (IndexError, KeyError, struct.error) as ex:
+        raise ValueError(
+            f"jpeg: corrupt stream ({type(ex).__name__})"
+        ) from ex
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
     if not is_jpeg(data):
         raise ValueError("not a JPEG (missing SOI)")
     qt: dict[int, np.ndarray] = {}
@@ -234,7 +249,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 f"jpeg: unsupported frame type 0x{marker:02x} "
                 "(baseline sequential only)"
             )
+        if i + 2 > len(data):
+            raise ValueError("jpeg: truncated segment header")
         (seglen,) = struct.unpack(">H", data[i : i + 2])
+        if seglen < 2:  # would loop forever on crafted input
+            raise ValueError("jpeg: invalid segment length")
         seg = data[i + 2 : i + seglen]
         if marker == 0xDB:  # DQT
             j = 0

@@ -89,6 +89,28 @@ def test_rejects_progressive_and_garbage():
     assert not is_jpeg(b"plainly not a jpeg")
 
 
+def test_fuzz_never_hangs_or_crashes_non_valueerror():
+    # crafted/corrupt streams must raise ValueError promptly — never hang
+    # (zero segment lengths) or escape with a non-ValueError
+    rng = np.random.default_rng(7)
+    base = bytearray(encode_jpeg(_gradient(16, 16, 3), quality=90))
+    for trial in range(200):
+        data = bytearray(base)
+        for _ in range(rng.integers(1, 8)):
+            data[rng.integers(2, len(data))] = rng.integers(0, 256)
+        try:
+            decode_jpeg(bytes(data))
+        except ValueError:
+            pass  # rejection is fine; silent wrong output is also fine (lossy)
+    # pure-random payloads with a JPEG SOI
+    for trial in range(50):
+        blob = b"\xff\xd8" + bytes(rng.integers(0, 256, size=300, dtype=np.uint8))
+        try:
+            decode_jpeg(blob)
+        except ValueError:
+            pass
+
+
 def test_decode_ladder_handles_jpeg(spark):
     # multimodal features decode a baseline JPEG for REAL (decoded=True,
     # true dims) with no PIL in the container
