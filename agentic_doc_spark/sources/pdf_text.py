@@ -13,8 +13,17 @@ LaTeX, many office exporters) is extractable with nothing but zlib:
 4. one BT/ET text object → one text block; one content stream with text
    → one page.
 
-NOT a general PDF parser — no xref/object-graph walking, no CID/Type0
-composite fonts, no encryption; anything it cannot read yields zero blocks
+Composite (Type0/CID) fonts — the layout Word/LibreOffice exporters
+emit — are handled through their **ToUnicode CMaps**: every CMap stream
+found in the raw scan is parsed (bfchar/bfrange per the public CMap
+spec, Adobe TN 5014) into one union code→text map, and 2-byte hex show
+strings decode through it when it covers ≥80% of their codes. The union
+heuristic is exact for single-font documents (the overwhelmingly common
+case) and documented-approximate when multiple CID fonts assign the
+same code differently.
+
+NOT a general PDF parser — no xref/object-graph walking (so no per-font
+CMap scoping), no encryption; anything it cannot read yields zero blocks
 and the caller degrades to the documented stub path. This boundary is
 explicit on purpose: the goal is unstubbing the common text-PDF case, not
 silently mis-reading hard ones.
@@ -69,28 +78,93 @@ def _decode_literal(raw: bytes) -> str:
     return out.decode("latin-1")
 
 
-def _decode_hex(raw: bytes) -> str:
+def _decode_hex(raw: bytes, cmap: dict[int, str] | None = None) -> str:
     h = re.sub(rb"\s", b"", raw)
     if len(h) % 2:
         h += b"0"
+    if cmap and h and len(h) % 4 == 0:
+        # Type0/CID path: 2-byte codes through the ToUnicode union map,
+        # taken only when it actually covers the string (≥80% of codes) —
+        # a simple-font hex string must keep its latin-1 reading
+        codes = [int(h[i : i + 4], 16) for i in range(0, len(h), 4)]
+        mapped = [cmap.get(c) for c in codes]
+        if sum(m is not None for m in mapped) / len(codes) >= 0.8:
+            return "".join(m for m in mapped if m is not None)
     return bytes.fromhex(h.decode("ascii")).decode("latin-1")
 
 
-def _text_from_textobj(body: bytes) -> str:
+def _text_from_textobj(body: bytes, cmap: dict[int, str] | None = None) -> str:
     pieces: list[str] = []
     for m in _SHOW_RE.finditer(body):
         lit, arr, hx = m.groups()
         if lit is not None:
             pieces.append(_decode_literal(lit))
         elif hx is not None:
-            pieces.append(_decode_hex(hx))
+            pieces.append(_decode_hex(hx, cmap))
         else:
             for am in _ARRAY_STR_RE.finditer(arr):
                 alit, ahx = am.groups()
                 pieces.append(
-                    _decode_literal(alit) if alit is not None else _decode_hex(ahx)
+                    _decode_literal(alit)
+                    if alit is not None
+                    else _decode_hex(ahx, cmap)
                 )
     return "".join(pieces).strip()
+
+
+# -- ToUnicode CMap parsing (Adobe TN 5014 bfchar/bfrange subset) ---------
+
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
+_HEXPAIR_RE = re.compile(rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
+_RANGE_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+    rb"(?:<([0-9A-Fa-f]+)>|\[(.*?)\])",
+    re.DOTALL,
+)
+_HEX1_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+
+
+def _u16(hexb: bytes) -> str:
+    try:
+        return bytes.fromhex(hexb.decode("ascii")).decode("utf-16-be")
+    except (ValueError, UnicodeDecodeError):
+        return ""
+
+
+def parse_tounicode(payload: bytes, cmap: dict[int, str]) -> None:
+    """Merge one ToUnicode CMap stream's bfchar/bfrange entries into
+    ``cmap`` (2-byte source codes only — the CID layout every common
+    generator emits; dst hex is UTF-16BE, possibly multi-unit)."""
+    for m in _BFCHAR_RE.finditer(payload):
+        for pm in _HEXPAIR_RE.finditer(m.group(1)):
+            src, dst = pm.groups()
+            if len(src) == 4:
+                s = _u16(dst)
+                if s:
+                    cmap[int(src, 16)] = s
+    for m in _BFRANGE_RE.finditer(payload):
+        for rm in _RANGE_RE.finditer(m.group(1)):
+            lo, hi, dst, arr = rm.groups()
+            if len(lo) != 4 or len(hi) != 4:
+                continue
+            lo_i, hi_i = int(lo, 16), int(hi, 16)
+            if not (0 <= hi_i - lo_i <= 0xFFFF):
+                continue
+            if dst is not None:
+                width = len(dst)
+                base = int(dst, 16)
+                for k in range(hi_i - lo_i + 1):
+                    s = _u16(b"%0*x" % (width, base + k))
+                    if s:
+                        cmap[lo_i + k] = s
+            else:  # array form: one dst per code
+                for k, am in enumerate(_HEX1_RE.finditer(arr)):
+                    if lo_i + k > hi_i:
+                        break
+                    s = _u16(am.group(1))
+                    if s:
+                        cmap[lo_i + k] = s
 
 
 #: stream dicts that are definitely not page content (images, fonts,
@@ -112,9 +186,14 @@ def _plausible_text(s: str) -> bool:
 
 def extract_pdf_blocks(data: bytes) -> list[tuple[int, str]]:
     """PDF bytes → ordered (page_idx, text_block). Empty list when the
-    file has no extractable text layer (scanned/encrypted/composite)."""
-    blocks: list[tuple[int, str]] = []
-    page = 0
+    file has no extractable text layer (scanned/encrypted).
+
+    Two passes over the raw stream objects: (1) decompress once and
+    collect every ToUnicode CMap into one union code→text map, (2)
+    extract text objects, decoding Type0 2-byte hex strings through the
+    union map (simple-font strings keep their latin-1 reading)."""
+    payloads: list[bytes] = []
+    cmap: dict[int, str] = {}
     for m in _STREAM_RE.finditer(data):
         header = m.group(1)
         if any(k in header for k in _NON_CONTENT):
@@ -129,11 +208,18 @@ def extract_pdf_blocks(data: bytes) -> list[tuple[int, str]]:
                 payload = zlib.decompress(payload)
             except zlib.error:
                 continue
-        if b"BT" not in payload:
-            continue
+        if b"beginbfchar" in payload or b"beginbfrange" in payload:
+            parse_tounicode(payload, cmap)
+            continue  # a CMap stream is never page content
+        if b"BT" in payload:
+            payloads.append(payload)
+
+    blocks: list[tuple[int, str]] = []
+    page = 0
+    for payload in payloads:
         found = False
         for tm in _TEXTOBJ_RE.finditer(payload):
-            text = _text_from_textobj(tm.group(1))
+            text = _text_from_textobj(tm.group(1), cmap or None)
             if text and _plausible_text(text):
                 blocks.append((page, text))
                 found = True

@@ -53,6 +53,52 @@ def test_escapes_and_hex():
     assert blocks[1][1] == "Hi"
 
 
+_CMAP = b"""/CIDInit /ProcSet findresource begin
+12 dict begin
+begincmap
+1 begincodespacerange
+<0000> <FFFF>
+endcodespacerange
+2 beginbfchar
+<0003> <0048>
+<0004> <0065006C>
+endbfchar
+2 beginbfrange
+<0010> <0012> <006C>
+<0020> <0021> [<0021> <003F>]
+endbfrange
+endcmap
+CMap defined
+"""
+
+
+def test_type0_hex_through_tounicode_cmap():
+    # the Word/LibreOffice layout: Type0 font, 2-byte hex show strings,
+    # ToUnicode CMap mapping CIDs to text. bfchar (incl. multi-unit dst),
+    # bfrange increment form, and bfrange array form all resolve.
+    # 0003→H, 0004→el, 0010..0012→l,m,n, 0020→!, 0021→?
+    content = b"BT <0003 0004 0010 0020> Tj ET"
+    blocks = extract_pdf_blocks(_pdf(_CMAP, content, compress=True))
+    assert blocks == [(0, "Hell!")]
+
+
+def test_type0_array_tj_and_simple_hex_coexist():
+    # a TJ array of 2-byte hex runs decodes through the cmap; a classic
+    # 1-byte hex string in the same doc keeps its latin-1 reading
+    # (coverage heuristic: its byte pairs are not cmap codes)
+    content = b"BT [<00030004> -120 <00100011>] TJ ET\nBT <48 69> Tj ET"
+    blocks = extract_pdf_blocks(_pdf(_CMAP, content))
+    assert [t for _, t in blocks] == ["Hellm", "Hi"]
+
+
+def test_unmapped_type0_still_skipped():
+    # hex codes outside every cmap (and failing the latin-1 plausibility
+    # guard) must not produce garbage blocks
+    content = b"BT <DEAD BEEF 0bad F00d> Tj ET"
+    blocks = extract_pdf_blocks(_pdf(_CMAP, content))
+    assert blocks == []
+
+
 def test_textless_pdf_hits_stub_boundary():
     with pytest.raises(NotImplementedError, match="text layer"):
         split_blocks(b"%PDF-1.4\njust bytes, no streams", "pdf")
