@@ -71,6 +71,10 @@ def parse(
         raise ValueError(
             "extraction_model and extraction_schema are mutually exclusive"
         )
+    if result_format not in ("parquet", "json"):
+        raise ValueError(
+            f"result_format must be 'parquet' or 'json', got {result_format!r}"
+        )
 
     settings = config or DEFAULT_SETTINGS
     overrides: dict[str, Any] = {}
@@ -82,6 +86,7 @@ def parse(
     if overrides:
         settings = replace(settings, **overrides)
 
+    persisted: DataFrame | None = None
     df = resolve(
         spark,
         documents,
@@ -122,6 +127,12 @@ def parse(
 
         parsed = attach_grounding_image_paths(parsed, grounding_save_dir)
         if render_groundings:
+            # the render job consumes `parsed` on BOTH join sides (crop
+            # specs and synthesized rasters), and a result_save_dir write
+            # may follow — persist across parse()'s eager actions so
+            # extract() runs once, not once per consumer; released before
+            # returning (the returned frame stays lazy as before)
+            persisted = parsed = parsed.persist()
             pages = (
                 page_rasters
                 if page_rasters is not None
@@ -208,4 +219,6 @@ def parse(
             write_json_results(parsed, result_save_dir)
         else:
             parsed.write.mode("append").parquet(result_save_dir)
+    if persisted is not None:
+        persisted.unpersist()
     return parsed

@@ -103,6 +103,10 @@ def build_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # reliable-checkpoint files (iterative ops, dedup._truncate_lineage)
+        # are garbage-collected with their DataFrames on long-lived drivers
+        # instead of accumulating forever (default is false)
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

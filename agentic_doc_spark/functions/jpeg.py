@@ -217,7 +217,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         return _decode_jpeg(data)
     except ValueError:
         raise
-    except (IndexError, KeyError, struct.error) as ex:
+    except (IndexError, KeyError, struct.error, ZeroDivisionError) as ex:
         raise ValueError(
             f"jpeg: corrupt stream ({type(ex).__name__})"
         ) from ex
@@ -274,12 +274,20 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise ValueError("jpeg: only 8-bit precision supported")
+            if nc not in (1, 3):
+                # 4-component (Adobe CMYK/YCCK) would silently decode to
+                # garbage RGB — surface the boundary instead
+                raise ValueError(
+                    f"jpeg: unsupported component count {nc} "
+                    "(grayscale and YCbCr only)"
+                )
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
-                comps.append(
-                    {"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq}
-                )
+                hf, vf = hv >> 4, hv & 15
+                if not (1 <= hf <= 4 and 1 <= vf <= 4):
+                    raise ValueError("jpeg: invalid sampling factors")
+                comps.append({"id": cid, "h": hf, "v": vf, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
         elif marker == 0xC4:  # DHT
             j = 0
@@ -311,6 +319,8 @@ def _decode_scan(data, start, frame, scan, qt, huff, restart_interval):
     h, w, comps = frame["h"], frame["w"], frame["comps"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
+    if any(hmax % c["h"] or vmax % c["v"] for c in comps):
+        raise ValueError("jpeg: non-integer subsampling ratios")
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
     planes = [
@@ -487,9 +497,14 @@ def encode_jpeg(
     else:
         factors = [(1, 1)] * nc
 
-    qts = [_quality_scale(_QT_LUM, quality)]
+    # quant tables in ZIGZAG order — both the DQT payload (spec B.2.4.1
+    # stores Qk zigzag-ordered, which the decoder indexes by zigzag k)
+    # and the quantization of the zigzag-scanned coefficients use this
+    # layout; natural-order tables here would scramble the frequency
+    # weighting (self-consistently, but off the Annex K curve)
+    qts = [_quality_scale(_QT_LUM, quality)[_ZIGZAG]]
     if nc == 3:
-        qts.append(_quality_scale(_QT_CHR, quality))
+        qts.append(_quality_scale(_QT_CHR, quality)[_ZIGZAG])
     dc_enc = [_encode_codes(*_DC_LUM), _encode_codes(*_DC_CHR)]
     ac_enc = [_encode_codes(*_AC_LUM), _encode_codes(*_AC_CHR)]
 

@@ -494,9 +494,12 @@ def connected_components(
     source form a star). Each round is ONE shuffle join + one groupBy;
     the convergence check is an aggregate (no driver-side row data).
 
-    The RETURNED DataFrame is persisted (recomputing it would replay the
-    whole iterative join chain); call ``.unpersist()`` on it when done.
-    Intermediate rounds and the edge list are unpersisted here.
+    The RETURNED DataFrame is checkpointed (a leaf plan — recomputing it
+    would otherwise replay the whole iterative join chain); intermediate
+    rounds and the edge list are released here. Long-lived drivers using
+    a reliable checkpoint dir should keep
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (build_spark
+    sets it) so checkpoint files are reclaimed with their DataFrames.
 
     Lineage is TRUNCATED every ``checkpoint_interval`` rounds and once on
     the final labels (reliable checkpoint when a checkpoint dir is set,

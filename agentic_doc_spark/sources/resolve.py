@@ -132,8 +132,25 @@ def resolve(spark: SparkSession, documents: DocumentsInput, **options) -> DataFr
             if set(actual.columns) == {f.name for f in DOCUMENTS_RAW.fields}:
                 return spark.read.schema(DOCUMENTS_RAW).parquet(p)
             # superset (e.g. extraction_payload riding along): keep the
-            # extra columns — forcing DOCUMENTS_RAW would drop them
-            return actual
+            # extra columns but CAST the canonical ones to DOCUMENTS_RAW
+            # types (a foreign writer's offset:bigint span struct must
+            # not drift downstream); an incompatible shape raises here
+            known = {f.name for f in DOCUMENTS_RAW.fields}
+            from pyspark.errors import AnalysisException
+
+            try:
+                return actual.select(
+                    *[
+                        F.col(f.name).cast(f.dataType).alias(f.name)
+                        for f in DOCUMENTS_RAW.fields
+                    ],
+                    *[c for c in actual.columns if c not in known],
+                )
+            except AnalysisException as ex:
+                raise ValueError(
+                    f"parquet input at {p!r} has doc_id/spans columns whose "
+                    f"types cannot cast to the documents_raw schema: {ex}"
+                ) from ex
         return read_binary_dir(spark, p, **options)
     if isinstance(documents, Iterable):
         paths = [str(x) for x in documents]
@@ -165,6 +182,11 @@ def _safe_name(name: str) -> str:
     import re
 
     return re.sub(r"[^A-Za-z0-9._-]", "_", name)[:128] or "download"
+
+
+#: glob admitting only stager-created files (six-digit index prefix) —
+#: the read-side twin of _clean_staging's write-side ownership rule
+_STAGED_GLOB = "[0-9][0-9][0-9][0-9][0-9][0-9]_*"
 
 
 def _clean_staging(dest: str) -> None:
@@ -293,7 +315,14 @@ def create_connector(config: dict) -> dict:
         stage_urls(
             config.get("urls", []), dest, timeout=config.get("timeout", 30.0)
         )
-        return {"path": dest, "pattern": config.get("pattern") or "*", "recursive": False}
+        # default pattern admits ONLY stager-created names: unrelated
+        # pre-existing files in a caller-supplied staging_dir survive the
+        # cleanup above AND must not be swept into the corpus
+        return {
+            "path": dest,
+            "pattern": config.get("pattern") or _STAGED_GLOB,
+            "recursive": False,
+        }
     if kind == "google_drive":
         # S4: same driver-side staging shape as URL (reference
         # connectors.py:221-352). The Drive API client is injected as
@@ -324,5 +353,9 @@ def create_connector(config: dict) -> dict:
                     f.write(data)
             except Exception:  # R6: skip-and-continue
                 continue
-        return {"path": dest, "pattern": config.get("pattern") or "*", "recursive": False}
+        return {
+            "path": dest,
+            "pattern": config.get("pattern") or _STAGED_GLOB,
+            "recursive": False,
+        }
     raise ValueError(f"unknown connector_type: {kind}")

@@ -43,7 +43,13 @@ def stream_extract(
 
     input_path: parquet directory receiving documents_raw files.
     available_now=True processes the backlog then stops — the batch-ish
-    trigger used in tests and backfills; False runs continuously."""
+    trigger used in tests and backfills; False runs continuously.
+
+    ``run_id`` keys the per-epoch output partitions: reuse it across
+    restarts of the SAME checkpoint (epochs continue, replays rewrite in
+    place); pick a FRESH run_id whenever the checkpoint is lost or reset
+    (epoch numbering restarts at 0 and must not collide with committed
+    partitions of the previous run)."""
     src = (
         spark.readStream.schema(DOCUMENTS_RAW)
         .option("maxFilesPerTrigger", 8)
@@ -79,21 +85,28 @@ def _process_extract_batch(
     directly testable by invoking the same epoch twice).
 
     Replay-idempotent commit: the epoch's parsed rows land in
-    ``{output_path}/epoch=<id>`` with OVERWRITE — a replayed epoch
-    rewrites the same partition instead of appending duplicates — and
-    lineage is computed FROM THE DURABLY WRITTEN FILES (the
+    ``{output_path}/epoch=<run_id>-<id>`` with OVERWRITE — a replayed
+    epoch rewrites the same partition instead of appending duplicates —
+    and lineage is computed FROM THE DURABLY WRITTEN FILES (the
     run_with_resume invariant: checksums can never diverge from what
-    readers see) into ``{metrics_path}/epoch=<id>``, also OVERWRITE.
-    Output commits before lineage: a crash between the two re-extracts
-    the epoch on replay (at-least-once work, exactly-once rows), whereas
-    lineage-first would mark unwritten docs completed."""
+    readers see) into ``{metrics_path}/epoch=<run_id>-<id>``, also
+    OVERWRITE. Output commits before lineage: a crash between the two
+    re-extracts the epoch on replay (at-least-once work, exactly-once
+    rows), whereas lineage-first would mark unwritten docs completed.
+
+    The partition key includes ``run_id`` because epoch ids RESTART AT 0
+    under a fresh checkpoint: a stream restarted after checkpoint loss
+    must start a NEW run_id (the run_with_resume convention) — with a
+    bare epoch key its epoch 0 would overwrite the old run's committed
+    epoch-0 rows that lineage already marks completed."""
     if not batch_df.head(1):
         return
     spark = batch_df.sparkSession
-    epoch_dir = f"{output_path}/epoch={epoch_id}"
+    part = f"epoch={run_id}-{epoch_id}"
+    epoch_dir = f"{output_path}/{part}"
     extract(batch_df, settings).write.mode("overwrite").parquet(epoch_dir)
     if metrics_path is not None:
         durable = spark.read.parquet(epoch_dir)
         lineage_rows(
             durable, f"{run_id}-epoch{epoch_id}", f"epoch-{epoch_id}"
-        ).write.mode("overwrite").parquet(f"{metrics_path}/epoch={epoch_id}")
+        ).write.mode("overwrite").parquet(f"{metrics_path}/{part}")

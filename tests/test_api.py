@@ -161,6 +161,16 @@ def test_extraction_fallback_schema_matches_payload_path(spark):
     assert without_payload.filter(F.col("extraction").isNotNull()).count() == 0
 
 
+def test_result_format_validated(spark, tmp_path):
+    with pytest.raises(ValueError, match="result_format"):
+        parse(
+            spark,
+            corpus_df(spark, 1),
+            result_save_dir=str(tmp_path / "x"),
+            result_format="JSON",  # typo'd casing must not fall through
+        )
+
+
 def test_extraction_metadata_col_missing_raises(spark):
     with pytest.raises(ValueError, match="extraction_metadata_col"):
         parse(

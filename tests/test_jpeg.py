@@ -23,7 +23,7 @@ def _gradient(h, w, ch=3):
         ((16, 16, 3), 95, 25),
         ((24, 17, 3), 90, 45),  # non-multiple-of-8 edges
         ((8, 8, 1), 90, 5),  # grayscale
-        ((33, 41, 3), 75, 110),
+        ((33, 41, 3), 75, 135),
     ],
 )
 def test_roundtrip_lossy_bounded(shape, quality, max_err):
@@ -87,6 +87,23 @@ def test_rejects_progressive_and_garbage():
     with pytest.raises(ValueError):
         decode_jpeg(b"\xff\xd8garbage-not-a-real-scan")
     assert not is_jpeg(b"plainly not a jpeg")
+
+
+def test_rejects_cmyk_and_zero_sampling():
+    arr = _gradient(8, 8, 3)
+    data = bytearray(encode_jpeg(arr))
+    idx = data.find(b"\xff\xc0")
+    # SOF payload: len(2) prec(1) h(2) w(2) nc(1) — claim 4 components
+    # (CMYK): must REJECT, not silently decode C/M/Y as YCbCr garbage
+    cmyk = bytearray(data)
+    cmyk[idx + 9] = 4
+    with pytest.raises(ValueError, match="component count"):
+        decode_jpeg(bytes(cmyk))
+    # zero sampling factors must raise ValueError, not ZeroDivisionError
+    zs = bytearray(data)
+    zs[idx + 11] = 0x00  # first component's h/v byte
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(zs))
 
 
 def test_fuzz_never_hangs_or_crashes_non_valueerror():

@@ -62,7 +62,7 @@ def test_connector_factory():
     s3 = create_connector({"connector_type": "s3", "bucket_name": "b", "prefix": "p"})
     assert s3["path"] == "s3a://b/p"
     url = create_connector({"connector_type": "url", "urls": []})
-    assert url["path"] and url["pattern"] == "*"
+    assert url["path"] and url["pattern"].endswith("_*")  # staged names only
     with pytest.raises(NotImplementedError):  # no fetcher injected
         create_connector({"connector_type": "google_drive"})
     with pytest.raises(ValueError):
@@ -85,6 +85,27 @@ def test_staging_dir_preserves_unrelated_files(tmp_path):
     assert keep.read_text() == "do not delete"  # survived
     assert not (stage / "000001_stale_staged.bin").exists()  # stale staged gone
     assert not (stage / "000002_half.pdf.part").exists()  # .part leftover gone
+    # and the surviving unrelated file is NOT swept into the corpus: the
+    # default pattern admits only stager-created NNNNNN_* names
+    assert spec["pattern"] == "[0-9][0-9][0-9][0-9][0-9][0-9]_*"
+
+
+def test_staging_pattern_excludes_unrelated_files(spark, tmp_path):
+    stage = tmp_path / "stage2"
+    stage.mkdir()
+    (stage / "unrelated.txt").write_text("user notes, not a document")
+    src = tmp_path / "remote.txt"
+    src.write_text("a staged document")
+    spec = create_connector(
+        {
+            "connector_type": "url",
+            "urls": [f"file://{src}"],
+            "staging_dir": str(stage),
+        }
+    )
+    df = read_binary_dir(spark, spec["path"], pattern=spec["pattern"])
+    names = [r["doc_id"].rsplit("/", 1)[-1] for r in df.collect()]
+    assert names == ["000000_remote.txt"]  # unrelated.txt excluded
 
 
 def test_parquet_schema_mismatch_raises(spark, tmp_path):
@@ -110,6 +131,12 @@ def test_parquet_superset_keeps_extra_columns(spark, tmp_path):
     df = resolve(spark, p)
     assert "extraction_payload" in df.columns
     assert df.count() == corpus_df(spark, 1).count()
+    # canonical columns are CAST to DOCUMENTS_RAW types (a foreign
+    # writer's long offsets must not drift downstream)
+    from agentic_doc_spark.schema import DOCUMENTS_RAW
+
+    for f in DOCUMENTS_RAW.fields:
+        assert df.schema[f.name].dataType == f.dataType, f.name
 
 
 def test_google_drive_connector_staging(spark, tmp_path):

@@ -158,6 +158,23 @@ def test_stream_extract_replay_idempotent(spark, tmp_path):
     )
 
 
+def test_stream_extract_fresh_run_id_preserves_prior_output(spark, tmp_path):
+    # checkpoint loss restarts epoch numbering at 0: a NEW run_id's epoch
+    # 0 must not overwrite the previous run's committed epoch-0 partition
+    from agentic_doc_spark.streaming.stream import _process_extract_batch
+
+    out = str(tmp_path / "fr_out")
+    full = corpus_df(spark, 1).cache()
+    ids = [r["doc_id"] for r in full.select("doc_id").collect()]
+    b1 = full.filter(full.doc_id.isin(ids[:3]))
+    b2 = full.filter(full.doc_id.isin(ids[3:]))
+
+    _process_extract_batch(b1, 0, out, None, "run-a")
+    _process_extract_batch(b2, 0, out, None, "run-b")  # fresh run, epoch 0
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == set(ids)  # run-a's epoch 0 survived run-b's epoch 0
+
+
 def test_windowed_counts_late_data(spark, tmp_path):
     # watermarked tumbling windows: a window is emitted once finalized,
     # and an event later than the watermark horizon is dropped from it
