@@ -281,6 +281,71 @@ def q_ingest_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pdf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/P1/K1-text end to end for PDFs through the PUBLIC parse()
+    facade: a deterministic raw-PDF corpus — even doc_ids use classic
+    literal-string content streams, odd doc_ids use the Type0/CID layout
+    (2-byte hex show strings resolved through a ToUnicode CMap, the
+    Word/LibreOffice shape; sources/pdf_text.py) — is staged, parsed,
+    and oracle-checked on markdown/span counts. Both font paths must
+    yield byte-identical text."""
+    import shutil
+    import zlib as _zlib
+
+    from agentic_doc_spark.api import parse
+
+    _ship(spark)
+    ids = sorted(
+        r[0]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 10 == 1)
+        .collect()
+    )
+    base = f"/tmp/spark_graft_pdf_{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    # identity CMap over printable ASCII: code 0x0020..0x007E → same char
+    cmap = (
+        b"begincmap\n1 beginbfrange\n<0020> <007e> <0020>\nendbfrange\n"
+        b"endcmap\n"
+    )
+    for doc_id in ids:
+        b1 = f"delta section of pdf {doc_id}"
+        b2 = f"echo body for pdf {doc_id} with lines"
+        if doc_id % 2 == 0:
+            streams = [
+                f"BT ({b1}) Tj ET\nBT ({b2}) Tj ET".encode("latin-1")
+            ]
+        else:
+            hx = lambda s: "".join(f"00{ord(c):02x}" for c in s)  # noqa: E731
+            streams = [
+                cmap,
+                f"BT <{hx(b1)}> Tj ET\nBT <{hx(b2)}> Tj ET".encode(),
+            ]
+        out = [b"%PDF-1.4\n"]
+        for i, cs in enumerate(streams):
+            body = _zlib.compress(cs)
+            out.append(
+                b"%d 0 obj\n<< /Filter /FlateDecode /Length %d >>\nstream\n"
+                % (i + 1, len(body))
+                + body
+                + b"\nendstream\nendobj\n"
+            )
+        out.append(b"%%EOF\n")
+        with open(f"{base}/{doc_id:08d}.pdf", "wb") as f:
+            f.write(b"".join(out))
+    parsed = parse(spark, base)
+    return parsed.select(
+        F.regexp_extract(F.col("doc_id"), r"(\d+)\.pdf$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.size("spans").alias("n_spans"),
+        F.col("markdown"),
+        F.col("doc_type"),
+    )
+
+
 def q_chunk_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1: chunk-reference provenance join — synthetic metadata references
     (every doc < 50 references its chunks at (page 0, offsets 0 and 1))
@@ -766,6 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "marginalia_filter": q_marginalia_filter,
         "boilerplate_strip": q_boilerplate_strip,
         "ingest_extract": q_ingest_extract,
+        "pdf_ingest": q_pdf_ingest,
         "chunk_refs": q_chunk_refs,
         "resume_anti_join": q_resume_anti_join,
         "token_counts": q_token_counts,
@@ -972,6 +1038,15 @@ def oracle_sql() -> dict[str, str]:
                    || chr(10) || chr(10)
                    || 'charlie closing of document ' || doc_id AS markdown
             FROM documents WHERE doc_id % 10 = 0
+        """,
+        "pdf_ingest": """
+            SELECT doc_id,
+                   CAST(2 AS INT) AS n_spans,
+                   'delta section of pdf ' || doc_id || chr(10) || chr(10)
+                   || 'echo body for pdf ' || doc_id || ' with lines'
+                   AS markdown,
+                   'pdf' AS doc_type
+            FROM documents WHERE doc_id % 10 = 1
         """,
         "chunk_refs": _SQL_SPANS
         + """
