@@ -531,30 +531,68 @@ _FRAME_SCHEMA = T.StructType(
     [
         T.StructField("media_ref", T.StringType()),
         T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
         T.StructField("frame_sha", T.StringType()),
+        T.StructField("decoded", T.BooleanType()),
     ]
 )
 
 
 def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
-    """video(media_ref, content) → sampled frame rows (K1-analog plumbing).
+    """video(media_ref, content) → every Nth frame's row.
 
-    STUB decode: frames are deterministic byte slices; real codecs slot in
-    behind the same mapInPandas signature."""
+    REAL path for MJPEG AVIs (the classic zero-dependency layout):
+    functions/riff.py demuxes the ``movi`` chunks, every_n-th frame's
+    JPEG payload decodes through functions/jpeg.py for true dims, and
+    frame_sha fingerprints the raw frame bytes. Payloads that are not a
+    demuxable AVI keep the previous deterministic byte-slice contract
+    with ``decoded=False`` — the same surfaced boundary as
+    extract_media_features."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from agentic_doc_spark.functions.riff import extract_avi_frames
+
         for pdf in batches:
             rows = []
             for ref, data in zip(pdf["media_ref"], pdf["content"]):
                 b = bytes(data) if data is not None else b""
+                frames = extract_avi_frames(b)
+                if frames:
+                    for i in range(0, len(frames), every_n):
+                        arr = _decode_array(frames[i])
+                        h, w = arr.shape[:2] if arr is not None else (0, 0)
+                        rows.append(
+                            (
+                                ref,
+                                i,
+                                int(w),
+                                int(h),
+                                hashlib.sha256(frames[i]).hexdigest()[:16],
+                                arr is not None,
+                            )
+                        )
+                    continue
+                # non-AVI payload: deterministic fake slices, surfaced
                 n_frames = max(1, len(b) // 256)
                 for i in range(0, n_frames, every_n):
                     chunk = b[i * 256 : (i + 1) * 256]
                     rows.append(
-                        (ref, i, hashlib.sha256(chunk).hexdigest()[:16])
+                        (
+                            ref,
+                            i,
+                            0,
+                            0,
+                            hashlib.sha256(chunk).hexdigest()[:16],
+                            False,
+                        )
                     )
             yield pd.DataFrame(
-                rows, columns=["media_ref", "frame_idx", "frame_sha"]
+                rows,
+                columns=[
+                    "media_ref", "frame_idx", "width", "height",
+                    "frame_sha", "decoded",
+                ],
             )
 
     return media.mapInPandas(run, _FRAME_SCHEMA)

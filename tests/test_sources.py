@@ -218,11 +218,44 @@ def test_media_features_decoded_flag_real_png(spark):
 
 
 def test_sample_frames_stub(spark):
+    # non-AVI payload: deterministic fake path, surfaced as decoded=False
     media = spark.createDataFrame(
         [("v1", bytearray(bytes(range(256)) * 40))], "media_ref string, content binary"
     )
     rows = sample_frames(media, every_n=10).collect()
     assert [r["frame_idx"] for r in rows] == list(range(0, 40, 10))
+    assert all(r["decoded"] is False for r in rows)
+
+
+def test_sample_frames_real_mjpeg_avi(spark):
+    # REAL video path: MJPEG AVI demux (functions/riff.py) + JPEG decode —
+    # every 2nd frame sampled, true dims, per-frame sha over raw bytes
+    import hashlib
+
+    import numpy as np
+
+    from agentic_doc_spark.functions.jpeg import encode_jpeg
+    from agentic_doc_spark.functions.riff import encode_avi_mjpeg
+
+    frames = [
+        bytes(
+            encode_jpeg(
+                np.full((16, 24, 3), 40 * (i + 1), dtype=np.uint8), quality=92
+            )
+        )
+        for i in range(5)
+    ]
+    avi = encode_avi_mjpeg(frames, width=24, height=16)
+    media = spark.createDataFrame(
+        [("vid", bytearray(avi))], "media_ref string, content binary"
+    )
+    rows = {
+        r["frame_idx"]: r for r in sample_frames(media, every_n=2).collect()
+    }
+    assert sorted(rows) == [0, 2, 4]
+    for i, r in rows.items():
+        assert (r["width"], r["height"], r["decoded"]) == (24, 16, True)
+        assert r["frame_sha"] == hashlib.sha256(frames[i]).hexdigest()[:16]
 
 
 def test_grounding_crop_specs(spark):
