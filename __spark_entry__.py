@@ -401,6 +401,35 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: contiguous token-budget bins over the
+    corpus in doc_id order, via the DISTRIBUTED prefix sum
+    (operators/packing.py — range exchange + per-partition windows +
+    bounded offsets; no global-order single-reducer window)."""
+    from agentic_doc_spark.functions.textstats import token_count_ws
+    from agentic_doc_spark.operators.packing import pack_sequences
+
+    t = _docs(spark, sf_dir).select(
+        "doc_id", token_count_ws(F.col("text")).cast("long").alias("n_tokens")
+    )
+    out = pack_sequences(t, budget=512)
+    return out.select("doc_id", "n_tokens", "running", "bin_id")
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language hash sampling (data-mixing primitive):
+    keep iff md5-uniform(doc_id) < rate(lang). Pure map, engine-portable
+    hash, reproducible across runs and cluster sizes."""
+    from agentic_doc_spark.operators.packing import sample_stratified
+
+    return sample_stratified(
+        _docs(spark, sf_dir).select("doc_id", "lang"),
+        {"en": 0.5, "de": 0.2},
+        "lang",
+        default_rate=0.05,
+    )
+
+
 def q_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from agentic_doc_spark.functions.textstats import text_profile
 
@@ -832,6 +861,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_strip": q_boilerplate_strip,
         "ingest_extract": q_ingest_extract,
         "pdf_ingest": q_pdf_ingest,
+        "pack_bins": q_pack_bins,
+        "stratified_sample": q_stratified_sample,
         "chunk_refs": q_chunk_refs,
         "resume_anti_join": q_resume_anti_join,
         "token_counts": q_token_counts,
@@ -1038,6 +1069,30 @@ def oracle_sql() -> dict[str, str]:
                    || chr(10) || chr(10)
                    || 'charlie closing of document ' || doc_id AS markdown
             FROM documents WHERE doc_id % 10 = 0
+        """,
+        "pack_bins": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len({_WS_WORDS}) AS BIGINT) AS n_tokens
+              FROM documents
+            ), r AS (
+              SELECT doc_id, n_tokens,
+                     SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS running
+              FROM t
+            )
+            SELECT doc_id, n_tokens, CAST(running AS BIGINT) AS running,
+                   CAST(floor((running - n_tokens) / 512.0) AS BIGINT)
+                     AS bin_id
+            FROM r
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                  / 1152921504606846976.0
+                  < CASE WHEN lang = 'en' THEN 0.5
+                         WHEN lang = 'de' THEN 0.2
+                         ELSE 0.05 END
         """,
         "pdf_ingest": """
             SELECT doc_id,

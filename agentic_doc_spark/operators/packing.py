@@ -1,0 +1,125 @@
+"""Training-sequence packing + deterministic sampling (LLM-pipeline ops).
+
+``pack_sequences`` assigns documents, in stable id order, to contiguous
+fixed-token-budget bins — the standard pre-training step that turns a
+document corpus into context-window-sized training sequences. The naive
+formulation is a running sum over a GLOBAL ORDER (one window over
+``ORDER BY doc_id``), which Spark executes as a single-partition sort —
+the classic scale-killer. Here it is the textbook distributed prefix
+sum instead:
+
+1. range-partition by the order key (``repartitionByRange`` — a range
+   exchange, each partition owns a contiguous id interval);
+2. per-partition running sum (window PARTITIONED by the range bucket —
+   parallel, no global sort);
+3. per-partition totals (numPartitions rows) → driver → cumulative
+   offsets joined back as a broadcast literal.
+
+The result is invariant to the (sampled, nondeterministic) range
+boundaries: global_running(doc) = sum of tokens over all ids ≤ doc, so
+the output is exactly reproducible by a plain windowed SUM in any
+engine — the DuckDB oracle twin.
+
+``sample_stratified`` is deterministic hash sampling (md5-derived
+uniform in [0,1), portable to any engine) with per-stratum rates — the
+data-mixing primitive for corpus re-weighting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def running_totals(
+    df: DataFrame,
+    order_col: str = "doc_id",
+    value_col: str = "n_tokens",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``running`` = inclusive prefix sum of ``value_col`` in
+    ``order_col`` order, without a global-order window.
+
+    Exchange budget: ONE range exchange + one bounded driver collect
+    (numPartitions rows); the per-partition window sorts locally. At
+    10^12 rows the range exchange is the same cost as any repartition —
+    there is no single-reducer global sort anywhere."""
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, F.col(order_col)).withColumn(
+        "_part", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_part").orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # PIN the partitioning before it is consumed twice: range boundaries
+    # come from sampling, so a recomputation between the offsets collect
+    # and the final projection could re-bucket rows and misalign offsets.
+    # localCheckpoint materializes one concrete partitioning both share.
+    local = ranged.withColumn(
+        "_local_run", F.sum(value_col).over(w)
+    ).localCheckpoint(eager=True)
+    # bounded: one row per partition → cumulative offsets on the driver
+    totals = (
+        local.groupBy("_part").agg(F.sum(value_col).alias("_total")).collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for row in sorted(totals, key=lambda r: r["_part"]):
+        offsets[row["_part"]] = acc
+        acc += row["_total"]
+    if not offsets:
+        return local.withColumn("running", F.col("_local_run")).drop(
+            "_part", "_local_run"
+        )
+    off_map = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    return (
+        local.withColumn(
+            "running",
+            F.col("_local_run")
+            + F.coalesce(off_map[F.col("_part")], F.lit(0)),
+        )
+        .drop("_part", "_local_run")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    order_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign each document to a training bin: documents are laid out
+    contiguously in ``order_col`` order and cut every ``budget`` tokens;
+    ``bin_id`` = exclusive-prefix-sum // budget (a document starts in
+    the bin where its first token lands). Deterministic, engine-portable
+    semantics — the DuckDB twin is a plain windowed SUM."""
+    run = running_totals(df, order_col, tokens_col, num_partitions)
+    return run.withColumn(
+        "bin_id",
+        ((F.col("running") - F.col(tokens_col)) / budget).cast("long"),
+    )
+
+
+def sample_stratified(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str,
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff
+    uniform_hash(id) < rate(stratum). The hash is the first 15 hex chars
+    of md5(id) scaled to [0, 1) — engine-portable (DuckDB:
+    ('0x'||substr(md5(id),1,15))::BIGINT / 2^60), reproducible across
+    runs/cluster sizes, and uncorrelated with the id distribution.
+    Pure map — no shuffle, no RNG state."""
+    u = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("double") / F.lit(float(2 ** 60))
+    rate = F.lit(float(default_rate))
+    for k, v in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == k, F.lit(float(v))).otherwise(rate)
+    return df.filter(u < rate)
