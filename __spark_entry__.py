@@ -430,6 +430,18 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining decontamination: docs sharing any 3-shingle with the
+    synthetic eval split (doc_id % 17 == 0) are dropped; survivors
+    returned. Benchmark shingles broadcast; corpus side anti-joined."""
+    from agentic_doc_spark.operators.dedup import decontaminate
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 17 == 0).select("text")
+    clean = decontaminate(docs.filter(F.col("doc_id") % 17 != 0), bench)
+    return clean.select("doc_id")
+
+
 def q_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from agentic_doc_spark.functions.textstats import text_profile
 
@@ -863,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_ingest": q_pdf_ingest,
         "pack_bins": q_pack_bins,
         "stratified_sample": q_stratified_sample,
+        "decontaminate": q_decontaminate,
         "chunk_refs": q_chunk_refs,
         "resume_anti_join": q_resume_anti_join,
         "token_counts": q_token_counts,
@@ -1069,6 +1082,25 @@ def oracle_sql() -> dict[str, str]:
                    || chr(10) || chr(10)
                    || 'charlie closing of document ' || doc_id AS markdown
             FROM documents WHERE doc_id % 10 = 0
+        """,
+        "decontaminate": f"""
+            WITH n AS (
+              SELECT doc_id, {_SQL_WORDS.format(src=_NORM)} AS nw
+              FROM documents
+            ), s AS (
+              SELECT doc_id, {_SHINGLES} AS sh FROM n
+            ), e AS (
+              SELECT doc_id, u.g AS shingle FROM s, unnest(sh) AS u(g)
+            ), bench AS (
+              SELECT DISTINCT shingle FROM e WHERE doc_id % 17 = 0
+            ), dirty AS (
+              SELECT DISTINCT doc_id FROM e
+              WHERE doc_id % 17 <> 0
+                AND shingle IN (SELECT shingle FROM bench)
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id % 17 <> 0
+              AND doc_id NOT IN (SELECT doc_id FROM dirty)
         """,
         "pack_bins": f"""
             WITH t AS (

@@ -576,6 +576,44 @@ def connected_components(
     return final
 
 
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: drop every corpus document sharing ANY
+    k-token shingle with the benchmark/eval set — the GPT-3/PaLM-style
+    pretraining hygiene step (Brown et al. 2020 §C use 13-grams; k is a
+    knob, tiny test corpora use smaller k).
+
+    Plan shape at 100 TB: the benchmark side is an eval set (thousands
+    of rows) — its distinct shingle keys broadcast; the corpus explodes
+    to (doc, shingle-hash) rows but the map-side LEFT SEMI against the
+    broadcast emits only contaminated ids (tiny), and the final LEFT
+    ANTI is narrow-vs-corpus. Shingles fold to 8-byte xxhash64 join
+    keys (same trick as jaccard_pairs) so no long strings shuffle."""
+    c = corpus.select(
+        F.col(id_col),
+        F.explode(
+            shingle_hashes(shingles(F.col(text_col), k))
+        ).alias("h"),
+    )
+    b = (
+        benchmark.select(
+            F.explode(
+                shingle_hashes(shingles(F.col(text_col), k))
+            ).alias("h")
+        )
+        .distinct()
+    )
+    dirty = (
+        c.join(F.broadcast(b), "h", "left_semi").select(id_col).distinct()
+    )
+    return corpus.join(dirty, id_col, "left_anti")
+
+
 def near_dedup(
     df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -231,6 +231,26 @@ def test_ivf_zero_norm_vector_assignment(spark):
     assert 99 in {r["neighbor_id"] for r in res.collect()}
 
 
+def test_decontaminate_drops_overlapping_docs(spark):
+    # any doc sharing a 3-shingle with the benchmark set is dropped;
+    # disjoint docs survive
+    from agentic_doc_spark.operators.dedup import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # overlaps
+            (2, "completely different words about spark plans here"),
+            (3, "quick brown fox appears again in this other document"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [("eval question about the quick brown fox story",)], ["text"]
+    )
+    got = sorted(r["doc_id"] for r in decontaminate(corpus, bench).collect())
+    assert got == [2]  # 1 and 3 share the 'quick brown fox' shingle
+
+
 def test_connected_components_checkpoint_bounds_plan(spark):
     # a deep chain forces many propagation rounds; with a small
     # checkpoint_interval the FINAL plan must be a leaf scan (lineage
