@@ -13,7 +13,7 @@ the extraction_model/extraction_schema mutual-exclusion guard is U5
 from __future__ import annotations
 
 from dataclasses import replace
-from typing import Any
+from typing import Any, Iterable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -222,3 +222,34 @@ def parse(
     if persisted is not None:
         persisted.unpersist()
     return parsed
+
+
+def parse_documents(
+    spark: SparkSession, documents: Iterable, **kwargs: Any
+) -> DataFrame:
+    """Legacy entry-point parity: parse a LIST of documents
+    (agentic_doc.parse.parse_documents, parse.py:260-267 — same keyword
+    surface as parse(); the list routes through the S1 dispatch)."""
+    return parse(spark, list(documents), **kwargs)
+
+
+def parse_and_save_documents(
+    spark: SparkSession,
+    documents: DocumentsInput,
+    *,
+    result_save_dir: str,
+    **kwargs: Any,
+) -> DataFrame:
+    """Legacy entry-point parity (parse.py:325-335): parse and ALWAYS
+    save results to ``result_save_dir``. The reference returns the
+    written paths; here the parsed DataFrame returns (the save dir holds
+    the table / per-doc JSON depending on ``result_format``)."""
+    return parse(spark, documents, result_save_dir=result_save_dir, **kwargs)
+
+
+def parse_and_save_document(
+    spark: SparkSession, document: DocumentsInput, **kwargs: Any
+) -> DataFrame:
+    """Legacy single-document entry point (parse.py:396-406): same
+    semantics as parse() over one input."""
+    return parse(spark, document, **kwargs)

@@ -161,6 +161,32 @@ def test_extraction_fallback_schema_matches_payload_path(spark):
     assert without_payload.filter(F.col("extraction").isNotNull()).count() == 0
 
 
+def test_legacy_entry_points(spark, tmp_path):
+    # reference parity: parse_documents / parse_and_save_document(s)
+    # (agentic_doc/parse.py:260,325,396) route through the same facade
+    from agentic_doc_spark.api import (
+        parse_and_save_document,
+        parse_and_save_documents,
+        parse_documents,
+    )
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    (d / "a.txt").write_text("first block\n\nsecond block")
+    (d / "b.txt").write_text("other doc")
+    out = parse_documents(spark, [str(d / "a.txt"), str(d / "b.txt")])
+    assert out.count() == 2
+    save = str(tmp_path / "saved")
+    out2 = parse_and_save_documents(
+        spark, str(d), result_save_dir=save
+    )
+    assert out2.count() == 2
+    assert spark.read.parquet(save).count() == 2
+    one = parse_and_save_document(spark, str(d / "a.txt"))
+    rows = one.collect()
+    assert len(rows) == 1 and "first block" in rows[0]["markdown"]
+
+
 def test_result_format_validated(spark, tmp_path):
     with pytest.raises(ValueError, match="result_format"):
         parse(
