@@ -283,12 +283,13 @@ def q_ingest_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pdf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1/P1/K1-text end to end for PDFs through the PUBLIC parse()
-    facade: a deterministic raw-PDF corpus — even doc_ids use classic
-    literal-string content streams, odd doc_ids use the Type0/CID layout
-    (2-byte hex show strings resolved through a ToUnicode CMap, the
-    Word/LibreOffice shape; sources/pdf_text.py) — is staged, parsed,
-    and oracle-checked on markdown/span counts. Both font paths must
-    yield byte-identical text."""
+    facade: a deterministic raw-PDF corpus — doc_id % 4 == 1 uses
+    classic literal-string content streams, doc_id % 4 == 3 the
+    Type0/CID layout (2-byte hex show strings resolved through a
+    ToUnicode CMap, the Word/LibreOffice shape; sources/pdf_text.py —
+    the selected ids are ≡1 mod 10, so % 4 alternates 1,3,1,3 and BOTH
+    branches run) — staged, parsed, and oracle-checked on markdown/span
+    counts. Both font paths must yield byte-identical text."""
     import shutil
     import zlib as _zlib
 
@@ -313,7 +314,7 @@ def q_pdf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     for doc_id in ids:
         b1 = f"delta section of pdf {doc_id}"
         b2 = f"echo body for pdf {doc_id} with lines"
-        if doc_id % 2 == 0:
+        if doc_id % 4 == 1:
             streams = [
                 f"BT ({b1}) Tj ET\nBT ({b2}) Tj ET".encode("latin-1")
             ]

@@ -130,18 +130,54 @@ def parse(
             # the render job consumes `parsed` on BOTH join sides (crop
             # specs and synthesized rasters), and a result_save_dir write
             # may follow — persist across parse()'s eager actions so
-            # extract() runs once, not once per consumer; released before
-            # returning (the returned frame stays lazy as before)
+            # extract() runs once, not once per consumer; ALWAYS released
+            # (try/finally below) so a failed write cannot pin the cached
+            # corpus for the driver's lifetime
             persisted = parsed = parsed.persist()
             pages = (
                 page_rasters
                 if page_rasters is not None
                 else rasterize_pages(parsed)
             )
-            write_grounding_images(
-                render_grounding_crops(parsed, pages), grounding_save_dir
-            )
+            try:
+                write_grounding_images(
+                    render_grounding_crops(parsed, pages), grounding_save_dir
+                )
+            except BaseException:
+                persisted.unpersist()
+                raise
 
+    try:
+        return _finish_parse(
+            df,
+            parsed,
+            settings,
+            extraction_model,
+            extraction_schema,
+            extraction_payload_col,
+            extraction_metadata_col,
+            result_save_dir,
+            result_format,
+        )
+    finally:
+        if persisted is not None:
+            persisted.unpersist()
+
+
+def _finish_parse(
+    df: DataFrame,
+    parsed: DataFrame,
+    settings: Settings,
+    extraction_model,
+    extraction_schema,
+    extraction_payload_col: str,
+    extraction_metadata_col: str | None,
+    result_save_dir: str | None,
+    result_format: str,
+) -> DataFrame:
+    """parse()'s tail: extraction validation + result export (split out
+    so the persist released in parse()'s finally covers every eager
+    action here)."""
     schema = extraction_model or extraction_schema
     if schema is not None:
         if (
@@ -219,8 +255,6 @@ def parse(
             write_json_results(parsed, result_save_dir)
         else:
             parsed.write.mode("append").parquet(result_save_dir)
-    if persisted is not None:
-        persisted.unpersist()
     return parsed
 
 
@@ -230,6 +264,12 @@ def parse_documents(
     """Legacy entry-point parity: parse a LIST of documents
     (agentic_doc.parse.parse_documents, parse.py:260-267 — same keyword
     surface as parse(); the list routes through the S1 dispatch)."""
+    if isinstance(documents, (str, bytes)):
+        # list('docs/') would explode into per-character paths
+        raise TypeError(
+            "parse_documents expects a list of paths — pass a single "
+            "path/bytes input to parse() instead"
+        )
     return parse(spark, list(documents), **kwargs)
 
 

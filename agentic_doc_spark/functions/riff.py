@@ -46,23 +46,27 @@ def extract_avi_frames(data: bytes) -> list[bytes]:
     for MJPEG streams). Empty list when not an AVI / no video chunks."""
     if not is_avi(data):
         return []
-    frames: list[bytes] = []
-
-    def walk(start: int, end: int) -> None:
+    found: list[tuple[int, bytes]] = []
+    # explicit stack, not recursion: a crafted stream of deeply nested
+    # LIST headers must degrade gracefully, never RecursionError a task.
+    # Frames carry their stream offset and sort at the end, so traversal
+    # order (which LIFO perturbs for 'rec '-grouped AVIs) never changes
+    # the emitted frame order.
+    stack: list[tuple[int, int]] = [(12, len(data))]
+    while stack:
+        start, end = stack.pop()
         for fourcc, payload, size in _iter_chunks(data, start, end):
             if fourcc == b"LIST" and size >= 4:
                 # LIST payload = list type fourcc + sub-chunks
-                walk(payload + 4, payload + size)
+                stack.append((payload + 4, payload + size))
             elif (
                 len(fourcc) == 4
                 and fourcc[2:4] in _VIDEO_SUFFIXES
                 and fourcc[:2].isdigit()
                 and size > 0
             ):
-                frames.append(bytes(data[payload : payload + size]))
-
-    walk(12, len(data))
-    return frames
+                found.append((payload, bytes(data[payload : payload + size])))
+    return [f for _, f in sorted(found, key=lambda t: t[0])]
 
 
 def encode_avi_mjpeg(frames: list[bytes], width: int = 0, height: int = 0) -> bytes:

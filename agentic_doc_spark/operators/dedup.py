@@ -593,21 +593,18 @@ def decontaminate(
     to (doc, shingle-hash) rows but the map-side LEFT SEMI against the
     broadcast emits only contaminated ids (tiny), and the final LEFT
     ANTI is narrow-vs-corpus. Shingles fold to 8-byte xxhash64 join
-    keys (same trick as jaccard_pairs) so no long strings shuffle."""
+    keys (same trick as jaccard_pairs — NOT the 31-bit minhash base
+    fold, whose collision rate would falsely contaminate clean docs at
+    ~10^6 benchmark shingles) so no long strings shuffle."""
+    fold = lambda t: F.transform(  # noqa: E731
+        shingles(t, k), lambda g: F.xxhash64(g)
+    )
     c = corpus.select(
-        F.col(id_col),
-        F.explode(
-            shingle_hashes(shingles(F.col(text_col), k))
-        ).alias("h"),
+        F.col(id_col), F.explode(fold(F.col(text_col))).alias("h")
     )
-    b = (
-        benchmark.select(
-            F.explode(
-                shingle_hashes(shingles(F.col(text_col), k))
-            ).alias("h")
-        )
-        .distinct()
-    )
+    b = benchmark.select(
+        F.explode(fold(F.col(text_col))).alias("h")
+    ).distinct()
     dirty = (
         c.join(F.broadcast(b), "h", "left_semi").select(id_col).distinct()
     )

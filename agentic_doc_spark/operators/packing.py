@@ -66,7 +66,7 @@ def running_totals(
     acc = 0
     for row in sorted(totals, key=lambda r: r["_part"]):
         offsets[row["_part"]] = acc
-        acc += row["_total"]
+        acc += row["_total"] or 0  # all-NULL partition sums to NULL
     if not offsets:
         return local.withColumn("running", F.col("_local_run")).drop(
             "_part", "_local_run"

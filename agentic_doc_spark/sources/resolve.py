@@ -132,24 +132,37 @@ def resolve(spark: SparkSession, documents: DocumentsInput, **options) -> DataFr
             if set(actual.columns) == {f.name for f in DOCUMENTS_RAW.fields}:
                 return spark.read.schema(DOCUMENTS_RAW).parquet(p)
             # superset (e.g. extraction_payload riding along): keep the
-            # extra columns but CAST the canonical ones to DOCUMENTS_RAW
-            # types (a foreign writer's offset:bigint span struct must
-            # not drift downstream); an incompatible shape raises here
+            # extra columns but coerce the canonical ones to
+            # DOCUMENTS_RAW types BY FIELD NAME (a whole-struct cast is
+            # positional — a foreign writer's alphabetized span struct
+            # would silently scramble kind/text/media_ref/offset); an
+            # incompatible shape raises here, not mid-job
             known = {f.name for f in DOCUMENTS_RAW.fields}
             from pyspark.errors import AnalysisException
 
+            span = lambda s: F.struct(  # noqa: E731
+                s["kind"].cast("string").alias("kind"),
+                s["text"].cast("string").alias("text"),
+                s["media_ref"].cast("string").alias("media_ref"),
+                s["offset"].cast("int").alias("offset"),
+            )
             try:
-                return actual.select(
-                    *[
-                        F.col(f.name).cast(f.dataType).alias(f.name)
-                        for f in DOCUMENTS_RAW.fields
-                    ],
+                canonical_spans = F.transform(F.col("spans"), span).cast(
+                    # normalize containsNull after the (name-safe,
+                    # already-ordered) per-field coercion above
+                    DOCUMENTS_RAW["spans"].dataType
+                )
+                out = actual.select(
+                    F.col("doc_id").cast("string").alias("doc_id"),
+                    canonical_spans.alias("spans"),
                     *[c for c in actual.columns if c not in known],
                 )
+                out.schema  # force analysis so shape errors surface NOW
+                return out
             except AnalysisException as ex:
                 raise ValueError(
                     f"parquet input at {p!r} has doc_id/spans columns whose "
-                    f"types cannot cast to the documents_raw schema: {ex}"
+                    f"shape cannot coerce to the documents_raw schema: {ex}"
                 ) from ex
         return read_binary_dir(spark, p, **options)
     if isinstance(documents, Iterable):

@@ -95,6 +95,7 @@ def stream_near_dedup(
     state_path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    run_id: str = "stream",
     available_now: bool = True,
 ):
     """Incremental NEAR-duplicate suppression: minhash-LSH band keys as
@@ -115,18 +116,22 @@ def stream_near_dedup(
     equi-join on band key, the same shape as the batch path.
 
     Replay-idempotent: each epoch writes its output and state bands into
-    its own ``epoch=<id>`` partition with OVERWRITE (Structured Streaming
-    replays an epoch after a crash before checkpoint commit — a blind
-    append would duplicate every survivor), and the state read EXCLUDES
-    the current epoch so a half-committed prior attempt can't make the
-    replayed docs collide with themselves."""
+    its own ``epoch=<run_id>-<id>`` partition with OVERWRITE (Structured
+    Streaming replays an epoch after a crash before checkpoint commit —
+    a blind append would duplicate every survivor), and the state read
+    EXCLUDES the current epoch so a half-committed prior attempt can't
+    make the replayed docs collide with themselves. ``run_id`` qualifies
+    the partition key because epoch ids RESTART AT 0 under a fresh
+    checkpoint: restart after checkpoint loss with a NEW run_id (same
+    convention as stream_extract) or epoch 0 would overwrite the prior
+    run's committed rows and state."""
     schema = spark.read.parquet(input_path).schema
     src = spark.readStream.schema(schema).parquet(input_path)
 
     def process_batch(batch_df, epoch_id: int) -> None:
         _process_near_dedup_batch(
             spark, batch_df, int(epoch_id), output_path, state_path,
-            text_col, id_col,
+            text_col, id_col, run_id,
         )
 
     writer = (
@@ -149,6 +154,7 @@ def _process_near_dedup_batch(
     state_path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    run_id: str = "stream",
 ) -> None:
     """One near-dedup epoch (module-level so replay idempotency is
     directly testable by invoking the same epoch twice)."""
@@ -167,7 +173,7 @@ def _process_near_dedup_batch(
         # exclude this epoch's own partition: a replayed batch must not
         # collide with its prior half-committed attempt
         state = spark.read.parquet(state_path).filter(
-            F.col("epoch") != epoch_id
+            F.col("epoch") != f"{run_id}-{epoch_id}"
         )
         if not state.head(1):
             state = None
@@ -198,13 +204,12 @@ def _process_near_dedup_batch(
     survivors = batch_df.join(
         losers.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
     ).persist()
+    part = f"epoch={run_id}-{epoch_id}"
     try:
-        survivors.write.mode("overwrite").parquet(
-            f"{output_path}/epoch={epoch_id}"
-        )
+        survivors.write.mode("overwrite").parquet(f"{output_path}/{part}")
         bands.join(
             survivors.select(F.col(id_col).alias("doc_id")), "doc_id"
-        ).write.mode("overwrite").parquet(f"{state_path}/epoch={epoch_id}")
+        ).write.mode("overwrite").parquet(f"{state_path}/{part}")
     finally:
         survivors.unpersist()
         bands.unpersist()

@@ -227,6 +227,21 @@ def test_sample_frames_stub(spark):
     assert all(r["decoded"] is False for r in rows)
 
 
+def test_riff_deep_nesting_never_recursion_errors():
+    # a crafted stream of deeply nested LIST headers must degrade
+    # gracefully (explicit-stack walk), never RecursionError a task
+    import struct
+
+    from agentic_doc_spark.functions.riff import extract_avi_frames
+
+    depth = 5000
+    inner = b""
+    for _ in range(depth):
+        inner = b"LIST" + struct.pack("<I", len(inner) + 4) + b"rec " + inner
+    blob = b"RIFF" + struct.pack("<I", len(inner) + 4) + b"AVI " + inner
+    assert extract_avi_frames(blob) == []
+
+
 def test_sample_frames_real_mjpeg_avi(spark):
     # REAL video path: MJPEG AVI demux (functions/riff.py) + JPEG decode —
     # every 2nd frame sampled, true dims, per-frame sha over raw bytes

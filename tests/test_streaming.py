@@ -252,6 +252,37 @@ def test_stream_near_dedup_incremental(spark, tmp_path):
     assert sdocs == {1, 2, 4}
 
 
+def test_stream_near_dedup_fresh_run_id_preserves_prior_output(spark, tmp_path):
+    # checkpoint loss restarts epochs at 0: a NEW run_id must not clobber
+    # the prior run's epoch-0 output or band state
+    from agentic_doc_spark.streaming.dedup_stream import (
+        _process_near_dedup_batch,
+    )
+
+    out = str(tmp_path / "fr_out")
+    state = str(tmp_path / "fr_state")
+    b1 = spark.createDataFrame(
+        [(1, "an entirely original passage about run id partitioning")],
+        ["doc_id", "text"],
+    )
+    b2 = spark.createDataFrame(
+        [(2, "a different body of words for the second streaming run")],
+        ["doc_id", "text"],
+    )
+    _process_near_dedup_batch(spark, b1, 0, out, state, run_id="run-a")
+    _process_near_dedup_batch(spark, b2, 0, out, state, run_id="run-b")
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 2]  # run-a's epoch 0 survived run-b's epoch 0
+    # and run-b still saw run-a's state: a clone of doc 1 is suppressed
+    b3 = spark.createDataFrame(
+        [(3, "an entirely original passage about run id partitioning")],
+        ["doc_id", "text"],
+    )
+    _process_near_dedup_batch(spark, b3, 1, out, state, run_id="run-b")
+    final = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert final == [1, 2]
+
+
 def test_stream_near_dedup_replay_idempotent(spark, tmp_path):
     # a replayed epoch (crash before checkpoint commit) must neither
     # duplicate output rows nor make docs collide with their own prior
