@@ -106,6 +106,27 @@ def test_rejects_cmyk_and_zero_sampling():
         decode_jpeg(bytes(zs))
 
 
+def test_property_roundtrip_random_images():
+    # property-style: random dims/content at q=95 stay within a bounded
+    # reconstruction error for BOTH subsampling layouts
+    rng = np.random.default_rng(11)
+    for _ in range(12):
+        h = int(rng.integers(8, 40))
+        w = int(rng.integers(8, 40))
+        # smooth-ish content (random low-res upsampled) — JPEG's domain
+        base = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+        arr = np.repeat(np.repeat(base, (h + 3) // 4, 0), (w + 3) // 4, 1)[
+            :h, :w
+        ].astype(np.uint8)
+        # 4:2:0 halves chroma resolution, so sharp random color edges
+        # legitimately cost more — wider bound there
+        for sub, bound in (("444", 12), ("420", 30)):
+            back = decode_jpeg(encode_jpeg(arr, quality=95, subsampling=sub))
+            assert back.shape == (h, w, 3)
+            err = np.abs(back.astype(int) - arr.astype(int))
+            assert err.mean() <= bound, (h, w, sub, err.mean())
+
+
 def test_fuzz_never_hangs_or_crashes_non_valueerror():
     # crafted/corrupt streams must raise ValueError promptly — never hang
     # (zero segment lengths) or escape with a non-ValueError
