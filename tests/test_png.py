@@ -202,6 +202,44 @@ def test_parse_grounding_save_dir_end_to_end(spark, tmp_path):
         assert img.shape[:2] == (px["y1"] - px["y0"], px["x1"] - px["x0"])
 
 
+def test_parse_with_caller_supplied_page_rasters(spark, tmp_path):
+    # page_rasters= slots real renderer output into the same loop: crops
+    # must be cut from the SUPPLIED raster, not a synthesized page
+    import os
+
+    from agentic_doc_spark.api import parse
+    from agentic_doc_spark.functions.png import encode_png
+    from agentic_doc_spark.synth import corpus_df
+
+    W, H = 816, 1056
+    page = _gradient(H, W, 3)
+    df = corpus_df(spark, 1).filter("doc_id = 'single-000000'")
+    pages = spark.createDataFrame(
+        [("single-000000", 0, bytearray(encode_png(page)))],
+        "doc_id string, page int, content binary",
+    )
+    save = str(tmp_path / "gsave")
+    out = parse(spark, df, grounding_save_dir=save, page_rasters=pages)
+    paths = [
+        g["image_path"]
+        for r in out.collect()
+        for c in (r["chunks"] or [])
+        for g in (c["grounding"] or [])
+        if g["image_path"]
+    ]
+    assert paths
+    from agentic_doc_spark.operators.multimodal import grounding_crop_specs
+
+    specs = {f"{save}/{r['rel_path']}": r["px"] for r in grounding_crop_specs(out).collect()}
+    for p in paths:
+        assert os.path.isfile(p)
+        with open(p, "rb") as f:
+            got = decode_png(f.read())
+        px = specs[p]
+        want = page[px["y0"] : px["y1"], px["x0"] : px["x1"]]
+        assert (got == want).all()  # cut from the caller's raster
+
+
 def test_render_crops_decode_once_per_page(spark):
     # the post-join sortWithinPartitions pins the once-per-(doc,page)
     # decode property under every join strategy: total cache misses ==
