@@ -443,6 +443,37 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean.select("doc_id")
 
 
+def q_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE LLM-data pipeline composed end to end
+    (pipeline_llm.build_training_set): quality/langid filter → exact
+    dedup → benchmark decontamination (eval split = doc_id % 17 == 0) →
+    per-language stratified sampling → token counts → sequence packing
+    (distributed prefix sum). Near-dup stage off here: its LSH band
+    arithmetic has its own oracles (minhash_*, lsh_jaccard_pairs) and
+    the remaining five stages compose into one exact SQL twin."""
+    from agentic_doc_spark.pipeline_llm import build_training_set
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 17 == 0).select("text")
+    out = build_training_set(
+        docs,
+        benchmark=bench,
+        min_quality=0.3,
+        near_dup_threshold=None,
+        lang_rates={"en": 0.5, "de": 0.2},
+        default_lang_rate=0.05,
+        pack_budget=512,
+    )
+    return out.select(
+        "doc_id",
+        "pred_lang",
+        F.round(F.col("quality").cast("double"), 6).alias("quality"),
+        "n_tokens",
+        F.col("running").cast("long").alias("running"),
+        "bin_id",
+    )
+
+
 def q_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from agentic_doc_spark.functions.textstats import text_profile
 
@@ -877,6 +908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_bins": q_pack_bins,
         "stratified_sample": q_stratified_sample,
         "decontaminate": q_decontaminate,
+        "training_set": q_training_set,
         "chunk_refs": q_chunk_refs,
         "resume_anti_join": q_resume_anti_join,
         "token_counts": q_token_counts,
@@ -1083,6 +1115,55 @@ def oracle_sql() -> dict[str, str]:
                    || chr(10) || chr(10)
                    || 'charlie closing of document ' || doc_id AS markdown
             FROM documents WHERE doc_id % 10 = 0
+        """,
+        "training_set": f"""
+            WITH prof AS (
+              SELECT doc_id, text, {_LANG_EXPR} AS pred_lang,
+                     {_QUALITY_EXPR} AS quality
+              FROM documents
+            ), q AS (
+              SELECT * FROM prof WHERE quality >= 0.3
+            ), canon AS (
+              SELECT min(doc_id) AS doc_id FROM q GROUP BY md5({_NORM})
+            ), d1 AS (
+              SELECT q.* FROM q JOIN canon USING (doc_id)
+            ), nw AS (
+              SELECT doc_id, {_SQL_WORDS.format(src=_NORM)} AS nw
+              FROM documents
+            ), shg AS (
+              SELECT doc_id, {_SHINGLES} AS sh FROM nw
+            ), e AS (
+              SELECT doc_id, u.g AS shingle FROM shg, unnest(sh) AS u(g)
+            ), bench AS (
+              SELECT DISTINCT shingle FROM e WHERE doc_id % 17 = 0
+            ), dirty AS (
+              SELECT DISTINCT doc_id FROM e
+              WHERE shingle IN (SELECT shingle FROM bench)
+            ), d2 AS (
+              SELECT * FROM d1
+              WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+            ), d3 AS (
+              SELECT * FROM d2
+              WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                    / 1152921504606846976.0
+                    < CASE WHEN pred_lang = 'en' THEN 0.5
+                           WHEN pred_lang = 'de' THEN 0.2
+                           ELSE 0.05 END
+            ), t AS (
+              SELECT doc_id, pred_lang, quality,
+                     CAST(len({_WS_WORDS}) AS BIGINT) AS n_tokens
+              FROM d3
+            ), r AS (
+              SELECT *, SUM(n_tokens) OVER (ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) AS running
+              FROM t
+            )
+            SELECT doc_id, pred_lang,
+                   round(CAST(quality AS DOUBLE), 6) AS quality, n_tokens,
+                   CAST(running AS BIGINT) AS running,
+                   CAST(floor((running - n_tokens) / 512.0) AS BIGINT)
+                     AS bin_id
+            FROM r
         """,
         "decontaminate": f"""
             WITH n AS (

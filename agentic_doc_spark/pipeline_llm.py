@@ -1,0 +1,93 @@
+"""End-to-end training-set builder: the whole LLM-data pipeline as one
+composition (the 100 TB use case every individual operator exists for).
+
+    corpus (doc_id, text)
+      → quality/language profile, filter        (functions/textstats)
+      → exact dedup (first id per fingerprint)  (operators/dedup)
+      → near-dup removal (LSH → verify → CC)    (operators/dedup)
+      → benchmark decontamination               (operators/dedup)
+      → per-language stratified sampling        (operators/packing)
+      → token counts + sequence packing         (operators/packing)
+
+Every stage is the already-tested operator; this module only wires them,
+so the plan inherits each stage's scale properties (equi-join candidate
+generation, bounded CC lineage, distributed prefix sum — see
+ARCHITECTURE.md). Stages toggle off via their parameter being None.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from agentic_doc_spark.functions.textstats import text_profile, token_count_ws
+from agentic_doc_spark.operators.dedup import (
+    dedup_exact,
+    decontaminate,
+    lsh_jaccard_pairs,
+    near_dedup,
+)
+from agentic_doc_spark.operators.packing import (
+    pack_sequences,
+    sample_stratified,
+)
+
+
+def build_training_set(
+    df: DataFrame,
+    *,
+    benchmark: DataFrame | None = None,
+    min_quality: float | None = 0.3,
+    lang_rates: dict[str, float] | None = None,
+    default_lang_rate: float = 0.0,
+    near_dup_threshold: float | None = 0.8,
+    pack_budget: int | None = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """corpus (id, text) → cleaned, deduped, sampled, packed training
+    rows: (doc_id, text, pred_lang, quality, n_tokens[, running, bin_id]).
+
+    - ``min_quality``: drop docs below the C4-style quality score.
+    - ``near_dup_threshold``: LSH-candidate → exact-verify Jaccard
+      threshold; one survivor (min id) per duplicate cluster.
+    - ``benchmark``: eval texts — docs sharing any shingle are dropped.
+    - ``lang_rates``: per-language keep rates (deterministic md5
+      sampling); None keeps everything.
+    - ``pack_budget``: tokens per training bin; None skips packing.
+    """
+    out = text_profile(
+        df.select(F.col(id_col), F.col(text_col)), text_col
+    )
+    if min_quality is not None:
+        out = out.filter(F.col("quality") >= min_quality)
+
+    # exact dedup: keep each fingerprint's canonical (min-id) row
+    canon = dedup_exact(out, text_col, id_col).filter(
+        F.col("is_canonical")
+    ).select(id_col)
+    out = out.join(canon, id_col, "left_semi")
+
+    if near_dup_threshold is not None:
+        pairs = lsh_jaccard_pairs(
+            out.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+            threshold=near_dup_threshold,
+        ).select(F.col("a"), F.col("b"))
+        out = near_dedup(out, pairs, id_col)
+
+    if benchmark is not None:
+        out = decontaminate(out, benchmark, text_col=text_col, id_col=id_col)
+
+    if lang_rates is not None:
+        out = sample_stratified(
+            out, lang_rates, "pred_lang", id_col, default_rate=default_lang_rate
+        )
+
+    out = out.withColumn(
+        "n_tokens", token_count_ws(F.col(text_col)).cast("long")
+    )
+    if pack_budget is not None:
+        out = pack_sequences(
+            out, pack_budget, order_col=id_col, tokens_col="n_tokens"
+        )
+    return out

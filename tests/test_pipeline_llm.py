@@ -1,0 +1,86 @@
+"""End-to-end training-set builder: every pipeline stage exercised on a
+corpus with one planted case per stage."""
+
+from __future__ import annotations
+
+from agentic_doc_spark.pipeline_llm import build_training_set
+
+GOOD_A = (
+    "the river flows past the old mill and the stones remember every "
+    "season while the children walk along the bank and count the boats "
+    "drifting slowly toward the northern bridge in the morning light"
+)
+GOOD_B = (
+    "a completely different report describes the harvest and the market "
+    "where farmers trade grain and the carts arrive before dawn so the "
+    "sellers can arrange their stalls along the square in neat rows"
+)
+CONTAMINATED = (
+    "this passage mentions the zebra quantum lattice experiment and then "
+    "continues with several more sentences about the laboratory and the "
+    "long afternoon spent recording measurements in the notebook pages"
+)
+BENCHMARK = "which result did the zebra quantum lattice experiment produce"
+
+
+def test_build_training_set_all_stages(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, GOOD_A),
+            (2, GOOD_A),  # exact dupe of 1 → dropped
+            (3, GOOD_A.replace("boats", "ships")),  # near-dupe → dropped
+            (4, GOOD_B),
+            (5, "short"),  # low quality → dropped
+            (6, CONTAMINATED),  # shares benchmark shingles → dropped
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(BENCHMARK,)], ["text"])
+    out = build_training_set(
+        corpus, benchmark=bench, pack_budget=16, min_quality=0.6
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert sorted(rows) == [1, 4]
+    for r in rows.values():
+        assert r["pred_lang"] == "en" and r["quality"] >= 0.6
+        assert r["n_tokens"] > 16  # multi-bin packing exercised
+    # packing: doc 1 starts at bin 0; doc 4 starts where doc 1's tokens end
+    assert rows[1]["bin_id"] == 0
+    assert rows[4]["bin_id"] == rows[1]["n_tokens"] // 16
+
+
+def test_build_training_set_stages_toggle_off(spark):
+    corpus = spark.createDataFrame(
+        [(1, GOOD_A), (2, GOOD_A)], ["doc_id", "text"]
+    )
+    out = build_training_set(
+        corpus,
+        min_quality=None,
+        near_dup_threshold=None,
+        pack_budget=None,
+        lang_rates=None,
+    )
+    # exact dedup still runs (always on): one survivor, no bin columns
+    rows = out.collect()
+    assert [r["doc_id"] for r in rows] == [1]
+    assert "bin_id" not in out.columns and "n_tokens" in out.columns
+
+
+def test_build_training_set_language_mixing(spark):
+    # stratified sampling keeps ~rate per predicted language
+    docs = [(i, GOOD_A + f" extra token {i}") for i in range(200)]
+    corpus = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = build_training_set(
+        corpus,
+        near_dup_threshold=None,  # the shared prefix is intentional here
+        lang_rates={"en": 0.4},
+        pack_budget=None,
+    )
+    n = out.count()
+    assert 50 < n < 110  # ~0.4 of 200 with md5-hash determinism
+    again = build_training_set(
+        corpus, near_dup_threshold=None, lang_rates={"en": 0.4}, pack_budget=None
+    )
+    assert sorted(r["doc_id"] for r in again.collect()) == sorted(
+        r["doc_id"] for r in out.collect()
+    )
