@@ -39,8 +39,9 @@ def build_training_set(
     benchmark: DataFrame | None = None,
     min_quality: float | None = 0.3,
     lang_rates: dict[str, float] | None = None,
-    default_lang_rate: float = 0.0,
+    default_lang_rate: float = 1.0,
     near_dup_threshold: float | None = 0.8,
+    decon_k: int = 3,
     pack_budget: int | None = 2048,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -51,10 +52,22 @@ def build_training_set(
     - ``min_quality``: drop docs below the C4-style quality score.
     - ``near_dup_threshold``: LSH-candidate → exact-verify Jaccard
       threshold; one survivor (min id) per duplicate cluster.
-    - ``benchmark``: eval texts — docs sharing any shingle are dropped.
+    - ``benchmark``: eval texts — a DataFrame that MUST carry a
+      ``text_col`` column (same name as the corpus side); any corpus doc
+      sharing a ``decon_k``-token shingle with it is dropped. ``decon_k``
+      defaults to the operator's 3 for small corpora; production
+      decontamination typically uses 13-grams (Brown et al. 2020 §C) —
+      at k=3 any common trigram overlap kills a document.
     - ``lang_rates``: per-language keep rates (deterministic md5
-      sampling); None keeps everything.
+      sampling); None keeps everything. Languages NOT listed keep
+      ``default_lang_rate`` — default 1.0 (kept); pass 0.0 for
+      whitelist semantics.
     - ``pack_budget``: tokens per training bin; None skips packing.
+      NOTE: packing runs the whole upstream pipeline EAGERLY at call
+      time (the distributed prefix sum checkpoints and collects bounded
+      offsets), and any filter applied to the result AFTERWARD breaks
+      running/bin_id contiguity — filter via the parameters instead, or
+      pass ``pack_budget=None`` and pack last.
     """
     out = text_profile(
         df.select(F.col(id_col), F.col(text_col)), text_col
@@ -76,7 +89,9 @@ def build_training_set(
         out = near_dedup(out, pairs, id_col)
 
     if benchmark is not None:
-        out = decontaminate(out, benchmark, text_col=text_col, id_col=id_col)
+        out = decontaminate(
+            out, benchmark, k=decon_k, text_col=text_col, id_col=id_col
+        )
 
     if lang_rates is not None:
         out = sample_stratified(

@@ -36,11 +36,19 @@ def test_build_training_set_all_stages(spark):
         ["doc_id", "text"],
     )
     bench = spark.createDataFrame([(BENCHMARK,)], ["text"])
+    # stage attribution first: with ONLY quality + exact dedup on, the
+    # planted near-dupe (3) and contaminated doc (6) must still be alive
+    # — otherwise the full-pipeline assertion below would not actually
+    # exercise near-dedup / decontamination
+    partial = build_training_set(
+        corpus, min_quality=0.6, near_dup_threshold=None, pack_budget=None
+    )
+    assert sorted(r["doc_id"] for r in partial.collect()) == [1, 3, 4, 6]
     out = build_training_set(
         corpus, benchmark=bench, pack_budget=16, min_quality=0.6
     )
     rows = {r["doc_id"]: r for r in out.collect()}
-    assert sorted(rows) == [1, 4]
+    assert sorted(rows) == [1, 4]  # 3 near-deduped, 6 decontaminated
     for r in rows.values():
         assert r["pred_lang"] == "en" and r["quality"] >= 0.6
         assert r["n_tokens"] > 16  # multi-bin packing exercised
