@@ -960,15 +960,28 @@ def _stop_ratio(markers: str) -> str:
 
 _EN = "'the','of','and','to','a'"
 _ES = "'el','la','de','que','y'"
+_FR = "'le','les','et','dans','est'"
 _DE = "'der','die','und','das','ist'"
+
+#: CJK-character ratio (functions/textstats.cjk_ratio twin)
+_CJK_RATIO = (
+    "(CASE WHEN length(text) > 0 THEN "
+    "len(regexp_extract_all(text, '[一-鿿]')) * 1.0 / length(text) "
+    "ELSE 0.0 END)"
+)
 
 _LANG_EXPR = f"""
 CASE
+  WHEN {_CJK_RATIO} > 0.15 THEN 'zh'
   WHEN {_stop_ratio(_EN)} >= {_stop_ratio(_ES)}
+   AND {_stop_ratio(_EN)} >= {_stop_ratio(_FR)}
    AND {_stop_ratio(_EN)} >= {_stop_ratio(_DE)}
    AND {_stop_ratio(_EN)} > 0 THEN 'en'
-  WHEN {_stop_ratio(_ES)} >= {_stop_ratio(_DE)}
+  WHEN {_stop_ratio(_ES)} >= {_stop_ratio(_FR)}
+   AND {_stop_ratio(_ES)} >= {_stop_ratio(_DE)}
    AND {_stop_ratio(_ES)} > 0 THEN 'es'
+  WHEN {_stop_ratio(_FR)} >= {_stop_ratio(_DE)}
+   AND {_stop_ratio(_FR)} > 0 THEN 'fr'
   WHEN {_stop_ratio(_DE)} > 0 THEN 'de'
   ELSE 'und'
 END

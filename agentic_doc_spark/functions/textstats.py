@@ -16,8 +16,14 @@ from pyspark.sql import functions as F
 LANG_MARKERS = {
     "en": ("the", "of", "and", "to", "a"),
     "es": ("el", "la", "de", "que", "y"),
+    "fr": ("le", "les", "et", "dans", "est"),
     "de": ("der", "die", "und", "das", "ist"),
 }
+
+#: CJK unified-ideograph class (portable: same escape syntax in Spark's
+#: Java regex and DuckDB's RE2) and the zh decision threshold.
+CJK_RE = r"[一-鿿]"
+CJK_THRESHOLD = 0.15
 
 #: BPE-ish token regex: word pieces or single non-space symbols.
 TOKEN_RE = r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"
@@ -75,21 +81,40 @@ def quality_score(text: Column) -> Column:
     )
 
 
+def cjk_ratio(text: Column) -> Column:
+    """Fraction of characters in the CJK unified-ideograph block."""
+    n = F.length(text)
+    c = F.size(F.regexp_extract_all(text, F.lit(CJK_RE), 0))
+    return F.when(n > 0, c / n).otherwise(F.lit(0.0))
+
+
 def lang_id(text: Column) -> Column:
-    """Stopword-marker language ID: argmax of marker hit ratios, 'und' when
-    every ratio is zero. Deterministic tie-break by language order
-    en > es > de."""
+    """Language ID: CJK-character ratio decides 'zh' first (ideographic
+    text carries no space-separated stopwords), then argmax of stopword
+    marker hit ratios, 'und' when every signal is zero. Deterministic
+    tie-break by language order en > es > fr > de."""
     ratios = {k: stopword_ratio(text, v) for k, v in LANG_MARKERS.items()}
-    best = (
-        F.when(
-            (ratios["en"] >= ratios["es"]) & (ratios["en"] >= ratios["de"]) & (ratios["en"] > 0),
+    return _lang_decision(cjk_ratio(text), ratios)
+
+
+def _lang_decision(cjk: Column, r: dict[str, Column]) -> Column:
+    """Shared decision chain (scalar lang_id AND text_profile use this so
+    the two paths cannot drift; the DuckDB _LANG_EXPR mirrors it)."""
+    return (
+        F.when(cjk > CJK_THRESHOLD, F.lit("zh"))
+        .when(
+            (r["en"] >= r["es"]) & (r["en"] >= r["fr"]) & (r["en"] >= r["de"])
+            & (r["en"] > 0),
             F.lit("en"),
         )
-        .when((ratios["es"] >= ratios["de"]) & (ratios["es"] > 0), F.lit("es"))
-        .when(ratios["de"] > 0, F.lit("de"))
+        .when(
+            (r["es"] >= r["fr"]) & (r["es"] >= r["de"]) & (r["es"] > 0),
+            F.lit("es"),
+        )
+        .when((r["fr"] >= r["de"]) & (r["fr"] > 0), F.lit("fr"))
+        .when(r["de"] > 0, F.lit("de"))
         .otherwise(F.lit("und"))
     )
-    return best
 
 
 def text_profile(df, text_col: str = "text"):
@@ -106,12 +131,7 @@ def text_profile(df, text_col: str = "text"):
         return F.when(F.size(w) > 0, hits / F.size(w)).otherwise(F.lit(0.0))
 
     r = {k: ratio(v) for k, v in LANG_MARKERS.items()}
-    pred = (
-        F.when((r["en"] >= r["es"]) & (r["en"] >= r["de"]) & (r["en"] > 0), "en")
-        .when((r["es"] >= r["de"]) & (r["es"] > 0), "es")
-        .when(r["de"] > 0, "de")
-        .otherwise("und")
-    )
+    pred = _lang_decision(cjk_ratio(text), r)
     n = F.length(text)
     len_ok = F.when((n >= 50) & (n <= 20000), 1.0).otherwise(0.0)
     punct_ok = F.when(punct_ratio(text) < 0.2, 1.0).otherwise(0.0)

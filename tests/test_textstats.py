@@ -40,6 +40,57 @@ def test_lang_id(spark):
     assert _one(spark, "zzz qqq xxx", lang_id) == "und"
 
 
+def test_lang_id_fr_and_zh(spark):
+    fr = "le chien et les chats sont dans le jardin et la maison est belle"
+    zh = "这是一个用于测试语言识别的中文句子包含很多汉字"
+    mixed = "short note 这段文字主要是中文所以应该判成中文 end"
+    assert _one(spark, fr, lang_id) == "fr"
+    assert _one(spark, zh, lang_id) == "zh"
+    assert _one(spark, mixed, lang_id) == "zh"  # CJK ratio dominates
+    # profile path stays bit-identical to the scalar path
+    from agentic_doc_spark.functions.textstats import text_profile
+
+    df = spark.createDataFrame(
+        [(1, fr), (2, zh), (3, "the of and to a plain english line")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["pred_lang"] for r in text_profile(df).collect()}
+    assert got == {1: "fr", 2: "zh", 3: "en"}
+
+
+def test_lang_id_duckdb_twin_agrees_on_all_five(spark):
+    # the oracle _LANG_EXPR must classify real fr/zh text identically —
+    # the synthetic sf corpora never exercise those CASE branches
+    import duckdb
+
+    import __spark_entry__ as e
+
+    rows = [
+        (1, "le chien et les chats sont dans le jardin et la maison est belle"),
+        (2, "这是一个用于测试语言识别的中文句子包含很多汉字"),
+        (3, "the cat sat on the mat of the house"),
+        (4, "el perro y la casa de que y el"),
+        (5, "der hund und die katze ist das"),
+        (6, "zzz qqq xxx"),
+    ]
+    spark_got = {
+        r["doc_id"]: r["l"]
+        for r in spark.createDataFrame(rows, ["doc_id", "text"])
+        .select("doc_id", lang_id(__import__("pyspark.sql.functions", fromlist=["col"]).col("text")).alias("l"))
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    duck_got = dict(
+        con.execute(
+            f"SELECT doc_id, {e._LANG_EXPR} AS l FROM documents"
+        ).fetchall()
+    )
+    assert spark_got == duck_got
+    assert spark_got == {1: "fr", 2: "zh", 3: "en", 4: "es", 5: "de", 6: "und"}
+
+
 def test_quality_score_bounds(spark):
     good = "the quick brown fox jumps over the lazy dog " * 5
     assert _one(spark, good, quality_score) == 1.0
