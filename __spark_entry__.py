@@ -995,7 +995,9 @@ round(CAST(
 + 0.2 * (CASE WHEN (CASE WHEN length(text) > 0 THEN
            length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) * 1.0
              / length(text) ELSE 0.0 END) < 0.2 THEN 1.0 ELSE 0.0 END)
-+ 0.3 * (CASE WHEN {_stop_ratio(_EN)} > 0.02 THEN 1.0 ELSE 0.0 END)
++ 0.3 * (CASE WHEN greatest({_stop_ratio(_EN)}, {_stop_ratio(_ES)},
+                            {_stop_ratio(_FR)}, {_stop_ratio(_DE)}) > 0.02
+            OR {_CJK_RATIO} > 0.15 THEN 1.0 ELSE 0.0 END)
 + 0.2 * (CASE WHEN len({_WS_WORDS}) > 0
           AND list_sum(list_transform({_WS_WORDS}, w -> length(w))) * 1.0
               / len({_WS_WORDS}) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)

@@ -65,14 +65,21 @@ def mean_word_len(text: Column) -> Column:
 
 
 def quality_score(text: Column) -> Column:
-    """Composite [0,1] quality: length band + low punctuation + stopword
-    presence + sane word length. Heuristic mirrors common pretraining
-    quality filters (C4-style); weights fixed for determinism."""
+    """Composite [0,1] quality: length band + low punctuation +
+    natural-language signal + sane word length. Heuristic mirrors common
+    pretraining quality filters (C4-style); weights fixed for
+    determinism. The language signal is LANGUAGE-NEUTRAL: any marker
+    set's stopword ratio above 2% — or a CJK-character ratio above the
+    zh gate — counts (an English-only stopword term would tank every
+    fr/de/es/zh document)."""
     n = F.length(text)
     len_ok = F.when((n >= 50) & (n <= 20000), F.lit(1.0)).otherwise(F.lit(0.0))
     punct_ok = F.when(punct_ratio(text) < 0.2, F.lit(1.0)).otherwise(F.lit(0.0))
+    best_ratio = F.greatest(
+        *[stopword_ratio(text, m) for m in LANG_MARKERS.values()]
+    )
     stop_ok = F.when(
-        stopword_ratio(text, LANG_MARKERS["en"]) > 0.02, F.lit(1.0)
+        (best_ratio > 0.02) | (cjk_ratio(text) > CJK_THRESHOLD), F.lit(1.0)
     ).otherwise(F.lit(0.0))
     wl = mean_word_len(text)
     wl_ok = F.when((wl >= 2.0) & (wl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
@@ -135,7 +142,11 @@ def text_profile(df, text_col: str = "text"):
     n = F.length(text)
     len_ok = F.when((n >= 50) & (n <= 20000), 1.0).otherwise(0.0)
     punct_ok = F.when(punct_ratio(text) < 0.2, 1.0).otherwise(0.0)
-    stop_ok = F.when(r["en"] > 0.02, 1.0).otherwise(0.0)
+    stop_ok = F.when(
+        (F.greatest(*r.values()) > 0.02)
+        | (cjk_ratio(text) > CJK_THRESHOLD),
+        1.0,
+    ).otherwise(0.0)
     total = F.aggregate(F.transform(w, F.length), F.lit(0), lambda a, x: a + x)
     wl = F.when(F.size(w) > 0, total / F.size(w)).otherwise(F.lit(0.0))
     wl_ok = F.when((wl >= 2.0) & (wl <= 12.0), 1.0).otherwise(0.0)
