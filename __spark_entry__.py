@@ -503,6 +503,17 @@ def q_rep_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The other Gopher repetition signal: top-bigram fraction via an
+    in-row sorted-run fold (no explode/groupBy — composes into scans)."""
+    from agentic_doc_spark.functions.textstats import top_ngram_fraction
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.round(top_ngram_fraction(F.col("text")), 6).alias("top2_frac"),
+    )
+
+
 def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing: deterministic synthetic PII (email/phone/IP derived
     from doc_id) appended to each text, then masked by scrub_pii."""
@@ -909,6 +920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "decontaminate": q_decontaminate,
         "training_set": q_training_set,
+        "top_ngram": q_top_ngram,
         "chunk_refs": q_chunk_refs,
         "resume_anti_join": q_resume_anti_join,
         "token_counts": q_token_counts,
@@ -1267,6 +1279,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT pred_lang, count(*) AS n_docs,
                    round(avg(n_tok), 6) AS avg_tok
             FROM d GROUP BY pred_lang
+        """,
+        "top_ngram": f"""
+            WITH w AS (
+              SELECT doc_id, {_SQL_WORDS.format(src=_NORM)} AS toks
+              FROM documents
+            ), g AS (
+              SELECT doc_id, greatest(len(toks) - 1, 0) AS k,
+                     list_transform(
+                       range(1, greatest(greatest(len(toks) - 1, 0), 1) + 1),
+                       i -> array_to_string(list_slice(toks, i, i + 1), ' '))
+                       AS grams
+              FROM w
+            ), e AS (
+              SELECT doc_id, k, u.g AS gram
+              FROM g, unnest(grams) AS u(g) WHERE k > 0
+            ), c AS (
+              SELECT doc_id, any_value(k) AS k, max(cnt) AS best FROM (
+                SELECT doc_id, k, gram, count(*) AS cnt
+                FROM e GROUP BY 1, 2, 3
+              ) GROUP BY doc_id
+            )
+            SELECT g.doc_id,
+                   round(CAST(COALESCE(c.best * 1.0 / c.k, 0.0) AS DOUBLE), 6)
+                     AS top2_frac
+            FROM g LEFT JOIN c ON g.doc_id = c.doc_id
         """,
         "rep_ratio": f"""
             WITH w AS (

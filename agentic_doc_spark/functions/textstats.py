@@ -198,6 +198,46 @@ def repetition_ratio(text: Column, ngram: int = 2) -> Column:
     return F.when(k > 0, 1.0 - distinct / k).otherwise(F.lit(0.0))
 
 
+def top_ngram_fraction(text: Column, ngram: int = 2) -> Column:
+    """The OTHER Gopher repetition signal: the share of word n-grams
+    taken by the single most frequent one (Rae et al. 2021 use the
+    top-2/3/4-gram character fractions; boilerplate headers repeat one
+    phrase). 0.0 below one n-gram.
+
+    Pure in-row fold — sort the n-grams, then the longest EQUAL RUN of
+    the sorted array is the top count (identical grams are adjacent
+    after sorting); no explode/groupBy, no shuffle, so the signal
+    composes into scans at any scale. The fold carries (prev, run,
+    best) in a struct accumulator."""
+    toks = words(normalize_text(text))
+    n = F.size(toks)
+    k = F.greatest(n - ngram + 1, F.lit(0))
+    grams = F.sort_array(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, ngram), " "),
+        )
+    )
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+    folded = F.aggregate(
+        grams,
+        acc0,
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                a["best"],
+                F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+    )
+    return F.when(k > 0, folded["best"] / k).otherwise(F.lit(0.0))
+
+
 #: PII patterns (portable Java/RE2 subset): emails, long digit runs that
 #: look like phone numbers, IPv4 addresses.
 PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

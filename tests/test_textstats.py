@@ -91,6 +91,18 @@ def test_lang_id_duckdb_twin_agrees_on_all_five(spark):
     assert spark_got == {1: "fr", 2: "zh", 3: "en", 4: "es", 5: "de", 6: "und"}
 
 
+def test_top_ngram_fraction(spark):
+    from agentic_doc_spark.functions.textstats import top_ngram_fraction
+
+    # "a b" appears 3 times of 5 bigrams: a b, b a, a b, b a, a b
+    assert _one(spark, "a b a b a b", top_ngram_fraction) == 0.6
+    # all bigrams distinct → 1/3
+    got = _one(spark, "w x y z", top_ngram_fraction)
+    assert abs(got - 1 / 3) < 1e-9
+    assert _one(spark, "single", top_ngram_fraction) == 0.0
+    assert _one(spark, "", top_ngram_fraction) == 0.0
+
+
 def test_quality_score_bounds(spark):
     good = "the quick brown fox jumps over the lazy dog " * 5
     assert _one(spark, good, quality_score) == 1.0
