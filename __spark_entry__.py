@@ -975,11 +975,12 @@ _ES = "'el','la','de','que','y'"
 _FR = "'le','les','et','dans','est'"
 _DE = "'der','die','und','das','ist'"
 
-#: CJK-character ratio (functions/textstats.cjk_ratio twin)
+#: CJK-character ratio (functions/textstats.cjk_ratio twin — length
+#: delta under regexp_replace, no match-array materialization)
 _CJK_RATIO = (
     "(CASE WHEN length(text) > 0 THEN "
-    "len(regexp_extract_all(text, '[一-鿿]')) * 1.0 / length(text) "
-    "ELSE 0.0 END)"
+    "(length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g'))) "
+    "* 1.0 / length(text) ELSE 0.0 END)"
 )
 
 _LANG_EXPR = f"""
