@@ -20,7 +20,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from agentic_doc_spark.functions.textstats import text_profile, token_count_ws
+from agentic_doc_spark.functions.textstats import (
+    repetition_ratio,
+    scrub_pii,
+    text_profile,
+    token_count_ws,
+    top_ngram_fraction,
+)
 from agentic_doc_spark.operators.dedup import (
     dedup_exact,
     decontaminate,
@@ -42,6 +48,9 @@ def build_training_set(
     default_lang_rate: float = 1.0,
     near_dup_threshold: float | None = 0.8,
     decon_k: int = 3,
+    max_rep_ratio: float | None = None,
+    max_top_ngram: float | None = None,
+    scrub: bool = False,
     pack_budget: int | None = 2048,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -62,6 +71,12 @@ def build_training_set(
       sampling); None keeps everything. Languages NOT listed keep
       ``default_lang_rate`` — default 1.0 (kept); pass 0.0 for
       whitelist semantics.
+    - ``max_rep_ratio`` / ``max_top_ngram``: Gopher-style repetition
+      gates — drop docs whose duplicate-bigram fraction / top-bigram
+      share exceeds the bound (None = off).
+    - ``scrub``: mask emails / phone-shaped digit runs / IPv4 in the
+      output text (after dedup+decontamination, which match on the
+      ORIGINAL text).
     - ``pack_budget``: tokens per training bin; None skips packing.
       NOTE: packing runs the whole upstream pipeline EAGERLY at call
       time (the distributed prefix sum checkpoints and collects bounded
@@ -74,6 +89,10 @@ def build_training_set(
     )
     if min_quality is not None:
         out = out.filter(F.col("quality") >= min_quality)
+    if max_rep_ratio is not None:
+        out = out.filter(repetition_ratio(F.col(text_col)) <= max_rep_ratio)
+    if max_top_ngram is not None:
+        out = out.filter(top_ngram_fraction(F.col(text_col)) <= max_top_ngram)
 
     # exact dedup: keep each fingerprint's canonical (min-id) row
     canon = dedup_exact(out, text_col, id_col).filter(
@@ -97,6 +116,11 @@ def build_training_set(
         out = sample_stratified(
             out, lang_rates, "pred_lang", id_col, default_rate=default_lang_rate
         )
+
+    if scrub:
+        # after the matching stages: dedup/decontamination must see the
+        # original text; the TRAINING text is the scrubbed one
+        out = out.withColumn(text_col, scrub_pii(F.col(text_col)))
 
     out = out.withColumn(
         "n_tokens", token_count_ws(F.col(text_col)).cast("long")

@@ -74,6 +74,28 @@ def test_build_training_set_stages_toggle_off(spark):
     assert "bin_id" not in out.columns and "n_tokens" in out.columns
 
 
+def test_build_training_set_repetition_and_scrub(spark):
+    repetitive = ("the same words repeat " * 12) + "and the tail differs here"
+    with_pii = (
+        GOOD_B + " contact the clerk at market.clerk@example.com for stalls"
+    )
+    corpus = spark.createDataFrame(
+        [(1, GOOD_A), (2, repetitive), (3, with_pii)], ["doc_id", "text"]
+    )
+    out = build_training_set(
+        corpus,
+        min_quality=None,
+        near_dup_threshold=None,
+        max_rep_ratio=0.5,  # the repeated doc far exceeds this
+        scrub=True,
+        pack_budget=None,
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert sorted(rows) == [1, 3]  # 2 dropped by the repetition gate
+    assert "<EMAIL>" in rows[3]["text"]  # PII masked in the output text
+    assert "example.com" not in rows[3]["text"]
+
+
 def test_build_training_set_language_mixing(spark):
     # stratified sampling keeps ~rate per predicted language
     docs = [(i, GOOD_A + f" extra token {i}") for i in range(200)]
