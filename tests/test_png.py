@@ -89,6 +89,86 @@ def test_decode_all_filter_types():
     assert (back == arr).all()
 
 
+def _raw_png(ihdr, extra_chunks, scan_bytes):
+    def chunk(ctype, payload):
+        return (
+            struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + b"".join(chunk(t, p) for t, p in extra_chunks)
+        + chunk(b"IDAT", zlib.compress(scan_bytes))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_1bit_gray_scanned_document_shape():
+    # the classic scanned-document format: 1-bit grayscale, MSB-first
+    # packed samples, filter 0
+    w, h = 10, 3
+    bits = np.zeros((h, w), dtype=np.uint8)
+    bits[0, 0] = bits[0, 9] = bits[1, 4] = bits[2, 2] = 1
+    rows = bytearray()
+    for y in range(h):
+        rows.append(0)
+        rows.extend(np.packbits(bits[y]).tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 1, 0, 0, 0, 0)
+    out = decode_png(_raw_png(ihdr, [], bytes(rows)))
+    assert out.shape == (h, w, 1)
+    assert (out[:, :, 0] == bits * 255).all()  # scaled to full range
+
+
+def test_decode_4bit_palette_with_trns():
+    w, h = 5, 2
+    palette = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [10, 20, 30]], dtype=np.uint8
+    )
+    idx = np.array([[0, 1, 2, 3, 0], [3, 2, 1, 0, 2]], dtype=np.uint8)
+    rows = bytearray()
+    for y in range(h):
+        rows.append(0)
+        packed = bytearray()
+        for i in range(0, w, 2):
+            hi = idx[y, i] << 4
+            lo = idx[y, i + 1] if i + 1 < w else 0
+            packed.append(hi | lo)
+        rows.extend(packed)
+    ihdr = struct.pack(">IIBBBBB", w, h, 4, 3, 0, 0, 0)
+    extra = [(b"PLTE", palette.tobytes()), (b"tRNS", bytes([255, 128, 64]))]
+    out = decode_png(_raw_png(ihdr, extra, bytes(rows)))
+    assert out.shape == (h, w, 4)  # tRNS → RGBA
+    assert (out[:, :, :3] == palette[idx]).all()
+    alphas = np.array([255, 128, 64, 255], dtype=np.uint8)  # tRNS padded 255
+    assert (out[:, :, 3] == alphas[idx]).all()
+
+
+def test_decode_adam7_interlaced_roundtrip():
+    # build an interlaced stream directly from the spec's pass geometry
+    # and check the deinterlacer reassembles the original image
+    arr = _gradient(13, 11, 3)
+    h, w = arr.shape[:2]
+    passes = (
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    )
+    scan = bytearray()
+    for x0, y0, dx, dy in passes:
+        sub = arr[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for y in range(sub.shape[0]):
+            scan.append(0)
+            scan.extend(sub[y].tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)  # interlace=1
+    out = decode_png(_raw_png(ihdr, [], bytes(scan)))
+    assert (out == arr).all()
+
+
 def test_decode_rejects_garbage():
     with pytest.raises(ValueError):
         decode_png(b"not a png at all")
