@@ -196,7 +196,8 @@ def decode_png(data: bytes) -> np.ndarray:
         rgb = plte[idx]
         if trns is not None:
             alpha = np.full(len(plte), 255, dtype=np.uint8)
-            alpha[: len(trns)] = trns
+            k = min(len(trns), len(plte))  # spec: tRNS ≤ PLTE; clamp junk
+            alpha[:k] = trns[:k]
             return np.concatenate([rgb, alpha[idx][:, :, None]], axis=2)
         return rgb
     if bit_depth != 8:  # sub-byte grey: scale to full 8-bit range
