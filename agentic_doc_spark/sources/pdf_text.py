@@ -14,19 +14,25 @@ LaTeX, many office exporters) is extractable with nothing but zlib:
    → one page.
 
 Composite (Type0/CID) fonts — the layout Word/LibreOffice exporters
-emit — are handled through their **ToUnicode CMaps**: every CMap stream
-found in the raw scan is parsed (bfchar/bfrange per the public CMap
-spec, Adobe TN 5014) into one union code→text map, and 2-byte hex show
-strings decode through it when it covers ≥80% of their codes. The union
-heuristic is exact for single-font documents (the overwhelmingly common
-case) and documented-approximate when multiple CID fonts assign the
-same code differently.
+emit — are handled through their **ToUnicode CMaps** (bfchar/bfrange per
+the public CMap spec, Adobe TN 5014), with PER-FONT SCOPING when the
+object graph allows it: a lightweight ``N G obj``-level walk resolves
+each page's ``/Resources /Font`` dict, each Type0 font's own
+``/ToUnicode`` stream, and the content stream then tracks the current
+font through ``Tf`` operators — so two CID fonts assigning the same code
+differently decode correctly, and hex strings shown with a simple font
+are never routed through a CMap. When the graph cannot be resolved
+(fixture-grade PDFs with bare streams), the fallback is the union
+code→text map applied only to 2-byte-shaped hex strings it covers
+(≥80% of codes) whose latin-1 reading fails the plausibility guard —
+a simple-font hex string that reads as text keeps its latin-1 reading.
 
-NOT a general PDF parser — no xref/object-graph walking (so no per-font
-CMap scoping), no encryption; anything it cannot read yields zero blocks
-and the caller degrades to the documented stub path. This boundary is
-explicit on purpose: the goal is unstubbing the common text-PDF case, not
-silently mis-reading hard ones.
+NOT a general PDF parser — no xref table parsing (objects are found by
+scanning, which also survives mild corruption), no encryption, no object
+streams; anything it cannot read yields zero blocks and the caller
+degrades to the documented stub path. This boundary is explicit on
+purpose: the goal is unstubbing the common text-PDF case, not silently
+mis-reading hard ones.
 """
 
 from __future__ import annotations

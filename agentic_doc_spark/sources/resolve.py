@@ -129,14 +129,14 @@ def resolve(spark: SparkSession, documents: DocumentsInput, **options) -> DataFr
                     "expected (doc_id string, spans array<struct<kind,text,"
                     "media_ref,offset>>)"
                 )
-            if set(actual.columns) == {f.name for f in DOCUMENTS_RAW.fields}:
-                return spark.read.schema(DOCUMENTS_RAW).parquet(p)
-            # superset (e.g. extraction_payload riding along): keep the
-            # extra columns but coerce the canonical ones to
+            # exact columns or superset (e.g. extraction_payload riding
+            # along): EITHER way coerce the canonical columns to
             # DOCUMENTS_RAW types BY FIELD NAME (a whole-struct cast is
             # positional — a foreign writer's alphabetized span struct
-            # would silently scramble kind/text/media_ref/offset); an
-            # incompatible shape raises here, not mid-job
+            # would silently scramble kind/text/media_ref/offset; and a
+            # forced-schema read would silently NULL-fill missing nested
+            # span fields, the exact failure this validation exists to
+            # prevent); an incompatible shape raises here, not mid-job
             known = {f.name for f in DOCUMENTS_RAW.fields}
             from pyspark.errors import AnalysisException
 

@@ -193,6 +193,33 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert r1 >= r0, f"refined {r1:.3f} < seed {r0:.3f}"
 
 
+def test_refine_centroids_partition_invariant(spark):
+    # the 6-dp rounding contract: refined centroids must come out
+    # bit-identical regardless of partition count (summation order), and
+    # the driver-orchestrated trainer used by ivf_topk must produce the
+    # exact same values as the composable DataFrame form
+    from agentic_doc_spark.operators.similarity import (
+        _train_centroids,
+        derive_centroids,
+        refine_centroids,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+
+    def refined(parts: int) -> dict:
+        e = emb.repartition(parts)
+        cents = refine_centroids(e, derive_centroids(e, n_cells=8))
+        return {r["cell"]: list(r["centroid"]) for r in cents.collect()}
+
+    a, b = refined(1), refined(13)
+    assert a == b
+    got = dict(_train_centroids(emb.repartition(5), 8, 1, "embedding", "vec_id"))
+    assert {c: list(v) for c, v in got.items()} == a
+
+
 def test_near_dedup_survivors(spark):
     # one survivor (min id) per cluster, unpaired docs untouched
     from agentic_doc_spark.operators.dedup import near_dedup

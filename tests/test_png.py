@@ -213,7 +213,7 @@ def test_render_grounding_crops_real_bytes(spark):
     }
     assert set(crops) == set(specs) and len(crops) == 2
     for rel, px in specs.items():
-        assert rel.startswith("page_0/text_single-000000:0:")
+        assert rel.startswith("page_0/text_single-000000_0_")  # : sanitized to '_'
         got = decode_png(crops[rel])
         want = page_arr[px["y0"] : px["y1"], px["x0"] : px["x1"]]
         assert (got == want).all()
@@ -280,6 +280,58 @@ def test_parse_grounding_save_dir_end_to_end(spark, tmp_path):
             img = decode_png(f.read())
         px = specs[p]
         assert img.shape[:2] == (px["y1"] - px["y0"], px["x1"] - px["x0"])
+
+
+def test_write_grounding_images_refuses_escape(spark, tmp_path):
+    # defense in depth: a hand-built crops frame with a traversal
+    # rel_path must be refused, never written outside save_dir
+    from agentic_doc_spark.operators.multimodal import write_grounding_images
+
+    crops = spark.createDataFrame(
+        [("d", "../evil.png", bytearray(b"x"))],
+        "doc_id string, rel_path string, content binary",
+    )
+    out_dir = tmp_path / "safe" / "out"
+    out_dir.mkdir(parents=True)
+    with pytest.raises(Exception):
+        write_grounding_images(crops, str(out_dir))
+    assert not (tmp_path / "safe" / "evil.png").exists()
+    assert not (tmp_path / "evil.png").exists()
+
+
+def test_grounding_save_dir_traversal_safe(spark, tmp_path):
+    # doc_id is untrusted (arbitrary string in parquet corpora); a
+    # '../'-laden id must neither escape grounding_save_dir nor break
+    # the image_path ↔ written-file correspondence
+    import os
+
+    from pyspark.sql import functions as F
+
+    from agentic_doc_spark.api import parse
+    from agentic_doc_spark.synth import corpus_df
+
+    evil = (
+        corpus_df(spark, 1)
+        .limit(3)
+        .withColumn(
+            "doc_id", F.concat(F.lit("../../esc/"), F.col("doc_id"))
+        )
+    )
+    save = tmp_path / "safe" / "gsave"
+    out = parse(spark, evil, grounding_save_dir=str(save))
+    paths = [
+        g["image_path"]
+        for r in out.collect()
+        for c in (r["chunks"] or [])
+        for g in (c["grounding"] or [])
+        if g["image_path"] is not None
+    ]
+    assert paths
+    root = os.path.realpath(str(save))
+    for p in paths:
+        assert os.path.realpath(p).startswith(root + os.sep), p
+        assert os.path.isfile(p), p
+    assert not (tmp_path / "esc").exists()
 
 
 def test_parse_with_caller_supplied_page_rasters(spark, tmp_path):

@@ -3,6 +3,8 @@ geometry."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -137,6 +139,43 @@ def test_parquet_superset_keeps_extra_columns(spark, tmp_path):
 
     for f in DOCUMENTS_RAW.fields:
         assert df.schema[f.name].dataType == f.dataType, f.name
+
+
+def test_parquet_nested_span_shape_mismatch_raises(spark, tmp_path):
+    # EXACT top-level columns but a malformed spans element (no
+    # 'offset') must raise, not silently null-fill — the equal-columns
+    # fast path used a forced-schema read that would have null-filled
+    # (round-3 ADVICE finding)
+    from agentic_doc_spark.sources.resolve import resolve
+
+    p = str(tmp_path / "bad_nested")
+    spark.createDataFrame(
+        [("d1", [("text", "hello", None)])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string>>",
+    ).write.parquet(p)
+    with pytest.raises(ValueError, match="cannot coerce"):
+        resolve(spark, p)
+
+
+def test_parquet_exact_columns_casts_by_name(spark, tmp_path):
+    # exact columns with a REORDERED span struct must coerce by field
+    # name (a positional whole-struct cast would scramble kind/text)
+    from agentic_doc_spark.schema import DOCUMENTS_RAW
+    from agentic_doc_spark.sources.resolve import resolve
+
+    p = str(tmp_path / "reordered")
+    spark.createDataFrame(
+        [("d1", [(3, None, "body text", "text")])],
+        "doc_id string, spans array<struct<offset:int,media_ref:string,"
+        "text:string,kind:string>>",
+    ).write.parquet(p)
+    df = resolve(spark, p)
+    assert df.schema["spans"].dataType == DOCUMENTS_RAW["spans"].dataType
+    row = df.collect()[0]
+    assert row["spans"][0]["kind"] == "text"
+    assert row["spans"][0]["text"] == "body text"
+    assert row["spans"][0]["offset"] == 3
 
 
 def test_google_drive_connector_staging(spark, tmp_path):
@@ -282,7 +321,8 @@ def test_grounding_crop_specs(spark):
     rows = [r for r in specs.collect() if r["doc_id"] == "single-000000"]
     assert len(rows) == 2
     r0 = rows[0]
-    assert r0["rel_path"] == f"page_0/text_{r0['chunk_id']}_0.png"
+    safe_id = re.sub(r"[^A-Za-z0-9._-]", "_", r0["chunk_id"])
+    assert r0["rel_path"] == f"page_0/text_{safe_id}_0.png"
     assert 0 <= r0["px"]["x0"] < r0["px"]["x1"] <= 816
     assert 0 <= r0["px"]["y0"] < r0["px"]["y1"] <= 1056
 
