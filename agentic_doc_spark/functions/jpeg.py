@@ -1,16 +1,18 @@
 """Pure-stdlib baseline JPEG codec (numpy + huffman, no imaging libs).
 
-Implements the baseline sequential DCT process of the public JPEG spec
-(ITU-T T.81 / ISO 10918-1): 8-bit samples, Huffman entropy coding,
-grayscale or YCbCr with arbitrary 1-2× chroma subsampling factors and
-restart markers on the decode side; the encoder emits 4:4:4 with the
-Annex K example quantization/Huffman tables (quality-scaled via the
-usual IJG formula) — enough to round-trip tests without PIL and to
-decode the common baseline scans real corpora carry. Progressive,
-arithmetic-coded, 12-bit, and hierarchical modes are out of scope and
-raise ValueError (the decode ladder in operators/multimodal.py then
-falls through to the deterministic-fake path, with the boundary
-surfaced by the ``decoded`` flag).
+Implements the baseline sequential DCT process (SOF0) AND the
+progressive DCT process (SOF2, Annex G — spectral selection and
+successive approximation, Huffman coding) of the public JPEG spec
+(ITU-T T.81 / ISO 10918-1): 8-bit samples, grayscale or YCbCr with
+arbitrary 1-2× chroma subsampling factors and restart markers on the
+decode side. The encoders emit baseline (Annex K example tables,
+quality-scaled via the usual IJG formula) and progressive (flat
+fixture-grade Huffman tables) streams — enough to round-trip tests
+without PIL and to decode the baseline AND progressive scans real web
+corpora carry. Arithmetic-coded, 12-bit, and hierarchical modes remain
+out of scope and raise ValueError (the decode ladder in
+operators/multimodal.py then falls through to the deterministic-fake
+path, with the boundary surfaced by the ``decoded`` flag).
 
 Reference analog: the upstream engine crops any cv2-readable image
 (/root/reference/agentic_doc/utils.py:417-430); this codec extends the
@@ -229,6 +231,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     frame = None
+    prog = None  # progressive coefficient state, created at first SOS
     restart_interval = 0
     i = 2
     while i < len(data):
@@ -243,11 +246,11 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             break
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM/RSTn: no payload
             continue
-        if marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                       0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"jpeg: unsupported frame type 0x{marker:02x} "
-                "(baseline sequential only)"
+                "(baseline sequential and progressive huffman only)"
             )
         if i + 2 > len(data):
             raise ValueError("jpeg: truncated segment header")
@@ -270,7 +273,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                         seg[j : j + 128], dtype=">u2"
                     ).astype(np.int64)
                     j += 128
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise ValueError("jpeg: only 8-bit precision supported")
@@ -288,7 +291,8 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 if not (1 <= hf <= 4 and 1 <= vf <= 4):
                     raise ValueError("jpeg: invalid sampling factors")
                 comps.append({"id": cid, "h": hf, "v": vf, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
         elif marker == 0xC4:  # DHT
             j = 0
             while j < len(seg):
@@ -302,16 +306,30 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
-                raise ValueError("jpeg: SOS before SOF0")
+                raise ValueError("jpeg: SOS before SOF")
             ns = seg[0]
             scan = {}
+            order = []
             for c in range(ns):
                 cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan[cid] = (tabs >> 4, tabs & 15)
-            return _decode_scan(
-                data, i + seglen, frame, scan, qt, huff, restart_interval
+                order.append(cid)
+            if not frame["progressive"]:
+                return _decode_scan(
+                    data, i + seglen, frame, scan, qt, huff, restart_interval
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            if prog is None:
+                prog = _init_progressive(frame)
+            i = _progressive_scan(
+                data, i + seglen, frame, order, scan,
+                ss, se, ahal >> 4, ahal & 15, huff, restart_interval, prog,
             )
+            continue
         i += seglen
+    if frame is not None and frame["progressive"] and prog is not None:
+        return _assemble(frame, _reconstruct_progressive(frame, prog, qt))
     raise ValueError("jpeg: no scan data found")
 
 
@@ -375,7 +393,15 @@ def _decode_scan(data, start, frame, scan, qt, huff, restart_interval):
                 raise ValueError("jpeg: scan ended early")
             mcus_done += 1
 
-    # upsample to full resolution and crop to (h, w)
+    return _assemble(frame, planes)
+
+
+def _assemble(frame, planes) -> np.ndarray:
+    """Component sample planes → upsample to full resolution, crop to
+    (h, w), color-convert. Shared by the baseline and progressive paths."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     full = []
     for ci, c in enumerate(comps):
         p = planes[ci]
@@ -392,6 +418,226 @@ def _decode_scan(data, start, frame, scan, qt, huff, restart_interval):
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(rgb + 0.5, 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Progressive DCT decoding (ITU-T T.81 Annex G, Huffman coding)
+# ---------------------------------------------------------------------------
+#
+# Coefficients accumulate across scans in per-component int64 arrays
+# (zigzag order, MCU-padded block grids); DC scans may be interleaved,
+# AC scans are single-component over the component's NOMINAL block grid
+# (spec A.2.2 — padding blocks simply never receive AC energy). After
+# EOI the accumulated coefficients dequantize + IDCT in one vectorized
+# pass (_reconstruct_progressive).
+
+
+def _grid_dims(frame):
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-frame["w"] // (8 * hmax))
+    mcuy = -(-frame["h"] // (8 * vmax))
+    return hmax, vmax, mcux, mcuy
+
+
+def _nominal_blocks(frame, c):
+    """Non-interleaved scan grid: ceil(ceil(dim·f/fmax)/8) (spec A.2.2)."""
+    hmax, vmax, _, _ = _grid_dims(frame)
+    cw = -(-(frame["w"] * c["h"]) // hmax)
+    ch = -(-(frame["h"] * c["v"]) // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _init_progressive(frame):
+    _, _, mcux, mcuy = _grid_dims(frame)
+    return {
+        "coef": [
+            np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64)
+            for c in frame["comps"]
+        ],
+    }
+
+
+def _ac_first(br, blk, ss, se, al, ac_tab, state) -> None:
+    """First scan of an AC band: EOB-run aware (G.1.2.2)."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _read_huff(br, ac_tab)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            state["eobrun"] = (1 << r) - 1
+            if r:
+                state["eobrun"] += br.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("jpeg: AC band overrun")
+        blk[k] = _extend(br.read_bits(s), s) << al
+        k += 1
+
+
+def _ac_refine(br, blk, ss, se, al, ac_tab, state) -> None:
+    """Refinement scan of an AC band (G.1.2.3): newly-significant
+    coefficients arrive as ±2^al; coefficients already nonzero consume
+    one correction bit whenever the walk crosses them."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+
+    def correct(kk: int) -> None:
+        if br.read_bit() and (blk[kk] & p1) == 0:
+            blk[kk] += p1 if blk[kk] > 0 else m1
+
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = _read_huff(br, ac_tab)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r != 15:
+                    state["eobrun"] = 1 << r
+                    if r:
+                        state["eobrun"] += br.read_bits(r)
+                    break
+                val = 0  # ZRL: skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("jpeg: bad refinement magnitude")
+                val = p1 if br.read_bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if k <= se and val:
+                blk[k] = val
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            if blk[k] != 0:
+                correct(k)
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _progressive_scan(
+    data, start, frame, order, scan, ss, se, ah, al, huff, ri, prog
+) -> int:
+    """Decode one progressive scan into the accumulated coefficient
+    state; returns the byte offset of the next marker."""
+    comps = frame["comps"]
+    if not (0 <= ss <= se <= 63 and al < 14):
+        raise ValueError("jpeg: invalid spectral selection")
+    idx = {c["id"]: ci for ci, c in enumerate(comps)}
+    members = [idx[cid] for cid in order]
+    _, _, mcux, mcuy = _grid_dims(frame)
+    br = _BitReader(data, start)
+    coef = prog["coef"]
+    preds = [0] * len(comps)
+    state = {"eobrun": 0}
+    done = 0
+
+    def maybe_restart():
+        nonlocal done
+        if ri and done == ri:
+            br.consume_restart()
+            preds[:] = [0] * len(comps)
+            state["eobrun"] = 0
+            done = 0
+
+    def dc_unit(blk, tab, ci):
+        if ah == 0:
+            s = _read_huff(br, tab)
+            diff = _extend(br.read_bits(s), s) if s else 0
+            preds[ci] += diff
+            blk[0] = preds[ci] << al
+        elif br.read_bit():
+            blk[0] |= 1 << al
+
+    try:
+        if ss == 0:
+            if se != 0:
+                raise ValueError("jpeg: DC scan with Se != 0")
+            tabs = {
+                ci: huff[(0, scan[comps[ci]["id"]][0])] if ah == 0 else None
+                for ci in members
+            }
+            if len(members) > 1:  # interleaved MCU order
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        maybe_restart()
+                        for ci in members:
+                            c = comps[ci]
+                            for by in range(c["v"]):
+                                for bx in range(c["h"]):
+                                    dc_unit(
+                                        coef[ci][my * c["v"] + by,
+                                                 mx * c["h"] + bx],
+                                        tabs[ci],
+                                        ci,
+                                    )
+                        done += 1
+            else:
+                ci = members[0]
+                byn, bxn = _nominal_blocks(frame, comps[ci])
+                for by in range(byn):
+                    for bx in range(bxn):
+                        maybe_restart()
+                        dc_unit(coef[ci][by, bx], tabs[ci], ci)
+                        done += 1
+        else:
+            if len(members) != 1:
+                raise ValueError("jpeg: interleaved AC scan")
+            ci = members[0]
+            ac_tab = huff[(1, scan[comps[ci]["id"]][1])]
+            byn, bxn = _nominal_blocks(frame, comps[ci])
+            fn = _ac_first if ah == 0 else _ac_refine
+            for by in range(byn):
+                for bx in range(bxn):
+                    maybe_restart()
+                    fn(br, coef[ci][by, bx], ss, se, al, ac_tab, state)
+                    done += 1
+    except _EndOfScan:
+        raise ValueError("jpeg: progressive scan ended early")
+
+    # step to the next marker (skip any partial byte + stuffing)
+    pos = br.pos if br.bit == 0 else br.pos + 1
+    while pos + 1 < len(data):
+        if (
+            data[pos] == 0xFF
+            and data[pos + 1] != 0x00
+            and not 0xD0 <= data[pos + 1] <= 0xD7
+        ):
+            return pos
+        pos += 1
+    return len(data)
+
+
+def _reconstruct_progressive(frame, prog, qt):
+    """Accumulated zigzag coefficients → sample planes, vectorized:
+    dequantize, zigzag→natural scatter, batched 2-D IDCT via einsum."""
+    planes = []
+    for ci, c in enumerate(frame["comps"]):
+        q = qt[c["tq"]]
+        z = prog["coef"][ci]
+        nat = np.zeros(z.shape, dtype=np.float64)
+        nat[:, :, _ZIGZAG] = z * q[None, None, :]
+        by, bx = nat.shape[:2]
+        blocks = nat.reshape(by, bx, 8, 8)
+        # stacked matmul, NOT einsum: same 8×8 kernel as the baseline
+        # per-block path, so reconstruction is bit-identical to it
+        out = np.matmul(np.matmul(_BASIS.T, blocks), _BASIS) + 128.0
+        planes.append(out.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8))
+    return planes
 
 
 # ---------------------------------------------------------------------------
@@ -463,18 +709,10 @@ def _downsample2(p: np.ndarray) -> np.ndarray:
     return (p[0::2, 0::2] + p[1::2, 0::2] + p[0::2, 1::2] + p[1::2, 1::2]) / 4.0
 
 
-def encode_jpeg(
-    arr: np.ndarray,
-    quality: int = 90,
-    restart_interval: int = 0,
-    subsampling: str = "444",
-) -> bytes:
-    """uint8 (h, w[, 1|3]) -> baseline JPEG bytes.
-
-    ``subsampling``: "444" (default) or "420" (2×2 luma MCUs with box-
-    averaged half-res chroma — the layout nearly all real baseline JPEGs
-    use). ``restart_interval`` > 0 emits a DRI segment and RSTn markers
-    every that many MCUs (exercises the decoder's restart path)."""
+def _prepare_planes(arr: np.ndarray, subsampling: str):
+    """uint8 image → (planes, factors, h, w, nc): RGB→YCbCr conversion
+    plus optional 4:2:0 chroma downsampling. Shared by the baseline and
+    progressive encoders."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, nc = arr.shape
@@ -490,12 +728,27 @@ def encode_jpeg(
         raise ValueError("encode_jpeg expects 1 or 3 channels")
     if subsampling not in ("444", "420"):
         raise ValueError("subsampling must be '444' or '420'")
-    sub420 = subsampling == "420" and nc == 3
-    if sub420:
+    if subsampling == "420" and nc == 3:
         planes = [planes[0], _downsample2(planes[1]), _downsample2(planes[2])]
         factors = [(2, 2), (1, 1), (1, 1)]
     else:
         factors = [(1, 1)] * nc
+    return planes, factors, h, w, nc
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quality: int = 90,
+    restart_interval: int = 0,
+    subsampling: str = "444",
+) -> bytes:
+    """uint8 (h, w[, 1|3]) -> baseline JPEG bytes.
+
+    ``subsampling``: "444" (default) or "420" (2×2 luma MCUs with box-
+    averaged half-res chroma — the layout nearly all real baseline JPEGs
+    use). ``restart_interval`` > 0 emits a DRI segment and RSTn markers
+    every that many MCUs (exercises the decoder's restart path)."""
+    planes, factors, h, w, nc = _prepare_planes(arr, subsampling)
 
     # quant tables in ZIGZAG order — both the DQT payload (spec B.2.4.1
     # stores Qk zigzag-ordered, which the decoder indexes by zigzag k)
@@ -606,4 +859,309 @@ def encode_jpeg(
     bw.flush()
     out.extend(bw.out)
     out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder (fixture/test side): spectral selection + one
+# successive-approximation bit, Annex G scan scripts
+# ---------------------------------------------------------------------------
+
+
+def _quantized_blocks(planes, factors, qts, mcux, mcuy):
+    """Per component: (BY, BX, 64) int64 quantized ZIGZAG coefficients
+    over the MCU-padded grid (edge replication), vectorized."""
+    out = []
+    for ci, p in enumerate(planes):
+        hf, vf = factors[ci]
+        by_n, bx_n = mcuy * vf, mcux * hf
+        q = qts[0 if ci == 0 else 1]
+        ys = np.clip(np.arange(by_n * 8), 0, p.shape[0] - 1)
+        xs = np.clip(np.arange(bx_n * 8), 0, p.shape[1] - 1)
+        ext = p[np.ix_(ys, xs)] - 128.0
+        blocks = ext.reshape(by_n, 8, bx_n, 8).transpose(0, 2, 1, 3)
+        # stacked matmul (not einsum): bit-identical to encode_jpeg's
+        # per-block _BASIS @ block @ _BASIS.T, so baseline and
+        # progressive streams quantize to the same coefficients
+        coefs = np.matmul(np.matmul(_BASIS, blocks), _BASIS.T)
+        zz = coefs.reshape(by_n, bx_n, 64)[:, :, _ZIGZAG]
+        out.append(np.round(zz / q).astype(np.int64))
+    return out
+
+
+def _flat_table(symbols) -> tuple[list[int], list[int]]:
+    """All-8-bit canonical Huffman table over the used symbol set — valid
+    for ≤255 symbols, trivially decodable, fixture-grade (optimal length
+    assignment buys nothing in tests)."""
+    vals = sorted(symbols) or [0]
+    if len(vals) > 255:
+        raise ValueError("jpeg: too many symbols for flat table")
+    bits = [0] * 16
+    bits[7] = len(vals)
+    return bits, vals
+
+
+def encode_progressive_jpeg(
+    arr: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    successive: bool = True,
+) -> bytes:
+    """uint8 (h, w[, 1|3]) -> PROGRESSIVE JPEG bytes (SOF2, Huffman).
+
+    Scan script: interleaved DC first scan, then per-component AC bands
+    (1-5, 6-63). With ``successive`` (default) every first scan sends
+    the coefficients at Al=1 and a second wave of refinement scans
+    (Ah=1, Al=0) delivers the final bit — exercising the full Annex G
+    decode surface (DC refinement bits, AC newly-significant ±1 runs,
+    correction bits, EOB runs). Quantized coefficients are identical to
+    ``encode_jpeg`` at the same quality/subsampling, so a progressive
+    round-trip must decode bit-identically to the baseline one — the
+    property the tests pin."""
+    planes, factors, h, w, nc = _prepare_planes(arr, subsampling)
+    qts = [_quality_scale(_QT_LUM, quality)[_ZIGZAG]]
+    if nc == 3:
+        qts.append(_quality_scale(_QT_CHR, quality)[_ZIGZAG])
+    else:
+        qts.append(qts[0])
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    qz = _quantized_blocks(planes, factors, qts, mcux, mcuy)
+    nominal = []
+    for ci in range(nc):
+        hf, vf = factors[ci]
+        cw = -(-(w * hf) // hmax)
+        ch = -(-(h * vf) // vmax)
+        nominal.append((-(-ch // 8), -(-cw // 8)))
+
+    bands = [(1, 5), (6, 63)]
+    scans: list[tuple] = []  # (kind, comps, ss, se, ah, al)
+    first_al = 1 if successive else 0
+    scans.append(("dc_first", list(range(nc)), 0, 0, 0, first_al))
+    for ci in range(nc):
+        for ss, se in bands:
+            scans.append(("ac_first", [ci], ss, se, 0, first_al))
+    if successive:
+        scans.append(("dc_refine", list(range(nc)), 0, 0, 1, 0))
+        for ci in range(nc):
+            for ss, se in bands:
+                scans.append(("ac_refine", [ci], ss, se, 1, 0))
+
+    def run_scan(kind, members, ss, se, ah, al, emit_sym, emit_bits):
+        if kind == "dc_first":
+            preds = [0] * nc
+            units = []
+            if len(members) > 1:
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        for ci in members:
+                            hf, vf = factors[ci]
+                            for by in range(vf):
+                                for bx in range(hf):
+                                    units.append(
+                                        (ci, my * vf + by, mx * hf + bx)
+                                    )
+            else:
+                ci = members[0]
+                byn, bxn = nominal[ci]
+                units = [
+                    (ci, by, bx) for by in range(byn) for bx in range(bxn)
+                ]
+            for ci, by, bx in units:
+                v = int(qz[ci][by, bx, 0]) >> al  # arithmetic (G.1.2.1)
+                diff = v - preds[ci]
+                preds[ci] = v
+                s, bits = _magnitude(diff)
+                emit_sym(0, s)
+                emit_bits(bits, s)
+        elif kind == "dc_refine":
+            units = []
+            if len(members) > 1:
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        for ci in members:
+                            hf, vf = factors[ci]
+                            for by in range(vf):
+                                for bx in range(hf):
+                                    units.append(
+                                        (ci, my * vf + by, mx * hf + bx)
+                                    )
+            else:
+                ci = members[0]
+                byn, bxn = nominal[ci]
+                units = [
+                    (ci, by, bx) for by in range(byn) for bx in range(bxn)
+                ]
+            for ci, by, bx in units:
+                emit_bits((int(qz[ci][by, bx, 0]) >> al) & 1, 1)
+        elif kind == "ac_first":
+            ci = members[0]
+            byn, bxn = nominal[ci]
+            eobrun = 0
+
+            def flush():
+                nonlocal eobrun
+                if eobrun:
+                    r = eobrun.bit_length() - 1
+                    emit_sym(1, r << 4)
+                    emit_bits(eobrun - (1 << r), r)
+                    eobrun = 0
+
+            for by in range(byn):
+                for bx in range(bxn):
+                    blk = qz[ci][by, bx]
+                    vals = {}
+                    for k in range(ss, se + 1):
+                        v = int(blk[k])
+                        pv = (abs(v) >> al) * (1 if v > 0 else -1)
+                        if pv:
+                            vals[k] = pv
+                    if not vals:
+                        eobrun += 1
+                        if eobrun == 0x7FFF:
+                            flush()
+                        continue
+                    flush()
+                    run = 0
+                    last = max(vals)
+                    for k in range(ss, last + 1):
+                        v = vals.get(k)
+                        if v is None:
+                            run += 1
+                            continue
+                        while run > 15:
+                            emit_sym(1, 0xF0)
+                            run -= 16
+                        s, bits = _magnitude(v)
+                        emit_sym(1, (run << 4) | s)
+                        emit_bits(bits, s)
+                        run = 0
+                    if last < se:
+                        eobrun = 1  # terminates this block, may extend
+            flush()
+        else:  # ac_refine
+            ci = members[0]
+            byn, bxn = nominal[ci]
+            eobrun = 0
+            pending: list[int] = []
+
+            def flush():
+                nonlocal eobrun, pending
+                if eobrun:
+                    r = eobrun.bit_length() - 1
+                    emit_sym(1, r << 4)
+                    emit_bits(eobrun - (1 << r), r)
+                    for b in pending:
+                        emit_bits(b, 1)
+                    eobrun = 0
+                    pending = []
+
+            for by in range(byn):
+                for bx in range(bxn):
+                    blk = qz[ci][by, bx]
+
+                    def hist(k):
+                        return (abs(int(blk[k])) >> ah) != 0
+
+                    def corr(k):
+                        return (abs(int(blk[k])) >> al) & 1
+
+                    new_pos = [
+                        k
+                        for k in range(ss, se + 1)
+                        if not hist(k) and corr(k)
+                    ]
+                    if not new_pos:
+                        eobrun += 1
+                        pending.extend(
+                            corr(k) for k in range(ss, se + 1) if hist(k)
+                        )
+                        if eobrun == 0x7FFF:
+                            flush()
+                        continue
+                    flush()
+                    k = ss
+                    for kn in new_pos:
+                        r = 0
+                        buf: list[int] = []
+                        j = k
+                        while j < kn:
+                            if hist(j):
+                                buf.append(corr(j))
+                            else:
+                                r += 1
+                                if r == 16:
+                                    emit_sym(1, 0xF0)
+                                    for b in buf:
+                                        emit_bits(b, 1)
+                                    r = 0
+                                    buf = []
+                            j += 1
+                        emit_sym(1, (r << 4) | 1)
+                        emit_bits(1 if int(blk[kn]) > 0 else 0, 1)
+                        for b in buf:
+                            emit_bits(b, 1)
+                        k = kn + 1
+                    if k <= se:
+                        eobrun = 1
+                        pending = [
+                            corr(j) for j in range(k, se + 1) if hist(j)
+                        ]
+            flush()
+
+    # pass 1: symbol census for the flat Huffman tables
+    dc_syms: set[int] = set()
+    ac_syms: set[int] = set()
+    for kind, members, ss, se, ah, al in scans:
+        run_scan(
+            kind, members, ss, se, ah, al,
+            lambda tc, sym: (dc_syms if tc == 0 else ac_syms).add(sym),
+            lambda v, n: None,
+        )
+    dc_bits, dc_vals = _flat_table(dc_syms)
+    ac_bits, ac_vals = _flat_table(ac_syms)
+    dc_enc = _encode_codes(dc_bits, dc_vals)
+    ac_enc = _encode_codes(ac_bits, ac_vals)
+
+    out = bytearray(b"\xff\xd8")
+
+    def segment(marker: int, payload: bytes) -> None:
+        out.extend(b"\xff" + bytes([marker]))
+        out.extend(struct.pack(">H", len(payload) + 2))
+        out.extend(payload)
+
+    for tid, q in enumerate(qts[: (2 if nc == 3 else 1)]):
+        segment(0xDB, bytes([tid]) + bytes(int(x) for x in q))
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for c in range(nc):
+        tq = 0 if c == 0 else 1
+        hf, vf = factors[c]
+        sof += bytes([c + 1, (hf << 4) | vf, tq])
+    segment(0xC2, sof)
+    segment(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+    segment(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+
+    # pass 2: entropy-coded scans
+    for kind, members, ss, se, ah, al in scans:
+        sos = bytes([len(members)])
+        for ci in members:
+            sos += bytes([ci + 1, 0x00])  # DC table 0 / AC table 0
+        sos += bytes([ss, se, (ah << 4) | al])
+        segment(0xDA, sos)
+        bw = _BitWriter()
+
+        def emit_sym(tc, sym):
+            code, ln = (dc_enc if tc == 0 else ac_enc)[sym]
+            bw.write(code, ln)
+
+        def emit_bits(v, n):
+            if n:
+                bw.write(v, n)
+
+        run_scan(kind, members, ss, se, ah, al, emit_sym, emit_bits)
+        bw.flush()
+        out.extend(bw.out)
+    out.extend(b"\xff\xd9")
     return bytes(out)

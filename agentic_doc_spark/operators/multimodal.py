@@ -1,11 +1,12 @@
 """Multimodal column plumbing (training-data-pipeline requirement).
 
 Images/audio/video ride as opaque BINARY columns with typed metadata
-(schema.MEDIA_REFS). Image decode is REAL for PNG and baseline JPEG via
-the pure-stdlib codecs in functions/png.py and functions/jpeg.py (PIL
-slots in ahead of them when installed) — see ``_decode_array``'s decode
-ladder. Payloads outside that ladder (progressive JPEG without PIL,
-other formats) fall back to a deterministic fake derived from the bytes,
+(schema.MEDIA_REFS). Image decode is REAL for PNG and for baseline AND
+progressive JPEG via the pure-stdlib codecs in functions/png.py and
+functions/jpeg.py (PIL slots in ahead of them when installed) — see
+``_decode_array``'s decode ladder. Payloads outside that ladder
+(arithmetic/12-bit JPEG, other formats)
+fall back to a deterministic fake derived from the bytes,
 and every row SURFACES which path it took via the ``decoded`` flag; the
 reference fills the same contract with cv2/pymupdf
 (agentic_doc/utils.py:110-211, K1/K2).

@@ -84,6 +84,43 @@ def build_training_set(
       running/bin_id contiguity — filter via the parameters instead, or
       pass ``pack_budget=None`` and pack last.
     """
+    deduped = _dedup_stage(
+        df,
+        min_quality=min_quality,
+        max_rep_ratio=max_rep_ratio,
+        max_top_ngram=max_top_ngram,
+        near_dup_threshold=near_dup_threshold,
+        text_col=text_col,
+        id_col=id_col,
+    )
+    return _finalize_stage(
+        deduped,
+        benchmark=benchmark,
+        lang_rates=lang_rates,
+        default_lang_rate=default_lang_rate,
+        decon_k=decon_k,
+        scrub=scrub,
+        pack_budget=pack_budget,
+        text_col=text_col,
+        id_col=id_col,
+    )
+
+
+def _dedup_stage(
+    df: DataFrame,
+    *,
+    min_quality: float | None,
+    max_rep_ratio: float | None,
+    max_top_ngram: float | None,
+    near_dup_threshold: float | None,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Stage 1 — the expensive prefix: quality/repetition gates, exact
+    dedup, LSH near-dedup. This is the natural durable-checkpoint
+    boundary for the resumable builder: everything before it is the bulk
+    of the compute (iterative CC included), everything after is cheap
+    filters + one packing exchange."""
     out = text_profile(
         df.select(F.col(id_col), F.col(text_col)), text_col
     )
@@ -106,7 +143,23 @@ def build_training_set(
             threshold=near_dup_threshold,
         ).select(F.col("a"), F.col("b"))
         out = near_dedup(out, pairs, id_col)
+    return out
 
+
+def _finalize_stage(
+    out: DataFrame,
+    *,
+    benchmark: DataFrame | None,
+    lang_rates: dict[str, float] | None,
+    default_lang_rate: float,
+    decon_k: int,
+    scrub: bool,
+    pack_budget: int | None,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Stage 2 — decontamination, sampling, scrubbing, token counting,
+    packing, from a (possibly re-read) stage-1 frame."""
     if benchmark is not None:
         out = decontaminate(
             out, benchmark, k=decon_k, text_col=text_col, id_col=id_col
@@ -130,3 +183,81 @@ def build_training_set(
             out, pack_budget, order_col=id_col, tokens_col="n_tokens"
         )
     return out
+
+
+def build_training_set_resumable(
+    spark,
+    df: DataFrame,
+    *,
+    work_dir: str,
+    run_id: str = "run-0",
+    benchmark: DataFrame | None = None,
+    min_quality: float | None = 0.3,
+    lang_rates: dict[str, float] | None = None,
+    default_lang_rate: float = 1.0,
+    near_dup_threshold: float | None = 0.8,
+    decon_k: int = 3,
+    max_rep_ratio: float | None = None,
+    max_top_ngram: float | None = None,
+    scrub: bool = False,
+    pack_budget: int | None = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Crash-resumable ``build_training_set``: each stage materializes to
+    a durable ``{work_dir}/{run_id}/{stage}`` parquet directory with an
+    output-first commit (Spark's ``_SUCCESS`` marker), and a re-run with
+    the SAME run_id reuses every completed stage instead of recomputing
+    it — a crash at the packing stage no longer re-runs the whole dedup
+    chain (round-3 VERDICT task 6; same commit-order discipline as
+    ``operators/lineage.run_with_resume``: the durable write IS the
+    completion record, and readers only ever see whole stages).
+
+    All stages are deterministic (hash sampling, min-id survivors, range
+    prefix sum), so a resumed run's final output is byte-identical to an
+    uninterrupted one. A partially-written stage (no ``_SUCCESS``) is
+    OVERWRITTEN on retry — replay-idempotent. Use a fresh run_id to
+    rebuild from scratch after changing parameters: stage reuse checks
+    only completion, not the parameter set that produced it."""
+    base = f"{work_dir.rstrip('/')}/{run_id}"
+
+    def _complete(stage_dir: str) -> bool:
+        from py4j.java_gateway import java_import
+
+        jvm = spark.sparkContext._jvm
+        java_import(jvm, "org.apache.hadoop.fs.Path")
+        path = jvm.Path(f"{stage_dir}/_SUCCESS")
+        fs = path.getFileSystem(
+            spark.sparkContext._jsc.hadoopConfiguration()
+        )
+        return fs.exists(path)
+
+    dedup_dir = f"{base}/deduped"
+    if not _complete(dedup_dir):
+        deduped = _dedup_stage(
+            df,
+            min_quality=min_quality,
+            max_rep_ratio=max_rep_ratio,
+            max_top_ngram=max_top_ngram,
+            near_dup_threshold=near_dup_threshold,
+            text_col=text_col,
+            id_col=id_col,
+        )
+        deduped.write.mode("overwrite").parquet(dedup_dir)
+    deduped = spark.read.parquet(dedup_dir)
+
+    final_dir = f"{base}/final"
+    if not _complete(final_dir):
+        final = _finalize_stage(
+            deduped,
+            benchmark=benchmark,
+            lang_rates=lang_rates,
+            default_lang_rate=default_lang_rate,
+            decon_k=decon_k,
+            scrub=scrub,
+            pack_budget=pack_budget,
+            text_col=text_col,
+            id_col=id_col,
+        )
+        final.write.mode("overwrite").parquet(final_dir)
+    return spark.read.parquet(final_dir)

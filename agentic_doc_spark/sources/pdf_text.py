@@ -85,21 +85,45 @@ def _decode_literal(raw: bytes) -> str:
 
 
 def _decode_hex(raw: bytes, cmap: dict[int, str] | None = None) -> str:
+    """UNSCOPED fallback hex decode (no font information): 2-byte-shaped
+    strings go through the union ToUnicode map only when it covers ≥80%
+    of their codes AND the plain latin-1 reading fails the plausibility
+    guard — a simple-font hex string that already reads as text keeps
+    its latin-1 reading (a mixed CID+simple-font document can no longer
+    silently corrupt simple-font strings; round-3 ADVICE finding)."""
     h = re.sub(rb"\s", b"", raw)
     if len(h) % 2:
         h += b"0"
-    if cmap and h and len(h) % 4 == 0:
-        # Type0/CID path: 2-byte codes through the ToUnicode union map,
-        # taken only when it actually covers the string (≥80% of codes) —
-        # a simple-font hex string must keep its latin-1 reading
+    latin = bytes.fromhex(h.decode("ascii")).decode("latin-1")
+    if cmap and h and len(h) % 4 == 0 and not _plausible_text(latin):
         codes = [int(h[i : i + 4], 16) for i in range(0, len(h), 4)]
         mapped = [cmap.get(c) for c in codes]
         if sum(m is not None for m in mapped) / len(codes) >= 0.8:
             return "".join(m for m in mapped if m is not None)
+    return latin
+
+
+def _decode_hex_scoped(raw: bytes, cmap: dict[int, str] | None) -> str:
+    """Hex decode with KNOWN font scope: a Type0 font with a ToUnicode
+    map decodes its 2-byte codes through it (unmapped codes drop — they
+    have no text meaning); any other font reads latin-1. No heuristics —
+    the current ``Tf`` font decides."""
+    h = re.sub(rb"\s", b"", raw)
+    if len(h) % 2:
+        h += b"0"
+    if cmap is not None and len(h) % 4 == 0:
+        codes = [int(h[i : i + 4], 16) for i in range(0, len(h), 4)]
+        return "".join(cmap.get(c, "") for c in codes)
     return bytes.fromhex(h.decode("ascii")).decode("latin-1")
 
 
+#: font selection operator: /Name size Tf
+_TF_RE = re.compile(rb"/([^\s/<>\[\]()]+)\s+[-\d.]+\s+Tf")
+
+
 def _text_from_textobj(body: bytes, cmap: dict[int, str] | None = None) -> str:
+    """Unscoped decode (no font graph): every hex string goes through the
+    union-map fallback heuristic (``_decode_hex``)."""
     pieces: list[str] = []
     for m in _SHOW_RE.finditer(body):
         lit, arr, hx = m.groups()
@@ -116,6 +140,40 @@ def _text_from_textobj(body: bytes, cmap: dict[int, str] | None = None) -> str:
                     else _decode_hex(ahx, cmap)
                 )
     return "".join(pieces).strip()
+
+
+def _text_from_textobj_scoped(
+    body: bytes,
+    fonts: dict[bytes, dict[int, str]],
+    cur: dict[int, str] | None,
+) -> tuple[str, dict[int, str] | None]:
+    """Decode one BT/ET body tracking the current font through ``Tf``
+    operators (text state persists across text objects, so ``cur`` is
+    threaded through and returned). ``fonts`` maps font resource names to
+    their OWN ToUnicode maps (absent name → simple font → latin-1)."""
+    events = sorted(
+        [(m.start(), 0, m) for m in _TF_RE.finditer(body)]
+        + [(m.start(), 1, m) for m in _SHOW_RE.finditer(body)]
+    )
+    pieces: list[str] = []
+    for _pos, kind, m in events:
+        if kind == 0:
+            cur = fonts.get(m.group(1))
+            continue
+        lit, arr, hx = m.groups()
+        if lit is not None:
+            pieces.append(_decode_literal(lit))
+        elif hx is not None:
+            pieces.append(_decode_hex_scoped(hx, cur))
+        else:
+            for am in _ARRAY_STR_RE.finditer(arr):
+                alit, ahx = am.groups()
+                pieces.append(
+                    _decode_literal(alit)
+                    if alit is not None
+                    else _decode_hex_scoped(ahx, cur)
+                )
+    return "".join(pieces).strip(), cur
 
 
 # -- ToUnicode CMap parsing (Adobe TN 5014 bfchar/bfrange subset) ---------
@@ -190,42 +248,169 @@ def _plausible_text(s: str) -> bool:
     return printable / len(s) >= 0.85
 
 
+# -- minimal object graph (font scoping) ----------------------------------
+
+_OBJHEAD_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
+_STREAM_START_RE = re.compile(rb"stream\r?\n")
+_TYPE_PAGE_RE = re.compile(rb"/Type\s*/Page\b")
+_TOUNICODE_REF_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
+_RESOURCES_REF_RE = re.compile(rb"/Resources\s+(\d+)\s+\d+\s+R")
+_CONTENTS_RE = re.compile(rb"/Contents\s+(?:(\d+)\s+\d+\s+R|\[(.*?)\])", re.DOTALL)
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+_FONT_DICT_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.DOTALL)
+_FONT_ENTRY_RE = re.compile(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R")
+
+
+def _object_map(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
+    """Scan for ``N G obj … endobj`` → {num: (header, raw stream payload
+    or None)}. No xref parsing — scanning also survives mildly broken
+    files; a spurious header inside a binary stream produces an unused
+    entry, never a wrong resolution of a real reference (generators do
+    not duplicate object numbers)."""
+    objs: dict[int, tuple[bytes, bytes | None]] = {}
+    for m in _OBJHEAD_RE.finditer(data):
+        num = int(m.group(1))
+        start = m.end()
+        end = data.find(b"endobj", start)
+        body = data[start:end] if end >= 0 else data[start:]
+        sm = _STREAM_START_RE.search(body)
+        payload = None
+        header = body
+        if sm:
+            header = body[: sm.start()]
+            pend = body.find(b"endstream", sm.end())
+            if pend >= 0:
+                payload = body[sm.end() : pend].rstrip(b"\r\n")
+        if num not in objs:  # first definition wins (matches readers)
+            objs[num] = (header, payload)
+    return objs
+
+
+def _inflate(header: bytes, payload: bytes) -> bytes | None:
+    if b"FlateDecode" in header:
+        try:
+            return zlib.decompress(payload)
+        except zlib.error:
+            return None
+    return payload
+
+
+def _font_cmaps(
+    objs: dict[int, tuple[bytes, bytes | None]],
+) -> dict[int, dict[int, str]]:
+    """Font object number → its OWN ToUnicode map (fonts without a
+    resolvable ToUnicode stream are simply absent → latin-1 downstream)."""
+    out: dict[int, dict[int, str]] = {}
+    for num, (header, _payload) in objs.items():
+        rm = _TOUNICODE_REF_RE.search(header)
+        if not rm:
+            continue
+        tu = objs.get(int(rm.group(1)))
+        if not tu or tu[1] is None:
+            continue
+        payload = _inflate(tu[0], tu[1])
+        if payload is None:
+            continue
+        cm: dict[int, str] = {}
+        parse_tounicode(payload, cm)
+        if cm:
+            out[num] = cm
+    return out
+
+
+def _stream_fonts(
+    objs: dict[int, tuple[bytes, bytes | None]],
+    cmaps: dict[int, dict[int, str]],
+) -> dict[int, dict[bytes, dict[int, str]]]:
+    """Content-stream object number → {font resource name: ToUnicode map}
+    via each /Type /Page object's /Contents + /Resources /Font entries
+    (resources inline or one indirect hop)."""
+    out: dict[int, dict[bytes, dict[int, str]]] = {}
+    for _num, (header, _payload) in objs.items():
+        if not _TYPE_PAGE_RE.search(header):
+            continue
+        crefs: list[int] = []
+        for cm_ in _CONTENTS_RE.finditer(header):
+            single, arr = cm_.groups()
+            if single is not None:
+                crefs.append(int(single))
+            else:
+                crefs.extend(int(x.group(1)) for x in _REF_RE.finditer(arr))
+        res = header
+        rm = _RESOURCES_REF_RE.search(header)
+        if rm and int(rm.group(1)) in objs:
+            res = objs[int(rm.group(1))][0]
+        fonts: dict[bytes, dict[int, str]] = {}
+        fm = _FONT_DICT_RE.search(res)
+        if fm:
+            for name, ref in _FONT_ENTRY_RE.findall(fm.group(1)):
+                cm2 = cmaps.get(int(ref))
+                if cm2:
+                    fonts[name] = cm2
+        for c in crefs:
+            out.setdefault(c, {}).update(fonts)
+    return out
+
+
 def extract_pdf_blocks(data: bytes) -> list[tuple[int, str]]:
     """PDF bytes → ordered (page_idx, text_block). Empty list when the
     file has no extractable text layer (scanned/encrypted).
 
-    Two passes over the raw stream objects: (1) decompress once and
-    collect every ToUnicode CMap into one union code→text map, (2)
-    extract text objects, decoding Type0 2-byte hex strings through the
-    union map (simple-font strings keep their latin-1 reading)."""
-    payloads: list[bytes] = []
-    cmap: dict[int, str] = {}
-    for m in _STREAM_RE.finditer(data):
-        header = m.group(1)
+    Decode strategy per content stream: when the object graph resolves
+    a page → resources → font → ToUnicode chain for it, show strings
+    decode with PER-FONT scoping (``Tf`` tracking — exact for
+    multi-CID-font documents); otherwise the union-CMap fallback
+    heuristic applies (``_decode_hex``)."""
+    objs = _object_map(data)
+    cmaps = _font_cmaps(objs)
+    scoped = _stream_fonts(objs, cmaps)
+
+    ordered: list[tuple[int | None, bytes, bytes]] = []  # (num, header, payload)
+    for num, (header, payload) in objs.items():
+        if payload is not None:
+            ordered.append((num, header, payload))
+    if not ordered:
+        # no parseable objects (or exotic layout): raw stream scan
+        for m in _STREAM_RE.finditer(data):
+            start = m.end()
+            end = data.find(b"endstream", start)
+            if end < 0:
+                continue
+            ordered.append((None, m.group(1), data[start:end].rstrip(b"\r\n")))
+
+    # pass 1 — union fallback map: every CMap stream found anywhere
+    # (object-graph ones included), collected BEFORE any content decode
+    # so stream order cannot matter. Used only for streams the graph
+    # cannot scope.
+    union: dict[int, str] = {}
+    for cm in cmaps.values():
+        union.update(cm)
+    inflated: list[tuple[int | None, bytes]] = []
+    for num, header, payload in ordered:
         if any(k in header for k in _NON_CONTENT):
             continue
-        start = m.end()
-        end = data.find(b"endstream", start)
-        if end < 0:
+        payload = _inflate(header, payload)
+        if payload is None:
             continue
-        payload = data[start:end].rstrip(b"\r\n")
-        if b"FlateDecode" in header:
-            try:
-                payload = zlib.decompress(payload)
-            except zlib.error:
-                continue
         if b"beginbfchar" in payload or b"beginbfrange" in payload:
-            parse_tounicode(payload, cmap)
+            parse_tounicode(payload, union)  # re-merge is idempotent
             continue  # a CMap stream is never page content
         if b"BT" in payload:
-            payloads.append(payload)
+            inflated.append((num, payload))
 
+    # pass 2 — decode: per-font scoping when the graph resolved fonts
+    # for this stream, union heuristic otherwise
     blocks: list[tuple[int, str]] = []
     page = 0
-    for payload in payloads:
+    for num, payload in inflated:
         found = False
+        fonts = scoped.get(num) if num is not None else None
+        cur: dict[int, str] | None = None
         for tm in _TEXTOBJ_RE.finditer(payload):
-            text = _text_from_textobj(tm.group(1), cmap or None)
+            if fonts:
+                text, cur = _text_from_textobj_scoped(tm.group(1), fonts, cur)
+            else:
+                text = _text_from_textobj(tm.group(1), union or None)
             if text and _plausible_text(text):
                 blocks.append((page, text))
                 found = True

@@ -58,6 +58,11 @@ def main() -> None:
         "ann_bruteforce",
         "ann_ivf",
         "events_sessions",
+        # the flagship LLM-pipeline composition + its two newest stages
+        # (round-3 VERDICT task 7: visible round-over-round)
+        "decontaminate",
+        "pack_bins",
+        "training_set",
     ]
     qs = entry.queries()
 

@@ -76,17 +76,69 @@ def test_420_odd_dims_roundtrip():
     assert back.shape == (19, 21, 3)
 
 
-def test_rejects_progressive_and_garbage():
+def test_rejects_arithmetic_and_garbage():
     arr = _gradient(8, 8, 3)
     data = bytearray(encode_jpeg(arr))
-    # flip SOF0 (0xC0) into SOF2 (progressive, 0xC2)
+    # flip SOF0 (0xC0) into SOF9 (arithmetic sequential, 0xC9)
     idx = data.find(b"\xff\xc0")
-    data[idx + 1] = 0xC2
+    data[idx + 1] = 0xC9
     with pytest.raises(ValueError, match="unsupported frame type"):
+        decode_jpeg(bytes(data))
+    # a baseline scan mislabeled progressive (Se=63 in a DC-band SOS
+    # context) must raise, not mis-decode
+    data[idx + 1] = 0xC2
+    with pytest.raises(ValueError):
         decode_jpeg(bytes(data))
     with pytest.raises(ValueError):
         decode_jpeg(b"\xff\xd8garbage-not-a-real-scan")
     assert not is_jpeg(b"plainly not a jpeg")
+
+
+def test_progressive_matches_baseline_bit_for_bit():
+    # Annex G: spectral selection + successive approximation. The
+    # progressive encoder quantizes identically to the baseline one, so
+    # the decoded images must be IDENTICAL, not merely close.
+    from agentic_doc_spark.functions.jpeg import encode_progressive_jpeg
+
+    for shape, sub in [((24, 33, 3), "444"), ((40, 56, 3), "420")]:
+        arr = _gradient(*shape)
+        base = decode_jpeg(encode_jpeg(arr, quality=85, subsampling=sub))
+        for successive in (True, False):
+            prog = decode_jpeg(
+                encode_progressive_jpeg(
+                    arr, quality=85, subsampling=sub, successive=successive
+                )
+            )
+            assert prog.shape == base.shape
+            assert (prog == base).all(), (shape, sub, successive)
+
+
+def test_progressive_grayscale_and_random_content():
+    # random (non-smooth) content exercises dense AC bands, long EOB
+    # runs, ZRL-in-refinement, and correction-bit buffering
+    from agentic_doc_spark.functions.jpeg import encode_progressive_jpeg
+
+    rng = np.random.default_rng(7)
+    for _ in range(6):
+        h = int(rng.integers(8, 50))
+        w = int(rng.integers(8, 50))
+        ch = int(rng.choice([1, 3]))
+        arr = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+        if ch == 1:
+            arr = arr[:, :, 0]
+        base = decode_jpeg(encode_jpeg(arr, quality=90))
+        prog = decode_jpeg(
+            encode_progressive_jpeg(arr, quality=90, successive=True)
+        )
+        assert (prog == base).all(), (h, w, ch)
+
+
+def test_progressive_truncated_raises():
+    from agentic_doc_spark.functions.jpeg import encode_progressive_jpeg
+
+    data = encode_progressive_jpeg(_gradient(16, 16, 3))
+    with pytest.raises(ValueError):
+        decode_jpeg(data[: len(data) // 2])
 
 
 def test_rejects_cmyk_and_zero_sampling():

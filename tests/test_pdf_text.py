@@ -99,6 +99,83 @@ def test_unmapped_type0_still_skipped():
     assert blocks == []
 
 
+def _cmap_stream(pairs: dict[int, str]) -> bytes:
+    entries = "".join(
+        f"<{c:04X}> <{''.join(f'{ord(u):04X}' for u in txt)}>\n"
+        for c, txt in sorted(pairs.items())
+    )
+    return (
+        b"/CIDInit /ProcSet findresource begin\nbegincmap\n"
+        + b"%d beginbfchar\n" % len(pairs)
+        + entries.encode()
+        + b"endbfchar\nendcmap\n"
+    )
+
+
+def _graph_pdf(content: bytes, fonts: dict[bytes, dict[int, str]]) -> bytes:
+    """A PDF with a real (page → contents → resources → font → ToUnicode)
+    object graph: font objects at 10, 12, ...; their CMap streams one
+    number above."""
+    out = [b"%PDF-1.4\n"]
+    font_entries = []
+    num = 10
+    for name, cmap in sorted(fonts.items()):
+        font_entries.append(b"/%s %d 0 R " % (name, num))
+        out.append(
+            b"%d 0 obj\n<< /Type /Font /Subtype /Type0 /ToUnicode %d 0 R >>\nendobj\n"
+            % (num, num + 1)
+        )
+        payload = _cmap_stream(cmap)
+        out.append(
+            b"%d 0 obj\n<< /Length %d >>\nstream\n" % (num + 1, len(payload))
+            + payload
+            + b"\nendstream\nendobj\n"
+        )
+        num += 2
+    out.append(
+        b"1 0 obj\n<< /Type /Page /Contents 2 0 R /Resources << /Font << "
+        + b"".join(font_entries)
+        + b">> >> >>\nendobj\n"
+    )
+    out.append(
+        b"2 0 obj\n<< /Length %d >>\nstream\n" % len(content)
+        + content
+        + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    return b"".join(out)
+
+
+def test_two_cid_fonts_same_code_scoped_decoding():
+    # two Type0 fonts assign the SAME codes different meanings; per-font
+    # scoping through Tf operators must decode each show string with its
+    # own font's CMap (the union heuristic would decode one of them with
+    # the other font's mapping)
+    content = (
+        b"BT /F1 10 Tf <0003 0004 0005> Tj ET\n"
+        b"BT /F2 10 Tf <0003 0004 0005> Tj ET"
+    )
+    pdf = _graph_pdf(
+        content,
+        {
+            b"F1": {3: "c", 4: "a", 5: "t"},
+            b"F2": {3: "d", 4: "o", 5: "g"},
+        },
+    )
+    assert [t for _, t in extract_pdf_blocks(pdf)] == ["cat", "dog"]
+
+
+def test_scoped_simple_font_hex_stays_latin1():
+    # in a scoped stream, a hex string shown with a font that has NO
+    # ToUnicode map (simple font) must keep its latin-1 reading even when
+    # a CID font's CMap could cover its byte pairs
+    content = (
+        b"BT /F1 10 Tf <0003 0004> Tj ET\n"
+        b"BT /FS 10 Tf <48 69> Tj ET"  # 'Hi', FS not a Type0 font
+    )
+    pdf = _graph_pdf(content, {b"F1": {3: "o", 4: "k", 0x4869: "ZZ"}})
+    assert [t for _, t in extract_pdf_blocks(pdf)] == ["ok", "Hi"]
+
+
 def test_textless_pdf_hits_stub_boundary():
     with pytest.raises(NotImplementedError, match="text layer"):
         split_blocks(b"%PDF-1.4\njust bytes, no streams", "pdf")

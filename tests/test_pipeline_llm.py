@@ -96,6 +96,72 @@ def test_build_training_set_repetition_and_scrub(spark):
     assert "example.com" not in rows[3]["text"]
 
 
+def test_build_training_set_resumable_crash_after_dedup(spark, tmp_path, monkeypatch):
+    # crash between the dedup stage commit and the final stage, resume
+    # with the same run_id: (1) the dedup chain must NOT re-run, (2) the
+    # final output must be byte-identical to an uninterrupted run
+    import agentic_doc_spark.pipeline_llm as P
+
+    corpus = spark.createDataFrame(
+        [
+            (1, GOOD_A),
+            (2, GOOD_A),
+            (3, GOOD_A.replace("boats", "ships")),
+            (4, GOOD_B),
+            (6, CONTAMINATED),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(BENCHMARK,)], ["text"])
+    kwargs = dict(
+        benchmark=bench, pack_budget=16, min_quality=0.6, scrub=True
+    )
+
+    # uninterrupted reference run (its own work dir)
+    ref = P.build_training_set_resumable(
+        spark, corpus, work_dir=str(tmp_path / "ref"), run_id="r0", **kwargs
+    )
+    ref_rows = sorted(
+        map(tuple, ref.collect()), key=lambda t: t[0]
+    )
+    assert [t[0] for t in ref_rows] == [1, 4]
+
+    # crashed run: die right after the dedup stage commits
+    real_finalize = P._finalize_stage
+    calls = {"n": 0}
+
+    def boom(*a, **k):
+        calls["n"] += 1
+        raise RuntimeError("injected crash at packing stage")
+
+    monkeypatch.setattr(P, "_finalize_stage", boom)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="injected crash"):
+        P.build_training_set_resumable(
+            spark, corpus, work_dir=str(tmp_path / "wd"), run_id="r1", **kwargs
+        )
+    assert calls["n"] == 1
+
+    # resume: the dedup stage must be read back, not recomputed
+    def dedup_bomb(*a, **k):
+        raise AssertionError("dedup stage re-ran on resume")
+
+    monkeypatch.setattr(P, "_finalize_stage", real_finalize)
+    monkeypatch.setattr(P, "_dedup_stage", dedup_bomb)
+    out = P.build_training_set_resumable(
+        spark, corpus, work_dir=str(tmp_path / "wd"), run_id="r1", **kwargs
+    )
+    got = sorted(map(tuple, out.collect()), key=lambda t: t[0])
+    assert list(out.columns) == list(ref.columns)
+    assert got == ref_rows
+    # idempotent re-read: calling again re-runs nothing at all
+    again = P.build_training_set_resumable(
+        spark, corpus, work_dir=str(tmp_path / "wd"), run_id="r1", **kwargs
+    )
+    assert sorted(map(tuple, again.collect()), key=lambda t: t[0]) == ref_rows
+
+
 def test_build_training_set_language_mixing(spark):
     # stratified sampling keeps ~rate per predicted language
     docs = [(i, GOOD_A + f" extra token {i}") for i in range(200)]
