@@ -347,6 +347,91 @@ def q_pdf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pdf_scanned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 raster half via embedded images: a scanned-PDF corpus — every
+    page is an embedded DCTDecode JPEG (decoded by the pure-stdlib
+    functions/jpeg.py), page 0 also carries a one-block caption text
+    layer. parse() must yield, per doc: the caption text span followed by
+    one MEDIA span per page (kind 'media', pdfimg:// refs), and
+    pdf_media_table must serve exactly one sidecar payload per media
+    span (sources/layout.py:_pdf_spans / pdf_media_table)."""
+    import shutil
+
+    import numpy as np
+
+    from agentic_doc_spark.api import parse
+    from agentic_doc_spark.functions.jpeg import encode_jpeg
+    from agentic_doc_spark.sources.layout import pdf_media_table
+    from agentic_doc_spark.sources.resolve import read_binary_dir
+
+    _ship(spark)
+    ids = sorted(
+        r[0]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 10 == 2)
+        .collect()
+    )
+    base = f"/tmp/spark_graft_scanpdf_{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    arr = ((np.arange(16 * 16 * 3) * 11) % 256).astype(np.uint8).reshape(16, 16, 3)
+    jpg = encode_jpeg(arr, quality=90)
+
+    def stream_obj(num: int, header: bytes, payload: bytes) -> bytes:
+        return (
+            b"%d 0 obj\n<< %s /Length %d >>\nstream\n"
+            % (num, header, len(payload))
+            + payload
+            + b"\nendstream\nendobj\n"
+        )
+
+    for doc_id in ids:
+        caption = f"delta caption for scan {doc_id}".encode("latin-1")
+        out = [b"%PDF-1.4\n"]
+        out.append(stream_obj(10, b"", b"BT (" + caption + b") Tj ET"))
+        out.append(
+            stream_obj(
+                11, b"/Subtype /Image /Filter /DCTDecode /Width 16 /Height 16", jpg
+            )
+        )
+        out.append(
+            b"12 0 obj\n<< /Type /Page /Contents 10 0 R /Resources "
+            b"<< /XObject << /Im0 11 0 R >> >> >>\nendobj\n"
+        )
+        out.append(
+            stream_obj(
+                13, b"/Subtype /Image /Filter /DCTDecode /Width 16 /Height 16", jpg
+            )
+        )
+        out.append(
+            b"14 0 obj\n<< /Type /Page /Resources "
+            b"<< /XObject << /Im0 13 0 R >> >> >>\nendobj\n"
+        )
+        out.append(b"%%EOF\n")
+        with open(f"{base}/{doc_id:08d}.pdf", "wb") as f:
+            f.write(b"".join(out))
+    parsed = parse(spark, base)
+    raw = read_binary_dir(spark, base)
+    num_id = F.regexp_extract(F.col("doc_id"), r"(\d+)\.pdf$", 1).cast("long")
+    sidecar = (
+        pdf_media_table(raw)
+        .groupBy(num_id.alias("doc_id"))
+        .agg(F.count("*").alias("n_sidecar"))
+    )
+    spans_out = parsed.select(
+        num_id.alias("doc_id"),
+        F.size("spans").alias("n_spans"),
+        F.size(
+            F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("media"))
+        ).alias("n_media"),
+        F.col("markdown").startswith("delta caption for scan ").alias(
+            "has_caption"
+        ),
+    )
+    return spans_out.join(sidecar, "doc_id")
+
+
 def q_chunk_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1: chunk-reference provenance join — synthetic metadata references
     (every doc < 50 references its chunks at (page 0, offsets 0 and 1))
@@ -916,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_strip": q_boilerplate_strip,
         "ingest_extract": q_ingest_extract,
         "pdf_ingest": q_pdf_ingest,
+        "pdf_scanned": q_pdf_scanned,
         "pack_bins": q_pack_bins,
         "stratified_sample": q_stratified_sample,
         "decontaminate": q_decontaminate,
@@ -1244,6 +1330,14 @@ def oracle_sql() -> dict[str, str]:
                    AS markdown,
                    'pdf' AS doc_type
             FROM documents WHERE doc_id % 10 = 1
+        """,
+        "pdf_scanned": """
+            SELECT doc_id,
+                   CAST(3 AS INT) AS n_spans,
+                   CAST(2 AS INT) AS n_media,
+                   TRUE AS has_caption,
+                   CAST(2 AS BIGINT) AS n_sidecar
+            FROM documents WHERE doc_id % 10 = 2
         """,
         "chunk_refs": _SQL_SPANS
         + """

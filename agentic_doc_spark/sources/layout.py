@@ -74,6 +74,39 @@ def split_blocks(data: bytes, doc_type: str) -> list[str]:
     return [b for b in blocks if b]
 
 
+def _pdf_spans(data: bytes, doc_id: str) -> list[tuple[str, str | None, str | None]]:
+    """PDF bytes → ordered (kind, text, media_ref) spans: text blocks
+    from the text layer interleaved (per page, text first) with media
+    spans for embedded raster images — the scanned-PDF path: a page
+    that is one big DCTDecode JPEG yields a media span whose bytes are
+    served by ``pdf_media_table`` under the same ``pdfimg://`` ref.
+    Raises the stub boundary only when there is neither text nor any
+    decodable image."""
+    from agentic_doc_spark.sources.pdf_text import (
+        extract_pdf_blocks,
+        extract_pdf_images,
+    )
+
+    blocks = extract_pdf_blocks(data)
+    images = extract_pdf_images(data)
+    if not blocks and not images:
+        raise NotImplementedError(
+            "no extractable text layer or embedded raster (encrypted/"
+            "exotic-codec PDF) — rasterizing needs a PDF library not "
+            "present in this container; supply (doc_id, spans) corpora "
+            "instead"
+        )
+    items: list[tuple[int, int, int, str | None, str | None]] = []
+    for i, (page, text) in enumerate(blocks):
+        items.append((page, 0, i, text, None))
+    for i, (page, _img) in enumerate(images):
+        # empty text + media_ref classifies to kind 'media' (the synth
+        # corpus convention — classify contract, functions/classify.py)
+        items.append((page, 1, i, "", f"pdfimg://{doc_id}/{i}"))
+    items.sort(key=lambda t: t[:3])
+    return [("raw", text, ref) for _p, _m, _i, text, ref in items]
+
+
 def layout_parse(binary_df: DataFrame) -> DataFrame:
     """(doc_id, content BINARY, doc_type) → documents_raw (doc_id, spans).
 
@@ -82,15 +115,20 @@ def layout_parse(binary_df: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, kinds, texts, offs = [], [], [], []
+            ids, kinds, texts, refs, offs = [], [], [], [], []
             for doc_id, content, dt in zip(
                 pdf["doc_id"], pdf["content"], pdf["doc_type"]
             ):
-                is_html = dt == "image" and bytes(content[:1]) == b"<"
+                data = bytes(content)
+                is_html = dt == "image" and data[:1] == b"<"
+                eff = "html" if is_html or dt == "html" else dt
                 try:
-                    blocks = split_blocks(
-                        bytes(content), "html" if is_html or dt == "html" else dt
-                    )
+                    if eff == "pdf":
+                        spans = _pdf_spans(data, doc_id)
+                    else:
+                        spans = [
+                            ("raw", b, None) for b in split_blocks(data, eff)
+                        ]
                 except NotImplementedError as ex:
                     # A document that reaches the parser but cannot be
                     # decoded is a PARSE failure, not a download failure:
@@ -104,18 +142,20 @@ def layout_parse(binary_df: DataFrame) -> DataFrame:
                     ids.append(doc_id)
                     kinds.append("corrupt")
                     texts.append(f"undecodable document: {ex}")
+                    refs.append(None)
                     offs.append(0)
                     continue
-                ids.extend([doc_id] * len(blocks))
-                kinds.extend(["raw"] * len(blocks))
-                texts.extend(blocks)
-                offs.extend(range(len(blocks)))
+                ids.extend([doc_id] * len(spans))
+                kinds.extend(k for k, _t, _m in spans)
+                texts.extend(t for _k, t, _m in spans)
+                refs.extend(m for _k, _t, m in spans)
+                offs.extend(range(len(spans)))
             yield pd.DataFrame(
                 {
                     "doc_id": ids,
                     "kind": kinds,
                     "text": texts,
-                    "media_ref": [None] * len(ids),
+                    "media_ref": refs,
                     "offset": offs,
                 }
             )
@@ -157,3 +197,45 @@ def ingest_directory(spark, path: str, **options) -> DataFrame:
     from agentic_doc_spark.sources.resolve import read_binary_dir
 
     return layout_parse(route_doc_types(read_binary_dir(spark, path, **options)))
+
+
+_MEDIA_TABLE = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("page", T.IntegerType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+
+def pdf_media_table(binary_df: DataFrame) -> DataFrame:
+    """(doc_id, content, doc_type) → (doc_id, media_ref, page, content):
+    the embedded raster payloads behind ``layout_parse``'s ``pdfimg://``
+    media spans — the sidecar table the multimodal operators (decode /
+    features / resize / crop) consume. Span rows carry only the ref
+    string; bytes stay in this narrow table so the text pipeline never
+    shuffles image payloads (north-rule media-column discipline)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from agentic_doc_spark.sources.pdf_text import extract_pdf_images
+
+        for pdf in batches:
+            rows = []
+            for doc_id, content, dt in zip(
+                pdf["doc_id"], pdf["content"], pdf["doc_type"]
+            ):
+                if dt != "pdf":
+                    continue
+                for i, (page, img) in enumerate(
+                    extract_pdf_images(bytes(content))
+                ):
+                    rows.append(
+                        (doc_id, f"pdfimg://{doc_id}/{i}", int(page),
+                         bytearray(img))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "media_ref", "page", "content"]
+            )
+
+    return binary_df.mapInPandas(run, _MEDIA_TABLE)

@@ -417,3 +417,97 @@ def extract_pdf_blocks(data: bytes) -> list[tuple[int, str]]:
         if found:
             page += 1
     return blocks
+
+
+# -- embedded raster images (scanned-PDF support) --------------------------
+
+_XOBJECT_DICT_RE = re.compile(rb"/XObject\s*<<(.*?)>>", re.DOTALL)
+_SUBTYPE_IMAGE_RE = re.compile(rb"/Subtype\s*/Image")
+_WIDTH_RE = re.compile(rb"/Width\s+(\d+)")
+_HEIGHT_RE = re.compile(rb"/Height\s+(\d+)")
+_BPC_RE = re.compile(rb"/BitsPerComponent\s+(\d+)")
+
+
+def _image_payload(header: bytes, payload: bytes) -> bytes | None:
+    """Image XObject stream → decodable image bytes: DCTDecode payloads
+    ARE JPEG streams (baseline or progressive — both now decode via
+    functions/jpeg.py); FlateDecode 8-bit DeviceGray/DeviceRGB raw
+    samples re-encode as PNG. Anything else (JPX, JBIG2, CCITT, masks)
+    returns None — a surfaced gap, not silent garbage."""
+    if payload is None:
+        return None
+    if b"/DCTDecode" in header:
+        return payload if payload[:2] == b"\xff\xd8" else None
+    if b"/FlateDecode" in header:
+        wm, hm, bm = (
+            _WIDTH_RE.search(header),
+            _HEIGHT_RE.search(header),
+            _BPC_RE.search(header),
+        )
+        if not (wm and hm and bm) or int(bm.group(1)) != 8:
+            return None
+        ch = 3 if b"/DeviceRGB" in header else (
+            1 if b"/DeviceGray" in header else 0
+        )
+        if not ch:
+            return None
+        w, h = int(wm.group(1)), int(hm.group(1))
+        try:
+            raw = zlib.decompress(payload)
+        except zlib.error:
+            return None
+        if len(raw) < w * h * ch or not (0 < w * h <= 64_000_000):
+            return None
+        import numpy as np  # lazy: keeps the text path stdlib-only
+
+        from agentic_doc_spark.functions.png import encode_png
+
+        arr = np.frombuffer(raw[: w * h * ch], dtype=np.uint8).reshape(
+            h, w, ch
+        )
+        return encode_png(arr)
+    return None
+
+
+def extract_pdf_images(data: bytes) -> list[tuple[int, bytes]]:
+    """PDF bytes → ordered (page_idx, image_bytes) for every embedded
+    raster the object graph can resolve (page → /Resources /XObject →
+    /Subtype /Image). This is what makes SCANNED PDFs — pages that are
+    one big DCTDecode JPEG with no text layer — yield media spans
+    instead of error documents. Falls back to a whole-file scan (each
+    image its own page index) when no page objects parse. The reference
+    gets the same pixels by rasterizing via pymupdf
+    (agentic_doc/utils.py:110-124); here the embedded stream IS the
+    page raster."""
+    objs = _object_map(data)
+    out: list[tuple[int, bytes]] = []
+    pages = [
+        (num, header)
+        for num, (header, _p) in objs.items()
+        if _TYPE_PAGE_RE.search(header)
+    ]
+    seen: set[int] = set()
+    for pi, (_num, header) in enumerate(pages):
+        res = header
+        rm = _RESOURCES_REF_RE.search(header)
+        if rm and int(rm.group(1)) in objs:
+            res = objs[int(rm.group(1))][0]
+        xm = _XOBJECT_DICT_RE.search(res)
+        if not xm:
+            continue
+        for _name, ref in _FONT_ENTRY_RE.findall(xm.group(1)):
+            o = objs.get(int(ref))
+            if not o or not _SUBTYPE_IMAGE_RE.search(o[0]):
+                continue
+            img = _image_payload(o[0], o[1])
+            if img is not None:
+                out.append((pi, img))
+                seen.add(int(ref))
+    if not out:  # no resolvable page graph: flat scan, one page per image
+        for num, (header, payload) in objs.items():
+            if num in seen or not _SUBTYPE_IMAGE_RE.search(header):
+                continue
+            img = _image_payload(header, payload)
+            if img is not None:
+                out.append((len(out), img))
+    return out

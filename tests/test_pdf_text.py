@@ -196,3 +196,104 @@ def test_pdf_route_through_layout(spark, tmp_path):
         "Kerned text",
     ]
     assert parsed["markdown"].startswith("Hello world")
+
+
+def _obj(num: int, body: bytes) -> bytes:
+    return b"%d 0 obj\n" % num + body + b"\nendobj\n"
+
+
+def _stream_obj(num: int, header: bytes, payload: bytes) -> bytes:
+    return (
+        b"%d 0 obj\n<< %s /Length %d >>\nstream\n" % (num, header, len(payload))
+        + payload
+        + b"\nendstream\nendobj\n"
+    )
+
+
+def _scanned_pdf(page_images: list[bytes], texts: list[bytes] | None = None) -> bytes:
+    """One page per image: /Type /Page with an /XObject /Image resource
+    (DCTDecode = the embedded JPEG), optionally with a text content
+    stream too (mixed text+scan page)."""
+    out = [b"%PDF-1.4\n"]
+    num = 10
+    for i, img in enumerate(page_images):
+        img_num, content_num = num, num + 1
+        page = (
+            b"<< /Type /Page /Resources << /XObject << /Im0 %d 0 R >> >>"
+            % img_num
+        )
+        if texts and texts[i]:
+            out.append(_stream_obj(content_num, b"", texts[i]))
+            page = (
+                b"<< /Type /Page /Contents %d 0 R /Resources "
+                b"<< /XObject << /Im0 %d 0 R >> >> >>"
+                % (content_num, img_num)
+            )
+        else:
+            page += b" >>"
+        out.append(
+            _stream_obj(
+                img_num,
+                b"/Subtype /Image /Filter /DCTDecode /Width 1 /Height 1",
+                img,
+            )
+        )
+        out.append(_obj(num + 2, page))
+        num += 3
+    out.append(b"%%EOF\n")
+    return b"".join(out)
+
+
+def test_scanned_pdf_yields_media_spans(spark, tmp_path):
+    # the scanned-PDF path: pages that are one embedded JPEG and no text
+    # layer must parse to MEDIA spans (not error rows, not a skip), with
+    # the bytes served by pdf_media_table under the same pdfimg:// ref
+    import numpy as np
+
+    from agentic_doc_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_progressive_jpeg,
+    )
+    from agentic_doc_spark.pipeline import extract
+    from agentic_doc_spark.sources.layout import layout_parse, pdf_media_table
+    from agentic_doc_spark.sources.resolve import read_binary_dir
+
+    arr = ((np.arange(24 * 32 * 3) * 7) % 256).astype(np.uint8).reshape(24, 32, 3)
+    jpegs = [encode_jpeg(arr, quality=90), encode_progressive_jpeg(arr, quality=90)]
+    (tmp_path / "scan.pdf").write_bytes(_scanned_pdf(jpegs))
+    raw = read_binary_dir(spark, str(tmp_path))
+    parsed = extract(layout_parse(raw)).collect()[0]
+    spans = parsed["spans"]
+    assert [s["kind"] for s in spans] == ["media", "media"]
+    refs = [s["media_ref"] for s in spans]
+    assert all(r and r.startswith("pdfimg://") for r in refs)
+    assert parsed["errors"] == []
+    media = {r["media_ref"]: r for r in pdf_media_table(raw).collect()}
+    assert sorted(media) == sorted(refs)
+    for i, ref in enumerate(sorted(media)):
+        row = media[ref]
+        assert row["page"] in (0, 1)
+        decoded = decode_jpeg(bytes(row["content"]))
+        assert decoded.shape == (24, 32, 3)
+
+
+def test_mixed_text_and_scan_pdf_interleaves(spark, tmp_path):
+    import numpy as np
+
+    from agentic_doc_spark.functions.jpeg import encode_jpeg
+    from agentic_doc_spark.sources.layout import layout_parse
+    from agentic_doc_spark.sources.resolve import read_binary_dir
+
+    arr = np.full((8, 8, 3), 200, dtype=np.uint8)
+    pdf = _scanned_pdf(
+        [encode_jpeg(arr)], texts=[b"BT (Caption text) Tj ET"]
+    )
+    (tmp_path / "mixed.pdf").write_bytes(pdf)
+    raw = read_binary_dir(spark, str(tmp_path))
+    row = layout_parse(raw).collect()[0]
+    spans = row["spans"]
+    # text block first, media span after it (same page)
+    assert [s["text"] for s in spans] == ["Caption text", ""]
+    assert spans[0]["media_ref"] is None
+    assert spans[1]["media_ref"] == f"pdfimg://{row['doc_id']}/0"
