@@ -108,6 +108,16 @@ def main() -> None:
     )
     out = REPO / "BENCH" / "BASELINE.md"
     out.parent.mkdir(exist_ok=True)
+    # preserve the sections other scripts own (attribution sweep,
+    # spark-submit mode) — this script rewrites only its own header
+    tail = ""
+    if out.exists():
+        prev = out.read_text()
+        for marker in ("\n## 8→32 attribution sweep", "\n## spark-submit"):
+            idx = prev.find(marker)
+            if idx >= 0:
+                tail = prev[idx:]
+                break
     out.write_text(
         f"""# BENCH baseline — scaling-efficiency evidence
 
@@ -143,6 +153,7 @@ cross-traffic term at all: executors share nothing.
 
 Reproduce: `python scripts/scaling_bench.py {sf_dir} {rep}`
 """
+        + tail
     )
 
 
