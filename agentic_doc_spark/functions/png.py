@@ -2,10 +2,10 @@
 boundary REAL without an imaging library.
 
 Covers the PNG subset a document pipeline produces/consumes on decode:
-greyscale at 1/2/4/8 bits (1-bit is the classic scanned-document
-format), palette (PLTE, optional tRNS alpha) at 1/2/4/8 bits, 8-bit
-RGB / grey+alpha / RGBA — plain or Adam7-interlaced — with all five
-scanline filters; encode writes 8-bit non-interlaced filter-0. JPEG and
+greyscale at 1/2/4/8/16 bits (1-bit is the classic scanned-document
+format), palette (PLTE, optional tRNS alpha) at 1/2/4/8 bits, 8- and
+16-bit RGB / grey+alpha / RGBA (16-bit reduces to the high byte) —
+plain or Adam7-interlaced — with all five scanline filters; encode writes 8-bit non-interlaced filter-0. JPEG and
 exotic PNGs still route to PIL when present (operators/multimodal.py),
 and the deterministic fake remains the last-resort fallback.
 Public-spec implementation (RFC 2083 / W3C PNG); no external code.
@@ -30,11 +30,11 @@ _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 #: admitted (color_type, bit_depth) pairs
 _DEPTHS = {
-    0: (1, 2, 4, 8),
-    2: (8,),
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
     3: (1, 2, 4, 8),
-    4: (8,),
-    6: (8,),
+    4: (8, 16),
+    6: (8, 16),
 }
 
 #: Adam7 pass geometry: (x0, y0, dx, dy) — spec §8.2 pixel grid
@@ -109,9 +109,15 @@ def _unpack_samples(
     rows: np.ndarray, width: int, ch: int, depth: int
 ) -> np.ndarray:
     """(height, stride) reconstructed bytes → (height, width*ch) samples
-    (raw sample values; sub-byte depths unpacked MSB-first)."""
+    (raw sample values; sub-byte depths unpacked MSB-first; 16-bit
+    samples reduce to their HIGH byte — the libpng strip-16
+    convention)."""
     if depth == 8:
         return rows[:, : width * ch]
+    if depth == 16:  # big-endian sample pairs → high byte
+        return rows[:, : width * ch * 2].reshape(rows.shape[0], width * ch, 2)[
+            :, :, 0
+        ]
     bits = np.unpackbits(rows, axis=1)
     n = width * ch  # sub-byte depths only occur with ch == 1
     groups = bits[:, : n * depth].reshape(rows.shape[0], n, depth)
@@ -122,8 +128,9 @@ def _unpack_samples(
 def decode_png(data: bytes) -> np.ndarray:
     """PNG bytes → uint8 array of shape (h, w, channels).
 
-    Color types 0 (grey, depth 1/2/4/8), 2 (RGB-8), 3 (palette, depth
-    1/2/4/8, tRNS → RGBA), 4 (grey+alpha-8), 6 (RGBA-8); plain or
+    Color types 0 (grey, depth 1/2/4/8/16), 2 (RGB 8/16), 3 (palette,
+    depth 1/2/4/8, tRNS → RGBA), 4 (grey+alpha 8/16), 6 (RGBA 8/16);
+    16-bit samples reduce to their high byte; plain or
     Adam7-interlaced."""
     if not is_png(data):
         raise ValueError("not a PNG (bad signature)")
@@ -200,7 +207,7 @@ def decode_png(data: bytes) -> np.ndarray:
             alpha[:k] = trns[:k]
             return np.concatenate([rgb, alpha[idx][:, :, None]], axis=2)
         return rgb
-    if bit_depth != 8:  # sub-byte grey: scale to full 8-bit range
+    if bit_depth < 8:  # sub-byte grey: scale to full 8-bit range
         samples = samples * (255 // ((1 << bit_depth) - 1))
     return samples.reshape(height, width, ch)
 

@@ -2,12 +2,13 @@
 
 Parses the public RIFF container layout (Microsoft AVI spec): the
 top-level ``RIFF....AVI `` header, nested ``LIST`` chunks, and the
-``movi`` payload whose ``##dc``/``##db`` stream chunks carry one
-compressed frame each. For MJPEG AVIs those frames are baseline JPEG
-bytes — decodable by functions/jpeg.py — which makes video
-frame-sampling REAL end to end with zero native media libraries.
-Anything that is not a RIFF/AVI (or carries no video chunks) yields an
-empty frame list and the caller keeps its deterministic-fake path.
+``movi`` payload whose ``##dc``/``##db`` stream chunks carry one frame
+each. Two frame codecs decode for real: MJPEG (frames are JPEG bytes —
+baseline or progressive, functions/jpeg.py) and UNCOMPRESSED BI_RGB
+DIBs (the ``strf`` BITMAPINFOHEADER declares biCompression 0; bottom-up
+BGR(A) rows transcode to PNG bytes so the downstream decode ladder
+needs no new format). Anything else (or not a RIFF/AVI at all) yields
+an empty frame list and the caller keeps its deterministic-fake path.
 
 Written against the public container layout only (RIFF chunk grammar:
 fourcc + uint32le size + payload, word-aligned).
@@ -41,11 +42,49 @@ def _iter_chunks(data: bytes, start: int, end: int):
         i = payload + size + (size & 1)  # chunks are word-aligned
 
 
+def _parse_strf(data: bytes) -> tuple[int, int, int] | None:
+    """First video stream's BITMAPINFOHEADER → (width, height, bitcount)
+    when it declares UNCOMPRESSED BI_RGB frames (biCompression == 0 and
+    24/32-bit); None for compressed streams (MJPG etc.)."""
+    i = data.find(b"strf")
+    if i < 0 or i + 8 + 40 > len(data):
+        return None
+    hdr = data[i + 8 : i + 48]
+    _sz, w, h, _planes, bits, comp = struct.unpack("<IiiHHI", hdr[:20])
+    if comp == 0 and bits in (24, 32) and 0 < w * abs(h) <= 64_000_000:
+        return w, h, bits
+    return None
+
+
+def _dib_to_png(payload: bytes, w: int, h: int, bits: int) -> bytes | None:
+    """One uncompressed BI_RGB frame → PNG bytes: rows are 4-byte
+    aligned, BGR(A) order, bottom-up when height is positive (the DIB
+    convention; negative height = top-down)."""
+    import numpy as np  # lazy: keeps the demux path stdlib-only
+
+    from agentic_doc_spark.functions.png import encode_png
+
+    ch = bits // 8
+    height = abs(h)
+    stride = (w * ch + 3) & ~3
+    if len(payload) < stride * height:
+        return None
+    rows = np.frombuffer(
+        payload[: stride * height], dtype=np.uint8
+    ).reshape(height, stride)[:, : w * ch].reshape(height, w, ch)
+    if h > 0:
+        rows = rows[::-1]  # bottom-up → top-down
+    rgb = rows[:, :, [2, 1, 0]]  # BGR(A) → RGB (alpha dropped)
+    return encode_png(np.ascontiguousarray(rgb))
+
+
 def extract_avi_frames(data: bytes) -> list[bytes]:
-    """AVI bytes → ordered list of raw video-frame payloads (JPEG bytes
-    for MJPEG streams). Empty list when not an AVI / no video chunks."""
+    """AVI bytes → ordered list of DECODABLE video-frame payloads: JPEG
+    bytes for MJPEG streams, PNG-transcoded frames for uncompressed
+    BI_RGB DIB streams. Empty list when not an AVI / no video chunks."""
     if not is_avi(data):
         return []
+    raw_fmt = _parse_strf(data)
     found: list[tuple[int, bytes]] = []
     # explicit stack, not recursion: a crafted stream of deeply nested
     # LIST headers must degrade gracefully, never RecursionError a task.
@@ -65,7 +104,13 @@ def extract_avi_frames(data: bytes) -> list[bytes]:
                 and fourcc[:2].isdigit()
                 and size > 0
             ):
-                found.append((payload, bytes(data[payload : payload + size])))
+                frame = bytes(data[payload : payload + size])
+                if raw_fmt is not None and frame[:2] != b"\xff\xd8":
+                    png = _dib_to_png(frame, *raw_fmt)
+                    if png is None:
+                        continue  # malformed raw frame: skip, keep rest
+                    frame = png
+                found.append((payload, frame))
     return [f for _, f in sorted(found, key=lambda t: t[0])]
 
 
@@ -92,5 +137,40 @@ def encode_avi_mjpeg(frames: list[bytes], width: int = 0, height: int = 0) -> by
     movi = chunk(
         b"LIST", b"movi" + b"".join(chunk(b"00dc", f) for f in frames)
     )
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_avi_rawdib(frames_rgb, fps_us: int = 33333) -> bytes:
+    """Pack RGB uint8 (h, w, 3) arrays into a minimal uncompressed
+    BI_RGB AVI (strf BITMAPINFOHEADER + 00db bottom-up BGR frames with
+    4-byte row alignment) — the fixture twin of the raw-DIB decode
+    path."""
+    import numpy as np
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) & 1 else b""
+        return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+    h, w = frames_rgb[0].shape[:2]
+    stride = (w * 3 + 3) & ~3
+    avih = struct.pack(
+        "<14I", fps_us, 0, 0, 0, len(frames_rgb), 0, 1, 0, w, h, 0, 0, 0, 0
+    )
+    strh = struct.pack("<4s4sI44x", b"vids", b"DIB ", 0)
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0
+    )
+    strl = chunk(
+        b"LIST", b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf)
+    )
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih) + strl)
+    dibs = []
+    for f in frames_rgb:
+        bgr = np.asarray(f, dtype=np.uint8)[:, :, [2, 1, 0]]
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * 3] = bgr.reshape(h, w * 3)
+        dibs.append(rows[::-1].tobytes())  # bottom-up
+    movi = chunk(b"LIST", b"movi" + b"".join(chunk(b"00db", d) for d in dibs))
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -398,3 +398,30 @@ def test_render_crops_decode_once_per_page(spark):
     n_decodes = crops.filter("cache_miss").count()
     assert n_decodes == n_groups, (n_decodes, n_groups)
     crops.unpersist()
+
+
+def test_decode_16bit_gray_and_rgb():
+    # 16-bit samples (big-endian) reduce to their high byte (libpng
+    # strip-16 convention); filters still operate at byte level with
+    # fpp = ch*2
+    w, h = 5, 3
+    hi = _gradient(h, w, 1)[:, :, 0].astype(np.uint16)
+    samples = (hi << 8) | 0x7F  # low byte must be discarded
+    rows = bytearray()
+    for y in range(h):
+        rows.append(0)
+        rows.extend(samples[y].astype(">u2").tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)
+    out = decode_png(_raw_png(ihdr, [], bytes(rows)))
+    assert out.shape == (h, w, 1)
+    assert (out[:, :, 0] == hi.astype(np.uint8)).all()
+
+    rgb_hi = _gradient(h, w, 3).astype(np.uint16)
+    rows = bytearray()
+    for y in range(h):
+        rows.append(0)
+        rows.extend(((rgb_hi[y] << 8) | 0x01).astype(">u2").tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)
+    out = decode_png(_raw_png(ihdr, [], bytes(rows)))
+    assert out.shape == (h, w, 3)
+    assert (out == rgb_hi.astype(np.uint8)).all()

@@ -281,6 +281,39 @@ def test_riff_deep_nesting_never_recursion_errors():
     assert extract_avi_frames(blob) == []
 
 
+def test_sample_frames_raw_dib_avi(spark):
+    # uncompressed BI_RGB AVI: strf declares biCompression 0, frames are
+    # bottom-up padded BGR DIBs → transcoded to PNG by the demuxer and
+    # decoded for real downstream (true dims, decoded=True)
+    import numpy as np
+
+    from agentic_doc_spark.functions.png import decode_png
+    from agentic_doc_spark.functions.riff import (
+        encode_avi_rawdib,
+        extract_avi_frames,
+    )
+
+    frames = [
+        ((np.arange(10 * 14 * 3) * (i + 3)) % 256)
+        .astype(np.uint8)
+        .reshape(10, 14, 3)
+        for i in range(4)
+    ]
+    avi = encode_avi_rawdib(frames)
+    # demux-level: PNG-transcoded frames reconstruct the RGB pixels
+    for png_bytes, orig in zip(extract_avi_frames(avi), frames):
+        assert (decode_png(png_bytes) == orig).all()
+    media = spark.createDataFrame(
+        [("rawvid", bytearray(avi))], "media_ref string, content binary"
+    )
+    rows = {
+        r["frame_idx"]: r for r in sample_frames(media, every_n=2).collect()
+    }
+    assert sorted(rows) == [0, 2]
+    for r in rows.values():
+        assert (r["width"], r["height"], r["decoded"]) == (14, 10, True)
+
+
 def test_sample_frames_real_mjpeg_avi(spark):
     # REAL video path: MJPEG AVI demux (functions/riff.py) + JPEG decode —
     # every 2nd frame sampled, true dims, per-frame sha over raw bytes
