@@ -219,7 +219,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         return _decode_jpeg(data)
     except ValueError:
         raise
-    except (IndexError, KeyError, struct.error, ZeroDivisionError) as ex:
+    except (IndexError, KeyError, struct.error, ZeroDivisionError,
+            OverflowError) as ex:
         raise ValueError(
             f"jpeg: corrupt stream ({type(ex).__name__})"
         ) from ex
@@ -557,6 +558,8 @@ def _progressive_scan(
     def dc_unit(blk, tab, ci):
         if ah == 0:
             s = _read_huff(br, tab)
+            if s > 16:  # corrupt table: DC category is ≤ 16 by spec
+                raise ValueError("jpeg: bad DC magnitude category")
             diff = _extend(br.read_bits(s), s) if s else 0
             preds[ci] += diff
             blk[0] = preds[ci] << al

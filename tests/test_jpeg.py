@@ -141,6 +141,31 @@ def test_progressive_truncated_raises():
         decode_jpeg(data[: len(data) // 2])
 
 
+def test_progressive_fuzz_only_valueerror():
+    # truncations and random byte corruption must fold into ValueError —
+    # never OverflowError (a corrupt DHT can claim a 255-bit DC
+    # category) or any other exception type
+    import random
+
+    from agentic_doc_spark.functions.jpeg import encode_progressive_jpeg
+
+    rng = random.Random(99)
+    data = encode_progressive_jpeg(_gradient(24, 18, 3))
+    for cut in range(2, len(data), max(1, len(data) // 60)):
+        try:
+            decode_jpeg(data[:cut])
+        except ValueError:
+            pass
+    for _ in range(200):
+        b = bytearray(data)
+        for _ in range(rng.randint(1, 6)):
+            b[rng.randrange(2, len(b))] = rng.randrange(256)
+        try:
+            decode_jpeg(bytes(b))
+        except ValueError:
+            pass
+
+
 def test_rejects_cmyk_and_zero_sampling():
     arr = _gradient(8, 8, 3)
     data = bytearray(encode_jpeg(arr))
