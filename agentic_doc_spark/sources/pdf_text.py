@@ -27,12 +27,18 @@ code→text map applied only to 2-byte-shaped hex strings it covers
 (≥80% of codes) whose latin-1 reading fails the plausibility guard —
 a simple-font hex string that reads as text keeps its latin-1 reading.
 
+Also handled: PDF 1.5+ compressed object streams (``/ObjStm`` — where
+modern writers put page/font dictionaries), ``/LZWDecode`` streams (the
+TIFF-variant LZW older PDFs use, with EarlyChange), and embedded raster
+images (``extract_pdf_images``: DCTDecode = JPEG baseline/progressive,
+Flate/LZW/raw 8-bit Gray/RGB and 1-bit bilevel → PNG).
+
 NOT a general PDF parser — no xref table parsing (objects are found by
-scanning, which also survives mild corruption), no encryption, no object
-streams; anything it cannot read yields zero blocks and the caller
-degrades to the documented stub path. This boundary is explicit on
-purpose: the goal is unstubbing the common text-PDF case, not silently
-mis-reading hard ones.
+scanning, which also survives mild corruption), no encryption, no
+JPX/JBIG2/CCITT image codecs; anything it cannot read yields zero
+blocks and the caller degrades to the documented stub path. This
+boundary is explicit on purpose: the goal is unstubbing the common
+text-PDF case, not silently mis-reading hard ones.
 """
 
 from __future__ import annotations
@@ -235,7 +241,7 @@ def parse_tounicode(payload: bytes, cmap: dict[int, str]) -> None:
 #: metadata) — random bytes inside them can coincidentally spell BT/ET
 _NON_CONTENT = (
     b"/Image", b"/DCTDecode", b"/JPXDecode", b"/JBIG2Decode",
-    b"/CCITTFaxDecode", b"/FontFile", b"/Metadata", b"/XML",
+    b"/CCITTFaxDecode", b"/FontFile", b"/Metadata", b"/XML", b"/ObjStm",
 )
 
 
@@ -283,7 +289,89 @@ def _object_map(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
                 payload = body[sm.end() : pend].rstrip(b"\r\n")
         if num not in objs:  # first definition wins (matches readers)
             objs[num] = (header, payload)
+    _expand_object_streams(objs)
     return objs
+
+
+_OBJSTM_N_RE = re.compile(rb"/N\s+(\d+)")
+_OBJSTM_FIRST_RE = re.compile(rb"/First\s+(\d+)")
+
+
+def _expand_object_streams(objs: dict[int, tuple[bytes, bytes | None]]) -> None:
+    """Merge objects embedded in ``/Type /ObjStm`` compressed object
+    streams (PDF 1.5+) into the object map: the payload starts with N
+    (objnum, offset) integer pairs, object bodies begin at /First.
+    Modern writers put page and font DICTIONARIES there, so without this
+    the graph walk goes blind on most current-generation PDFs. Streams
+    cannot nest inside an ObjStm, so embedded objects carry no payload."""
+    for _num, (header, payload) in list(objs.items()):
+        if b"/ObjStm" not in header or payload is None:
+            continue
+        nm = _OBJSTM_N_RE.search(header)
+        fm = _OBJSTM_FIRST_RE.search(header)
+        if not (nm and fm):
+            continue
+        content = _inflate(header, payload)
+        if content is None:
+            continue
+        n, first = int(nm.group(1)), int(fm.group(1))
+        head = content[:first].split()
+        if len(head) < 2 * n or first > len(content):
+            continue
+        try:
+            pairs = [(int(head[2 * i]), int(head[2 * i + 1])) for i in range(n)]
+        except ValueError:
+            continue
+        for i, (onum, off) in enumerate(pairs):
+            end = pairs[i + 1][1] if i + 1 < n else len(content) - first
+            if not (0 <= off <= end <= len(content) - first):
+                continue
+            if onum not in objs:
+                objs[onum] = (content[first + off : first + end], None)
+
+
+def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """PDF LZWDecode (the TIFF LZW variant, PDF spec 7.4.4): MSB-first
+    variable-width codes 9→12 bits, 256 = clear table, 257 = EOD,
+    ``early`` = EarlyChange (default 1: the code width grows one code
+    early). Raises ValueError on a corrupt stream."""
+    out = bytearray()
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(256)}
+    next_code, width = 258, 9
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc = ((acc << 8) | byte) & 0xFFFFFFFF
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:  # clear table
+                next_code, width, prev = 258, 9, None
+                continue
+            if code == 257:  # EOD
+                return bytes(out)
+            if prev is None:
+                entry = table.get(code)
+                if entry is None:
+                    raise ValueError("lzw: bad first code")
+            elif code < next_code:
+                entry = table.get(code)
+                if entry is None:
+                    raise ValueError("lzw: bad code")
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+            elif code == next_code:  # the KwKwK case
+                entry = prev + prev[:1]
+                table[next_code] = entry
+                next_code += 1
+            else:
+                raise ValueError("lzw: code beyond table")
+            out += entry
+            prev = entry
+            if next_code + early >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
 
 
 def _inflate(header: bytes, payload: bytes) -> bytes | None:
@@ -291,6 +379,12 @@ def _inflate(header: bytes, payload: bytes) -> bytes | None:
         try:
             return zlib.decompress(payload)
         except zlib.error:
+            return None
+    if b"LZWDecode" in header:
+        em = re.search(rb"/EarlyChange\s+(\d+)", header)
+        try:
+            return _lzw_decode(payload, int(em.group(1)) if em else 1)
+        except ValueError:
             return None
     return payload
 
@@ -430,43 +524,57 @@ _BPC_RE = re.compile(rb"/BitsPerComponent\s+(\d+)")
 
 def _image_payload(header: bytes, payload: bytes) -> bytes | None:
     """Image XObject stream → decodable image bytes: DCTDecode payloads
-    ARE JPEG streams (baseline or progressive — both now decode via
-    functions/jpeg.py); FlateDecode 8-bit DeviceGray/DeviceRGB raw
-    samples re-encode as PNG. Anything else (JPX, JBIG2, CCITT, masks)
-    returns None — a surfaced gap, not silent garbage."""
+    ARE JPEG streams (baseline or progressive — both decode via
+    functions/jpeg.py); Flate/LZW/unfiltered raw samples re-encode as
+    PNG — 8-bit DeviceGray/DeviceRGB, plus 1-bit DeviceGray/ImageMask
+    (the classic bilevel scan; /Decode [1 0] inversion honored).
+    Anything else (JPX, JBIG2, CCITT) returns None — a surfaced gap,
+    not silent garbage."""
     if payload is None:
         return None
     if b"/DCTDecode" in header:
         return payload if payload[:2] == b"\xff\xd8" else None
-    if b"/FlateDecode" in header:
-        wm, hm, bm = (
-            _WIDTH_RE.search(header),
-            _HEIGHT_RE.search(header),
-            _BPC_RE.search(header),
-        )
-        if not (wm and hm and bm) or int(bm.group(1)) != 8:
-            return None
-        ch = 3 if b"/DeviceRGB" in header else (
-            1 if b"/DeviceGray" in header else 0
-        )
-        if not ch:
-            return None
-        w, h = int(wm.group(1)), int(hm.group(1))
-        try:
-            raw = zlib.decompress(payload)
-        except zlib.error:
-            return None
-        if len(raw) < w * h * ch or not (0 < w * h <= 64_000_000):
-            return None
-        import numpy as np  # lazy: keeps the text path stdlib-only
+    if any(k in header for k in (b"/JPXDecode", b"/JBIG2Decode",
+                                 b"/CCITTFaxDecode")):
+        return None
+    wm, hm, bm = (
+        _WIDTH_RE.search(header),
+        _HEIGHT_RE.search(header),
+        _BPC_RE.search(header),
+    )
+    bpc = int(bm.group(1)) if bm else (1 if b"/ImageMask" in header else 0)
+    if not (wm and hm) or bpc not in (1, 8):
+        return None
+    w, h = int(wm.group(1)), int(hm.group(1))
+    if not (0 < w * h <= 64_000_000):
+        return None
+    raw = _inflate(header, payload)
+    if raw is None:
+        return None
+    import numpy as np  # lazy: keeps the text path stdlib-only
 
-        from agentic_doc_spark.functions.png import encode_png
+    from agentic_doc_spark.functions.png import encode_png
 
-        arr = np.frombuffer(raw[: w * h * ch], dtype=np.uint8).reshape(
-            h, w, ch
-        )
-        return encode_png(arr)
-    return None
+    if bpc == 1:
+        if not (b"/DeviceGray" in header or b"/ImageMask" in header):
+            return None
+        stride = (w + 7) // 8
+        if len(raw) < stride * h:
+            return None
+        rows = np.frombuffer(
+            raw[: stride * h], dtype=np.uint8
+        ).reshape(h, stride)
+        bits = np.unpackbits(rows, axis=1)[:, :w]
+        if b"/Decode [1 0]" in header or b"/Decode[1 0]" in header:
+            bits = 1 - bits
+        return encode_png((bits * 255).astype(np.uint8))
+    ch = 3 if b"/DeviceRGB" in header else (
+        1 if b"/DeviceGray" in header else 0
+    )
+    if not ch or len(raw) < w * h * ch:
+        return None
+    arr = np.frombuffer(raw[: w * h * ch], dtype=np.uint8).reshape(h, w, ch)
+    return encode_png(arr)
 
 
 def extract_pdf_images(data: bytes) -> list[tuple[int, bytes]]:

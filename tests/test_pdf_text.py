@@ -297,3 +297,154 @@ def test_mixed_text_and_scan_pdf_interleaves(spark, tmp_path):
     assert [s["text"] for s in spans] == ["Caption text", ""]
     assert spans[0]["media_ref"] is None
     assert spans[1]["media_ref"] == f"pdfimg://{row['doc_id']}/0"
+
+
+def test_objstm_embedded_page_and_font_dicts():
+    # PDF 1.5+ layout: the page and font DICTIONARIES live inside a
+    # compressed /ObjStm; only the content and ToUnicode streams are
+    # top-level objects. The graph walk must still resolve per-font
+    # scoping through the expanded object map.
+    cmap = _cmap_stream({3: "y", 4: "e", 5: "s"})
+    content = b"BT /F1 10 Tf <0003 0004 0005> Tj ET"
+    # embedded objects: 1 = page dict, 3 = font dict
+    emb1 = b"<< /Type /Page /Contents 2 0 R /Resources << /Font << /F1 3 0 R >> >> >>"
+    emb3 = b"<< /Type /Font /Subtype /Type0 /ToUnicode 4 0 R >>"
+    body = emb1 + b" " + emb3
+    head = b"1 0 3 %d " % (len(emb1) + 1)
+    stm = head + body
+    first = len(head)
+    objstm_payload = zlib.compress(stm)
+    pdf = (
+        b"%PDF-1.5\n"
+        + _stream_obj(2, b"", content)
+        + _stream_obj(4, b"", cmap)
+        + (
+            b"5 0 obj\n<< /Type /ObjStm /N 2 /First %d /Filter /FlateDecode"
+            b" /Length %d >>\nstream\n" % (first, len(objstm_payload))
+            + objstm_payload
+            + b"\nendstream\nendobj\n"
+        )
+        + b"%%EOF\n"
+    )
+    assert [t for _, t in extract_pdf_blocks(pdf)] == ["yes"]
+
+
+def _lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """TIFF-variant LZW encoder (fixture twin of pdf_text._lzw_decode)."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    acc = nbits = 0
+    out = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    emit(256)  # clear
+    w = b""
+    for b in data:
+        wb = w + bytes([b])
+        if wb in table:
+            w = wb
+            continue
+        emit(table[w])
+        table[wb] = next_code
+        next_code += 1
+        # the encoder's table add leads the decoder's by one code, so
+        # its width bump uses (next_code - 1): both sides then switch at
+        # the same position in the code stream
+        if next_code - 1 + early >= (1 << width) and width < 12:
+            width += 1
+        w = bytes([b])
+    if w:
+        emit(table[w])
+    emit(257)  # EOD
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def test_lzw_decode_roundtrip_and_stream():
+    import random
+
+    from agentic_doc_spark.sources.pdf_text import _lzw_decode
+
+    rng = random.Random(5)
+    cases = [
+        b"ABABABABABAB",
+        b"x" * 5000,
+        bytes(rng.randrange(256) for _ in range(3000)),
+        b"",
+    ]
+    for data in cases:
+        for early in (0, 1):
+            assert _lzw_decode(_lzw_encode(data, early), early) == data
+    # hand-derived prefix: clear(256), 'A'(65), 'B'(66), then "AB"
+    # matches the first table entry 258
+    enc = _lzw_encode(b"ABABAB")
+    bits = "".join(f"{byte:08b}" for byte in enc)
+    codes = [int(bits[i : i + 9], 2) for i in range(0, 5 * 9, 9)]
+    assert codes[:4] == [256, 65, 66, 258]
+    # and an LZW-compressed content stream decodes through the full path
+    content = b"BT (lzw words here) Tj ET"
+    enc_stream = _lzw_encode(content)
+    pdf = (
+        b"%PDF-1.2\n"
+        + b"1 0 obj\n<< /Filter /LZWDecode /Length %d >>\nstream\n"
+        % len(enc_stream)
+        + enc_stream
+        + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    assert extract_pdf_blocks(pdf) == [(0, "lzw words here")]
+
+
+def test_bilevel_and_lzw_embedded_images():
+    # 1-bit DeviceGray Flate image (classic bilevel scan) and an
+    # LZW-compressed 8-bit grayscale image both extract and decode
+    import numpy as np
+
+    from agentic_doc_spark.functions.png import decode_png
+    from agentic_doc_spark.sources.pdf_text import extract_pdf_images
+
+    bits = np.zeros((4, 10), dtype=np.uint8)
+    bits[0, 0] = bits[1, 4] = bits[3, 9] = 1
+    packed = np.packbits(bits, axis=1).tobytes()
+    bilevel = zlib.compress(packed)
+    gray = ((np.arange(6 * 7) * 13) % 256).astype(np.uint8).reshape(6, 7)
+    lzw_gray = _lzw_encode(gray.tobytes())
+
+    pdf = (
+        b"%PDF-1.4\n"
+        + _stream_obj(
+            10,
+            b"/Subtype /Image /Filter /FlateDecode /Width 10 /Height 4 "
+            b"/BitsPerComponent 1 /ColorSpace /DeviceGray",
+            bilevel,
+        )
+        + _obj(
+            11,
+            b"<< /Type /Page /Resources << /XObject << /Im0 10 0 R >> >> >>",
+        )
+        + _stream_obj(
+            12,
+            b"/Subtype /Image /Filter /LZWDecode /Width 7 /Height 6 "
+            b"/BitsPerComponent 8 /ColorSpace /DeviceGray",
+            lzw_gray,
+        )
+        + _obj(
+            13,
+            b"<< /Type /Page /Resources << /XObject << /Im0 12 0 R >> >> >>",
+        )
+        + b"%%EOF\n"
+    )
+    images = extract_pdf_images(pdf)
+    assert [p for p, _ in images] == [0, 1]
+    out0 = decode_png(images[0][1])
+    assert out0.shape[:2] == (4, 10)
+    assert (out0[:, :, 0] == bits * 255).all()
+    out1 = decode_png(images[1][1])
+    assert (out1[:, :, 0] == gray).all()
