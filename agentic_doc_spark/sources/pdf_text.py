@@ -555,6 +555,25 @@ def _image_payload(header: bytes, payload: bytes) -> bytes | None:
 
     from agentic_doc_spark.functions.png import encode_png
 
+    pm = re.search(rb"/Predictor\s+(\d+)", header)
+    if pm and int(pm.group(1)) >= 10:
+        # PNG row predictors (PDF 7.4.4.4): each row is filter-tagged,
+        # exactly the PNG scanline layout — reuse the PNG defilter with
+        # the declared Colors/Columns/BitsPerComponent geometry
+        from agentic_doc_spark.functions.png import _defilter
+
+        cm = re.search(rb"/Colors\s+(\d+)", header)
+        colors = int(cm.group(1)) if cm else 1
+        colm = re.search(rb"/Columns\s+(\d+)", header)
+        columns = int(colm.group(1)) if colm else w
+        try:
+            rows, _used = _defilter(raw, 0, columns, h, colors, bpc)
+        except ValueError:
+            return None
+        raw = rows.tobytes()
+    elif pm and int(pm.group(1)) != 1:
+        return None  # TIFF predictor 2: rare for images, surfaced gap
+
     if bpc == 1:
         if not (b"/DeviceGray" in header or b"/ImageMask" in header):
             return None

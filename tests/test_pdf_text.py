@@ -448,3 +448,41 @@ def test_bilevel_and_lzw_embedded_images():
     assert (out0[:, :, 0] == bits * 255).all()
     out1 = decode_png(images[1][1])
     assert (out1[:, :, 0] == gray).all()
+
+
+def test_png_predicted_flate_image():
+    # Flate image with /Predictor 12 (PNG Up): rows carry PNG filter
+    # tags; the extractor must defilter before re-encoding
+    import numpy as np
+
+    from agentic_doc_spark.functions.png import decode_png
+    from agentic_doc_spark.sources.pdf_text import extract_pdf_images
+
+    gray = ((np.arange(5 * 8) * 7) % 256).astype(np.uint8).reshape(5, 8)
+    # apply the Up filter (type 2) ourselves: filt = row - prev_row
+    rows = bytearray()
+    prev = np.zeros(8, dtype=np.int32)
+    for y in range(5):
+        rows.append(2)
+        rows.extend(((gray[y].astype(np.int32) - prev) & 0xFF).astype(np.uint8).tobytes())
+        prev = gray[y].astype(np.int32)
+    payload = zlib.compress(bytes(rows))
+    pdf = (
+        b"%PDF-1.4\n"
+        + _stream_obj(
+            10,
+            b"/Subtype /Image /Filter /FlateDecode /Width 8 /Height 5 "
+            b"/BitsPerComponent 8 /ColorSpace /DeviceGray "
+            b"/DecodeParms << /Predictor 12 /Columns 8 >>",
+            payload,
+        )
+        + _obj(
+            11,
+            b"<< /Type /Page /Resources << /XObject << /Im0 10 0 R >> >> >>",
+        )
+        + b"%%EOF\n"
+    )
+    images = extract_pdf_images(pdf)
+    assert len(images) == 1
+    out = decode_png(images[0][1])
+    assert (out[:, :, 0] == gray).all()
