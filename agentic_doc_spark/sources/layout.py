@@ -36,6 +36,28 @@ _HTML_BLOCK_RE = re.compile(
 _SCRIPT_RE = re.compile(
     r"<(script|style)[^>]*>.*?</\1>", re.IGNORECASE | re.DOTALL
 )
+_HTML_TABLE_RE = re.compile(r"<table[^>]*>(.*?)</table>", re.IGNORECASE | re.DOTALL)
+_HTML_TR_RE = re.compile(r"<tr[^>]*>(.*?)</tr>", re.IGNORECASE | re.DOTALL)
+_HTML_CELL_RE = re.compile(r"<t[dh][^>]*>(.*?)</t[dh]>", re.IGNORECASE | re.DOTALL)
+_ANY_TAG_RE = re.compile(r"<[^>]+>")
+
+
+def _html_table_to_markdown(m: "re.Match[str]") -> str:
+    """<table> region → one markdown pipe-table block, so downstream
+    classification fires the table kind (classify.TABLE_RE) and the
+    markdown renderer keeps the rows verbatim (F9) — the DOM-heuristic
+    analog of the reference's table chunks (agentic_doc/common.py:22-26).
+    Rows stay newline-joined (no blank lines) so the block splitter
+    keeps the table as ONE span."""
+    rows = []
+    for tr in _HTML_TR_RE.finditer(m.group(1)):
+        cells = [
+            _ANY_TAG_RE.sub(" ", c.group(1)).strip()
+            for c in _HTML_CELL_RE.finditer(tr.group(1))
+        ]
+        if cells:
+            rows.append("| " + " | ".join(cells) + " |")
+    return "\n\n" + "\n".join(rows) + "\n\n" if rows else "\n\n"
 
 _SPANS_FLAT = T.StructType(
     [
@@ -69,7 +91,16 @@ def split_blocks(data: bytes, doc_type: str) -> list[str]:
     text = data.decode("utf-8", errors="replace")
     if doc_type == "html":
         text = _SCRIPT_RE.sub(" ", text)
+        # tables convert BEFORE the block-boundary substitution (which
+        # would dissolve their structure into plain text blocks)
+        text = _HTML_TABLE_RE.sub(_html_table_to_markdown, text)
         text = _HTML_BLOCK_RE.sub("\n\n", text)
+        blocks = [b.strip() for b in _BLOCK_RE.split(text)]
+        # a block that is ONLY markup (<html><body>, </body></html>, …)
+        # carries no text and must not become a span
+        return [
+            b for b in blocks if b and _ANY_TAG_RE.sub("", b).strip()
+        ]
     blocks = [b.strip() for b in _BLOCK_RE.split(text)]
     return [b for b in blocks if b]
 

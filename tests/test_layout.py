@@ -104,3 +104,32 @@ def test_split_blocks_html_tag_soup_order():
         "item b",
         "final heading",
     ]
+
+
+def test_html_table_to_markdown_span(spark, tmp_path):
+    # DOM heuristic: a <table> converts to ONE markdown pipe-table span
+    # and classifies as kind 'table' (the reference's table chunks,
+    # agentic_doc/common.py:22-26)
+    from agentic_doc_spark.pipeline import extract
+    from agentic_doc_spark.sources.layout import ingest_directory, split_blocks
+
+    html = (
+        b"<html><body><p>intro paragraph</p>"
+        b"<table><tr><th>name</th><th>qty</th></tr>"
+        b"<tr><td>bolt</td><td>12</td></tr>"
+        b"<tr><td>nut</td><td>7</td></tr></table>"
+        b"<p>closing words</p></body></html>"
+    )
+    blocks = split_blocks(html, "html")
+    assert blocks == [
+        "intro paragraph",
+        "| name | qty |\n| bolt | 12 |\n| nut | 7 |",
+        "closing words",
+    ]
+    (tmp_path / "t.html").write_bytes(html)
+    parsed = extract(ingest_directory(spark, str(tmp_path))).collect()[0]
+    kinds = [
+        c["chunk_type"] for c in parsed["chunks"]
+    ]
+    assert kinds == ["text", "table", "text"]
+    assert "| bolt | 12 |" in parsed["markdown"]
