@@ -755,6 +755,50 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_SHARED_PASSAGE = (
+    "galaxy quantum repeated training corpus shard appears twice "
+    "verbatim exactly ten times"
+)
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with a planted cross-document duplicate passage
+    appended to every doc_id ≡ 0 (mod 7) — the fixture for the
+    exact-substring dedup family."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" " + _SHARED_PASSAGE)),
+        ).otherwise(F.col("text")),
+    )
+
+
+def q_dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact substring dedup (Lee et al. 2021 k-gram
+    form): merged token intervals covered by an 8-gram occurring in
+    more than one document (operators/dedup.py:duplicate_gram_spans)."""
+    from agentic_doc_spark.operators.dedup import duplicate_gram_spans
+
+    spans = duplicate_gram_spans(_dup_corpus(spark, sf_dir), k=8)
+    return spans.select(
+        "doc_id",
+        F.col("start").cast("long").alias("start"),
+        F.col("end").cast("long").alias("end"),
+    )
+
+
+def q_dedup_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal form: documents rewritten with duplicated token
+    ranges cut (whitespace-normalized)."""
+    from agentic_doc_spark.operators.dedup import remove_duplicate_substrings
+
+    return remove_duplicate_substrings(_dup_corpus(spark, sf_dir), k=8).select(
+        "doc_id", "text"
+    )
+
+
 def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     from agentic_doc_spark.operators.similarity import brute_force_topk
 
@@ -1025,6 +1069,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_rolling": q_fingerprint_rolling,
         "jaccard_pairs": q_jaccard_pairs,
         "lsh_jaccard_pairs": q_lsh_jaccard_pairs,
+        "dup_substring_spans": q_dup_substring_spans,
+        "dedup_substrings": q_dedup_substrings,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_ivf": q_ann_ivf,
         "embedding_near_pairs": q_embedding_near_pairs,
@@ -1691,6 +1737,93 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id FROM corpus
             WHERE doc_id NOT IN (SELECT v FROM losers)
+        """,
+        "dup_substring_spans": """
+            WITH dd AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0
+                          THEN text || ' galaxy quantum repeated training corpus shard appears twice verbatim exactly ten times'
+                          ELSE text END AS text
+              FROM documents
+            ), toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM dd WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 8
+            ), pos AS (
+              SELECT doc_id, t, unnest(range(0, len(t) - 7)) AS p FROM toks
+            ), g2 AS (
+              SELECT doc_id, p,
+                     ('0x' || substr(md5(array_to_string(t[p+1:p+8], chr(31))), 1, 15))::BIGINT AS g
+              FROM pos
+            ), hot AS (
+              SELECT g FROM g2 GROUP BY g HAVING count(DISTINCT doc_id) > 1
+            ), dup AS (
+              SELECT doc_id, p FROM g2 WHERE g IN (SELECT g FROM hot)
+            ), marked AS (
+              SELECT doc_id, p,
+                     MAX(p + 8) OVER (PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+              FROM dup
+            ), isl AS (
+              SELECT doc_id, p,
+                     SUM(CASE WHEN pme IS NULL OR p > pme THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY p) AS island
+              FROM marked
+            )
+            SELECT doc_id, MIN(p) AS start, MAX(p) + 8 AS "end"
+            FROM isl GROUP BY doc_id, island
+        """,
+        "dedup_substrings": """
+            WITH dd AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0
+                          THEN text || ' galaxy quantum repeated training corpus shard appears twice verbatim exactly ten times'
+                          ELSE text END AS text
+              FROM documents
+            ), tokall AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM dd
+            ), toks AS (
+              SELECT doc_id, t FROM tokall WHERE len(t) >= 8
+            ), pos AS (
+              SELECT doc_id, t, unnest(range(0, len(t) - 7)) AS p FROM toks
+            ), g2 AS (
+              SELECT doc_id, p,
+                     ('0x' || substr(md5(array_to_string(t[p+1:p+8], chr(31))), 1, 15))::BIGINT AS g
+              FROM pos
+            ), hot AS (
+              SELECT g FROM g2 GROUP BY g HAVING count(DISTINCT doc_id) > 1
+            ), dup AS (
+              SELECT doc_id, p FROM g2 WHERE g IN (SELECT g FROM hot)
+            ), marked AS (
+              SELECT doc_id, p,
+                     MAX(p + 8) OVER (PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+              FROM dup
+            ), isl AS (
+              SELECT doc_id, p,
+                     SUM(CASE WHEN pme IS NULL OR p > pme THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY p) AS island
+              FROM marked
+            ), spans AS (
+              SELECT doc_id, MIN(p) AS s, MAX(p) + 8 AS e
+              FROM isl GROUP BY doc_id, island
+            ), toklist AS (
+              SELECT doc_id, unnest(t) AS tok,
+                     unnest(range(0, len(t))) AS p
+              FROM tokall
+            ), kept AS (
+              SELECT tl.doc_id, tl.p, tl.tok FROM toklist tl
+              WHERE NOT EXISTS (
+                SELECT 1 FROM spans sp
+                WHERE sp.doc_id = tl.doc_id AND tl.p >= sp.s AND tl.p < sp.e
+              )
+            ), agg AS (
+              SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text
+              FROM kept GROUP BY doc_id
+            )
+            -- a doc whose EVERY token was duplicated keeps an empty
+            -- text row (the engine's array_join of an empty array)
+            SELECT d.doc_id, COALESCE(a.text, '') AS text
+            FROM dd d LEFT JOIN agg a USING (doc_id)
         """,
         "ann_bruteforce": """
             WITH q AS (

@@ -24,7 +24,7 @@ only within candidate buckets.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from agentic_doc_spark.functions.textstats import normalize_text, words
@@ -627,3 +627,119 @@ def near_dedup(
         F.col("doc_id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+# --- cross-document exact substring dedup (k-gram interval form) -----------
+
+
+def _md5_key64(col: Column) -> Column:
+    """Portable 60-bit fold of a string (first 15 hex chars of md5 →
+    BIGINT) — the cross-engine join-key fold used where xxhash64 has no
+    DuckDB twin. Collision odds at 2^60 are negligible for gram keys."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def duplicate_gram_spans(
+    docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token ranges duplicated ACROSS documents — the distributed
+    k-gram approximation of exact-substring training-data dedup
+    (Lee et al. 2021, "Deduplicating Training Data Makes Language
+    Models Better": repeated ≥k-token substrings; the suffix-array
+    formulation is single-machine, the k-gram inverted-index form is
+    the standard distributed equivalent).
+
+    Returns (id_col, start, end): merged maximal token intervals
+    [start, end) covered by at least one whitespace k-gram that also
+    occurs in ANOTHER document. Any shared substring of ≥ k tokens is
+    covered exactly (its k-windows chain into one merged interval);
+    shorter overlaps are not flagged.
+
+    Plan: posexplode token windows → ONE count-distinct aggregation on
+    the 60-bit gram fold (map-side partial agg; hot stop-phrase grams
+    cost a combine, not a skewed reduce) → LEFT SEMI join back (AQE
+    broadcasts the hot-gram set when small) → per-doc interval merge
+    via running-max windows PARTITIONED by doc (no global sort)."""
+    toks = docs.select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("toks")
+    ).filter(F.size("toks") >= k)
+    grams = toks.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.size("toks") - k)).alias("p"),
+        "toks",
+    ).select(
+        F.col(id_col),
+        "p",
+        _md5_key64(
+            F.array_join(F.slice("toks", F.col("p") + 1, k), "\x1f")
+        ).alias("g"),
+    )
+    hot = (
+        grams.groupBy("g")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("g")
+    )
+    dup = grams.join(hot, "g", "left_semi").select(F.col(id_col), "p")
+    w = Window.partitionBy(id_col).orderBy("p")
+    prev_max_end = F.max(F.col("p") + k).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    island = F.sum(
+        F.when(
+            prev_max_end.isNull() | (F.col("p") > prev_max_end), 1
+        ).otherwise(0)
+    ).over(w)
+    return (
+        dup.withColumn("island", island)
+        .groupBy(id_col, "island")
+        .agg(
+            F.min("p").alias("start"),
+            (F.max("p") + k).alias("end"),
+        )
+        .select(F.col(id_col), "start", "end")
+    )
+
+
+def remove_duplicate_substrings(
+    docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rewrite each document with its cross-document duplicated token
+    ranges REMOVED (whitespace-normalized: surviving tokens re-join with
+    single spaces). Documents with no duplicated ranges pass through
+    (same normalization, so output text is uniformly canonical).
+
+    One extra exchange over ``duplicate_gram_spans``: ranges
+    collect_list per doc (bounded by intervals, not tokens), broadcast-
+    joined back, then the token filter runs IN the row (HOF over the
+    zipped token index — no second pass over the corpus)."""
+    spans = (
+        duplicate_gram_spans(docs, k, text_col, id_col)
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(F.struct("start", "end")).alias("cut")
+        )
+    )
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    idx = F.transform(toks, lambda t, i: F.struct(t.alias("t"), i.alias("i")))
+    kept = F.filter(
+        idx,
+        lambda s: ~F.exists(
+            F.col("cut"),
+            lambda r: (s["i"] >= r["start"]) & (s["i"] < r["end"]),
+        ),
+    )
+    clean = F.array_join(F.transform(kept, lambda s: s["t"]), " ")
+    out = docs.join(spans, id_col, "left")
+    return out.select(
+        *[c for c in docs.columns if c != text_col],
+        F.when(F.col("cut").isNull(), F.array_join(toks, " "))
+        .otherwise(clean)
+        .alias(text_col),
+    )

@@ -7,6 +7,7 @@ composition (the 100 TB use case every individual operator exists for).
       → near-dup removal (LSH → verify → CC)    (operators/dedup)
       → benchmark decontamination               (operators/dedup)
       → per-language stratified sampling        (operators/packing)
+      → cross-doc substring removal (optional)  (operators/dedup)
       → token counts + sequence packing         (operators/packing)
 
 Every stage is the already-tested operator; this module only wires them,
@@ -32,6 +33,7 @@ from agentic_doc_spark.operators.dedup import (
     decontaminate,
     lsh_jaccard_pairs,
     near_dedup,
+    remove_duplicate_substrings,
 )
 from agentic_doc_spark.operators.packing import (
     pack_sequences,
@@ -50,6 +52,7 @@ def build_training_set(
     decon_k: int = 3,
     max_rep_ratio: float | None = None,
     max_top_ngram: float | None = None,
+    dedup_substrings_k: int | None = None,
     scrub: bool = False,
     pack_budget: int | None = 2048,
     text_col: str = "text",
@@ -74,6 +77,11 @@ def build_training_set(
     - ``max_rep_ratio`` / ``max_top_ngram``: Gopher-style repetition
       gates — drop docs whose duplicate-bigram fraction / top-bigram
       share exceeds the bound (None = off).
+    - ``dedup_substrings_k``: cross-document exact substring removal
+      (Lee et al. 2021 k-gram form) — token ranges covered by a
+      k-gram occurring in another document are CUT from the text
+      (whitespace-normalized); runs after the matching stages, before
+      scrubbing. None = off.
     - ``scrub``: mask emails / phone-shaped digit runs / IPv4 in the
       output text (after dedup+decontamination, which match on the
       ORIGINAL text).
@@ -99,6 +107,7 @@ def build_training_set(
         lang_rates=lang_rates,
         default_lang_rate=default_lang_rate,
         decon_k=decon_k,
+        dedup_substrings_k=dedup_substrings_k,
         scrub=scrub,
         pack_budget=pack_budget,
         text_col=text_col,
@@ -157,6 +166,7 @@ def _finalize_stage(
     pack_budget: int | None,
     text_col: str,
     id_col: str,
+    dedup_substrings_k: int | None = None,
 ) -> DataFrame:
     """Stage 2 — decontamination, sampling, scrubbing, token counting,
     packing, from a (possibly re-read) stage-1 frame."""
@@ -168,6 +178,13 @@ def _finalize_stage(
     if lang_rates is not None:
         out = sample_stratified(
             out, lang_rates, "pred_lang", id_col, default_rate=default_lang_rate
+        )
+
+    if dedup_substrings_k is not None:
+        # after the matching stages (they must see the original text),
+        # before scrubbing: cut cross-document duplicated token ranges
+        out = remove_duplicate_substrings(
+            out, dedup_substrings_k, text_col, id_col
         )
 
     if scrub:
@@ -199,6 +216,7 @@ def build_training_set_resumable(
     decon_k: int = 3,
     max_rep_ratio: float | None = None,
     max_top_ngram: float | None = None,
+    dedup_substrings_k: int | None = None,
     scrub: bool = False,
     pack_budget: int | None = 2048,
     text_col: str = "text",
@@ -254,6 +272,7 @@ def build_training_set_resumable(
             lang_rates=lang_rates,
             default_lang_rate=default_lang_rate,
             decon_k=decon_k,
+            dedup_substrings_k=dedup_substrings_k,
             scrub=scrub,
             pack_budget=pack_budget,
             text_col=text_col,

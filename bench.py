@@ -63,6 +63,7 @@ def main() -> None:
         "decontaminate",
         "pack_bins",
         "training_set",
+        "dup_substring_spans",
     ]
     qs = entry.queries()
 

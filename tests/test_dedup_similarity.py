@@ -315,3 +315,61 @@ def test_connected_components_empty_pairs(spark):
     assert connected_components(pairs).count() == 0
     docs = spark.createDataFrame([(1, "x"), (2, "y")], ["doc_id", "text"])
     assert near_dedup(docs, pairs).count() == 2  # nothing removed
+
+
+def test_duplicate_gram_spans_and_removal(spark):
+    # cross-document exact substring dedup: a 10-token passage shared by
+    # docs 1 and 2 must flag as ONE merged interval in each; doc 3 (no
+    # cross-doc k-gram) stays clean; removal cuts exactly the flagged
+    # tokens
+    from agentic_doc_spark.operators.dedup import (
+        duplicate_gram_spans,
+        remove_duplicate_substrings,
+    )
+
+    shared = "the quick brown fox jumps over the lazy sleeping dog"  # 10 toks
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha begins here {shared} and one ends"),
+            (2, f"totally different opening words now {shared} closing words two"),
+            (3, "unique content in this document with no overlap at all kept"),
+        ],
+        ["doc_id", "text"],
+    )
+    spans = {
+        r["doc_id"]: (r["start"], r["end"])
+        for r in duplicate_gram_spans(docs, k=8).collect()
+    }
+    # doc 1: shared starts at token 3 (0-based), 10 tokens -> [3, 13)
+    assert spans[1] == (3, 13)
+    # doc 2: shared starts at token 5 -> [5, 15)
+    assert spans[2] == (5, 15)
+    assert 3 not in spans
+    out = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicate_substrings(docs, k=8).collect()
+    }
+    assert out[1] == "alpha begins here and one ends"
+    assert out[2] == "totally different opening words now closing words two"
+    assert out[3].startswith("unique content")
+
+
+def test_duplicate_gram_spans_merges_chained_windows(spark):
+    # two duplicated passages separated by unique tokens must yield TWO
+    # intervals, not one merged blob
+    from agentic_doc_spark.operators.dedup import duplicate_gram_spans
+
+    a = "one two three four five six seven eight"  # 8 toks = one k-gram
+    b = "red orange yellow green blue indigo violet ultraviolet"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{a} UNIQUE1 MID2 FILLER3 {b}"),
+            (2, f"{b} X Y Z {a}"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = sorted(
+        (r["doc_id"], r["start"], r["end"])
+        for r in duplicate_gram_spans(docs, k=8).collect()
+    )
+    assert got == [(1, 0, 8), (1, 11, 19), (2, 0, 8), (2, 11, 19)]

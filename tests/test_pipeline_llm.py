@@ -180,3 +180,31 @@ def test_build_training_set_language_mixing(spark):
     assert sorted(r["doc_id"] for r in again.collect()) == sorted(
         r["doc_id"] for r in out.collect()
     )
+
+
+def test_build_training_set_substring_removal(spark):
+    # dedup_substrings_k: a passage duplicated ACROSS two surviving docs
+    # is cut from both texts (whitespace-normalized), leaving the rest
+    shared = "november oscar papa quebec romeo sierra tango uniform victor whiskey"
+    corpus = spark.createDataFrame(
+        [
+            (1, GOOD_A + " " + shared),
+            (2, GOOD_B + " " + shared + " trailing unique tail words here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in build_training_set(
+            corpus,
+            min_quality=None,
+            near_dup_threshold=None,
+            dedup_substrings_k=8,
+            pack_budget=None,
+        ).collect()
+    }
+    assert sorted(out) == [1, 2]
+    for t in out.values():
+        assert "november" not in t and "whiskey" not in t
+    assert out[1] == GOOD_A
+    assert out[2].endswith("trailing unique tail words here")
