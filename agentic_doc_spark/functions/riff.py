@@ -174,3 +174,77 @@ def encode_avi_rawdib(frames_rgb, fps_us: int = 33333) -> bytes:
     movi = chunk(b"LIST", b"movi" + b"".join(chunk(b"00db", d) for d in dibs))
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# --- WAVE (audio) ----------------------------------------------------------
+
+
+def is_wav(data: bytes) -> bool:
+    return (
+        len(data) >= 12
+        and data[:4] == b"RIFF"
+        and data[8:12] == b"WAVE"
+    )
+
+
+def parse_wav(data: bytes):
+    """WAVE bytes → dict(sample_rate, channels, bits, samples) or None.
+
+    Pure-stdlib PCM decode over the same RIFF chunk walk as the AVI
+    demuxer: ``fmt `` (WAVEFORMAT) + ``data``. Supported: integer PCM
+    8/16-bit (format 1) and IEEE float32 (format 3); samples come back
+    as a mono float64 array in [-1, 1] (multi-channel downmixed by
+    mean). Anything else → None (surfaced by the caller's ``decoded``
+    flag, never silent garbage)."""
+    if not is_wav(data):
+        return None
+    import numpy as np
+
+    fmt = pcm = None
+    for fourcc, payload, size in _iter_chunks(data, 12, len(data)):
+        if fourcc == b"fmt " and size >= 16:
+            fmt = struct.unpack("<HHIIHH", data[payload : payload + 16])
+        elif fourcc == b"data":
+            pcm = data[payload : payload + size]
+    if fmt is None or pcm is None:
+        return None
+    audio_format, ch, sr, _brate, _balign, bits = fmt
+    if not (1 <= ch <= 32 and 1000 <= sr <= 1_000_000):
+        return None
+    if audio_format == 1 and bits == 16:
+        usable = len(pcm) // (2 * ch) * (2 * ch)
+        x = np.frombuffer(pcm[:usable], dtype="<i2").astype(np.float64) / 32768.0
+    elif audio_format == 1 and bits == 8:
+        usable = len(pcm) // ch * ch
+        x = (np.frombuffer(pcm[:usable], dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif audio_format == 3 and bits == 32:
+        usable = len(pcm) // (4 * ch) * (4 * ch)
+        x = np.frombuffer(pcm[:usable], dtype="<f4").astype(np.float64)
+    else:
+        return None
+    if ch > 1:
+        x = x[: len(x) // ch * ch].reshape(-1, ch).mean(axis=1)
+    return {"sample_rate": int(sr), "channels": int(ch), "bits": int(bits), "samples": x}
+
+
+def encode_wav_pcm16(samples, sample_rate: int = 16000) -> bytes:
+    """float array in [-1, 1] (mono (n,) or (n, ch)) → PCM16 WAV bytes —
+    the fixture twin of ``parse_wav``."""
+    import numpy as np
+
+    a = np.asarray(samples, dtype=np.float64)
+    if a.ndim == 1:
+        a = a[:, None]
+    ch = a.shape[1]
+    pcm = np.clip(np.round(a * 32767.0), -32768, 32767).astype("<i2")
+    payload = pcm.reshape(-1).tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, ch, sample_rate, sample_rate * 2 * ch, 2 * ch, 16
+    )
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    body = b"WAVE" + chunk(b"fmt ", fmt) + chunk(b"data", payload)
+    return b"RIFF" + struct.pack("<I", len(body)) + body

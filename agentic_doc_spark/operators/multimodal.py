@@ -7,7 +7,10 @@ functions/jpeg.py (PIL slots in ahead of them when installed) — see
 ``_decode_array``'s decode ladder. Payloads outside that ladder
 (arithmetic/12-bit JPEG, other formats)
 fall back to a deterministic fake derived from the bytes,
-and every row SURFACES which path it took via the ``decoded`` flag; the
+and every row SURFACES which path it took via the ``decoded`` flag.
+Audio features are REAL for WAV/PCM payloads (functions/riff.py
+parse_wav → extract_audio_features); video frame sampling is REAL for
+MJPEG and raw-DIB AVIs; the
 reference fills the same contract with cv2/pymupdf
 (agentic_doc/utils.py:110-211, K1/K2).
 
@@ -622,3 +625,78 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
             )
 
     return media.mapInPandas(run, _FRAME_SCHEMA)
+
+
+_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("duration_sec", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zero_cross_rate", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+        T.StructField("decoded", T.BooleanType()),
+    ]
+)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """audio(media_ref, content BINARY) → per-clip features: sample rate,
+    channels, duration, RMS energy, zero-crossing rate, peak amplitude.
+
+    REAL path for WAV/PCM payloads (functions/riff.py::parse_wav — pure
+    stdlib, 8/16-bit integer and float32, multi-channel downmixed);
+    other codecs (mp3/ogg/flac need decoders this container lacks) take
+    the deterministic hash fake with ``decoded=False`` — the same
+    surfaced boundary as the image/video operators. mapInPandas over
+    binary parquet; decode dominates, so size-based partitioning
+    (maxPartitionBytes) load-balances."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from agentic_doc_spark.functions.riff import parse_wav
+
+        for pdf in batches:
+            rows = []
+            for ref, data in zip(pdf["media_ref"], pdf["content"]):
+                b = bytes(data) if data is not None else b""
+                w = parse_wav(b)
+                if w is not None and len(w["samples"]):
+                    x = w["samples"]
+                    sr = w["sample_rate"]
+                    zc = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                    rows.append(
+                        (
+                            ref,
+                            sr,
+                            w["channels"],
+                            len(x) / sr,
+                            float(np.sqrt(np.mean(x * x))),
+                            zc,
+                            float(np.max(np.abs(x))),
+                            True,
+                        )
+                    )
+                else:  # deterministic fake, surfaced
+                    seed = hashlib.sha256(b).digest()
+                    rows.append(
+                        (
+                            ref,
+                            16000,
+                            1,
+                            (seed[0] % 60) + 1.0,
+                            seed[1] / 512.0,
+                            seed[2] / 512.0,
+                            seed[3] / 256.0,
+                            False,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_ref", "sample_rate", "channels", "duration_sec",
+                    "rms", "zero_cross_rate", "peak", "decoded",
+                ],
+            )
+
+    return media.mapInPandas(run, _AUDIO_SCHEMA)

@@ -567,3 +567,37 @@ def test_stage_urls_no_partial_files(tmp_path):
     names = os.listdir(dest)
     assert len(names) == 1
     assert not any(n.endswith(".part") for n in names)
+
+
+def test_extract_audio_features_real_wav(spark):
+    # REAL audio path: a 440 Hz sine at 16 kHz — duration exact, RMS ≈
+    # A/√2, zero-crossing rate ≈ 2f/sr; stereo downmixes; a non-audio
+    # payload takes the surfaced fake
+    import numpy as np
+
+    from agentic_doc_spark.functions.riff import encode_wav_pcm16
+    from agentic_doc_spark.operators.multimodal import extract_audio_features
+
+    sr, f, amp, secs = 16000, 440.0, 0.5, 2.0
+    t = np.arange(int(sr * secs)) / sr
+    mono = amp * np.sin(2 * np.pi * f * t)
+    stereo = np.stack([mono, -mono], axis=1)  # downmix → silence
+    media = spark.createDataFrame(
+        [
+            ("tone", bytearray(encode_wav_pcm16(mono, sr))),
+            ("cancel", bytearray(encode_wav_pcm16(stereo, sr))),
+            ("junk", bytearray(b"not audio at all")),
+        ],
+        "media_ref string, content binary",
+    )
+    rows = {r["media_ref"]: r for r in extract_audio_features(media).collect()}
+    tone = rows["tone"]
+    assert tone["decoded"] and tone["sample_rate"] == sr
+    assert abs(tone["duration_sec"] - secs) < 1e-9
+    assert abs(tone["rms"] - amp / 2 ** 0.5) < 0.01
+    assert abs(tone["zero_cross_rate"] - 2 * f / sr) < 0.005
+    assert abs(tone["peak"] - amp) < 0.01
+    cancel = rows["cancel"]
+    assert cancel["decoded"] and cancel["channels"] == 2
+    assert cancel["rms"] < 1e-4  # L/R cancel after downmix
+    assert not rows["junk"]["decoded"]
