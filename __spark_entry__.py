@@ -775,6 +775,16 @@ def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram LM quality score (the distributed CCNet
+    LM-filter proxy): per doc, mean -ln(count(token)/total_tokens)
+    (functions/textstats.py:unigram_logprob_scores)."""
+    from agentic_doc_spark.functions.textstats import unigram_logprob_scores
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return unigram_logprob_scores(docs)
+
+
 def q_dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document exact substring dedup (Lee et al. 2021 k-gram
     form): merged token intervals covered by an 8-gram occurring in
@@ -1069,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_rolling": q_fingerprint_rolling,
         "jaccard_pairs": q_jaccard_pairs,
         "lsh_jaccard_pairs": q_lsh_jaccard_pairs,
+        "unigram_lm": q_unigram_lm,
         "dup_substring_spans": q_dup_substring_spans,
         "dedup_substrings": q_dedup_substrings,
         "ann_bruteforce": q_ann_bruteforce,
@@ -1737,6 +1748,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id FROM corpus
             WHERE doc_id NOT IN (SELECT v FROM losers)
+        """,
+        "unigram_lm": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+              FROM documents
+            ), tk AS (
+              SELECT doc_id, w FROM toks WHERE w <> ''
+            ), vocab AS (
+              SELECT w, count(*) AS c FROM tk GROUP BY w
+            ), tot AS (
+              SELECT sum(c) AS t FROM vocab
+            )
+            SELECT doc_id, count(*) AS n_tokens,
+                   round(avg(-ln(c / t)), 6) AS avg_neg_logprob
+            FROM tk JOIN vocab USING (w), tot
+            GROUP BY doc_id
         """,
         "dup_substring_spans": """
             WITH dd AS (

@@ -266,3 +266,42 @@ def scrub_pii(text: Column) -> Column:
     out = F.regexp_replace(out, PII_IPV4_RE, "<IP>")
     out = F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")
     return out
+
+
+def unigram_logprob_scores(
+    df, text_col: str = "text", id_col: str = "doc_id"
+):
+    """Corpus-trained unigram LM score per document — the distributed
+    proxy for CCNet-style LM-perplexity quality filtering (Wenzek et al.
+    2020 use a pretrained KenLM; with no external model, the corpus's
+    OWN unigram distribution ranks documents by how typical their token
+    mix is: jargon/garbage scores high, common prose low).
+
+    Returns (id_col, n_tokens, avg_neg_logprob) where avg_neg_logprob =
+    mean over tokens of -ln(count(token)/total_tokens), rounded to 6 dp
+    (absorbs summation-order drift; the cross-engine contract used by
+    the centroid means). Every token has count ≥ 1 by construction —
+    no OOV smoothing term is needed.
+
+    Plan: ONE word-count aggregation (map-side combine over the zipfian
+    vocabulary), total via a single-row cross join, one equi-join of
+    tokens⋈vocab (AQE broadcasts the vocab side when it fits), one
+    per-doc aggregation. At 100 TB the vocab table is millions of rows —
+    the join stays an equi-join either way; no collect anywhere."""
+    from pyspark.sql import functions as F
+
+    toks = df.select(
+        F.col(id_col), F.explode(words(F.col(text_col))).alias("w")
+    )
+    vocab = toks.groupBy("w").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").alias("tot"))
+    scored = toks.join(vocab, "w").crossJoin(total)
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.avg(-F.log(F.col("c") / F.col("tot"))), 6
+            ).alias("avg_neg_logprob"),
+        )
+    )

@@ -170,3 +170,33 @@ def test_scrub_pii(spark):
     assert "<EMAIL>" in got and "jane.doe" not in got
     assert "<PHONE>" in got and "7946" not in got
     assert "<IP>" in got and "192.168" not in got
+
+
+def test_unigram_logprob_scores(spark):
+    # the corpus's own unigram distribution: a doc of common tokens
+    # scores LOWER (more typical) than one of hapax tokens; values match
+    # the hand-computed -ln(c/total) means
+    import math
+
+    from agentic_doc_spark.functions.textstats import unigram_logprob_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common common"),
+            (2, "common rare1 rare2 rare3"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r for r in unigram_logprob_scores(docs).collect()
+    }
+    total = 8
+    c_common = 5
+    exp1 = round(-math.log(c_common / total), 6)
+    exp2 = round(
+        (-math.log(c_common / total) - 3 * math.log(1 / total)) / 4, 6
+    )
+    assert got[1]["n_tokens"] == 4
+    assert abs(got[1]["avg_neg_logprob"] - exp1) < 1e-6
+    assert abs(got[2]["avg_neg_logprob"] - exp2) < 1e-6
+    assert got[2]["avg_neg_logprob"] > got[1]["avg_neg_logprob"]
