@@ -330,7 +330,7 @@ def _expand_object_streams(objs: dict[int, tuple[bytes, bytes | None]]) -> None:
                 objs[onum] = (content[first + off : first + end], None)
 
 
-def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+def _lzw_decode(data: bytes, early: int = 1, max_out: int | None = None) -> bytes:
     """PDF LZWDecode (the TIFF LZW variant, PDF spec 7.4.4): MSB-first
     variable-width codes 9→12 bits, 256 = clear table, 257 = EOD,
     ``early`` = EarlyChange (default 1: the code width grows one code
@@ -369,21 +369,36 @@ def _lzw_decode(data: bytes, early: int = 1) -> bytes:
                 raise ValueError("lzw: code beyond table")
             out += entry
             prev = entry
+            if max_out is not None and len(out) > max_out:
+                raise ValueError("lzw: output exceeds stream ceiling")
             if next_code + early >= (1 << width) and width < 12:
                 width += 1
     return bytes(out)
 
 
+#: decompression ceiling per stream — far above any real content/image
+#: stream, far below what a crafted zip bomb could expand to across a
+#: worker's concurrent tasks
+_MAX_STREAM_BYTES = 256 * 1024 * 1024
+
+
 def _inflate(header: bytes, payload: bytes) -> bytes | None:
     if b"FlateDecode" in header:
         try:
-            return zlib.decompress(payload)
+            d = zlib.decompressobj()
+            out = d.decompress(payload, _MAX_STREAM_BYTES)
+            if d.unconsumed_tail:  # bomb: would exceed the ceiling
+                return None
+            return out
         except zlib.error:
             return None
     if b"LZWDecode" in header:
         em = re.search(rb"/EarlyChange\s+(\d+)", header)
         try:
-            return _lzw_decode(payload, int(em.group(1)) if em else 1)
+            return _lzw_decode(
+                payload, int(em.group(1)) if em else 1,
+                max_out=_MAX_STREAM_BYTES,
+            )
         except ValueError:
             return None
     return payload

@@ -486,3 +486,19 @@ def test_png_predicted_flate_image():
     assert len(images) == 1
     out = decode_png(images[0][1])
     assert (out[:, :, 0] == gray).all()
+
+
+def test_zip_bomb_stream_bounded():
+    # a crafted high-ratio Flate stream must hit the decompression
+    # ceiling and be treated as unreadable — not expand to gigabytes
+    # inside an executor
+    bomb = zlib.compress(b"\x00" * (300 * 1024 * 1024), 9)
+    pdf = (
+        b"%PDF-1.4\n"
+        + b"1 0 obj\n<< /Filter /FlateDecode /Length "
+        + str(len(bomb)).encode()
+        + b" >>\nstream\n"
+        + bomb
+        + b"\nendstream\nendobj\n"
+    )
+    assert extract_pdf_blocks(pdf) == []
