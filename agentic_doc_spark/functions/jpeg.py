@@ -285,6 +285,8 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                     f"jpeg: unsupported component count {nc} "
                     "(grayscale and YCbCr only)"
                 )
+            if not (0 < h * w <= 64_000_000):
+                raise ValueError("jpeg: unreasonable dimensions")
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]

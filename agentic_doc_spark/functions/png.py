@@ -174,8 +174,17 @@ def decode_png(data: bytes) -> np.ndarray:
             break
     if width is None:
         raise ValueError("missing IHDR")
+    if not (0 < width * height <= 64_000_000):
+        raise ValueError("unreasonable PNG dimensions")
     ch = _CHANNELS[color_type]
-    raw = zlib.decompress(bytes(idat))
+    # bound decompression to the geometry the header declares (+ slack
+    # for per-pass filter bytes) — a crafted high-ratio IDAT must not
+    # expand past what a valid image of these dims could need
+    need = height * ((width * ch * bit_depth + 7) // 8 + 1) + 8 * height + 1024
+    d = zlib.decompressobj()
+    raw = d.decompress(bytes(idat), need)
+    if d.unconsumed_tail:
+        raise ValueError("IDAT larger than the declared geometry")
 
     if interlace == 0:
         rows, _ = _defilter(raw, 0, width, height, ch, bit_depth)

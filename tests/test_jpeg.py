@@ -239,3 +239,13 @@ def test_decode_ladder_handles_jpeg(spark):
     row = extract_media_features(media).collect()[0]
     assert row["decoded"] is True
     assert (row["width"], row["height"]) == (32, 20)
+
+
+def test_rejects_unreasonable_dimensions():
+    arr = _gradient(8, 8, 3)
+    data = bytearray(encode_jpeg(arr))
+    idx = data.find(b"\xff\xc0")
+    # SOF payload: marker(2) len(2) prec(1) h(2) w(2): claim 65000x65000
+    data[idx + 5 : idx + 9] = (65000).to_bytes(2, "big") * 2
+    with pytest.raises(ValueError, match="dimensions"):
+        decode_jpeg(bytes(data))

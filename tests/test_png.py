@@ -425,3 +425,14 @@ def test_decode_16bit_gray_and_rgb():
     out = decode_png(_raw_png(ihdr, [], bytes(rows)))
     assert out.shape == (h, w, 3)
     assert (out == rgb_hi.astype(np.uint8)).all()
+
+
+def test_decode_rejects_unreasonable_dims_and_idat_bombs():
+    # crafted IHDR with absurd dims must raise (not MemoryError); an
+    # IDAT expanding past the declared geometry is rejected
+    ihdr = struct.pack(">IIBBBBB", 2 ** 24, 2 ** 24, 8, 0, 0, 0, 0)
+    with pytest.raises(ValueError, match="dimensions"):
+        decode_png(_raw_png(ihdr, [], b"\x00" * 10))
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    with pytest.raises(ValueError, match="geometry"):
+        decode_png(_raw_png(ihdr, [], b"\x00" * (1024 * 1024)))
