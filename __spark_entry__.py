@@ -502,6 +502,25 @@ def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_tokens", "running", "bin_id")
 
 
+def q_pack_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bin MATERIALIZATION: the packed assignment turned into actual
+    training sequences — one row per bin, documents concatenated in
+    doc_id order (operators/packing.py:materialize_bins)."""
+    from agentic_doc_spark.functions.textstats import token_count_ws
+    from agentic_doc_spark.operators.packing import (
+        materialize_bins,
+        pack_sequences,
+    )
+
+    t = _docs(spark, sf_dir).select(
+        "doc_id",
+        "text",
+        token_count_ws(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    packed = pack_sequences(t, budget=512)
+    return materialize_bins(packed)
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language hash sampling (data-mixing primitive):
     keep iff md5-uniform(doc_id) < rate(lang). Pure map, engine-portable
@@ -1057,6 +1076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_ingest": q_pdf_ingest,
         "pdf_scanned": q_pdf_scanned,
         "pack_bins": q_pack_bins,
+        "pack_texts": q_pack_texts,
         "stratified_sample": q_stratified_sample,
         "decontaminate": q_decontaminate,
         "training_set": q_training_set,
@@ -1354,6 +1374,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE doc_id % 17 <> 0
               AND doc_id NOT IN (SELECT doc_id FROM dirty)
+        """,
+        "pack_texts": f"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     CAST(len({_WS_WORDS}) AS BIGINT) AS n_tokens
+              FROM documents
+            ), r AS (
+              SELECT doc_id, text, n_tokens,
+                     SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS running
+              FROM t
+            ), b AS (
+              SELECT doc_id, text, n_tokens,
+                     CAST(floor((running - n_tokens) / 512.0) AS BIGINT)
+                       AS bin_id
+              FROM r
+            )
+            SELECT bin_id, count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                   string_agg(text, ' ' ORDER BY doc_id) AS text
+            FROM b GROUP BY bin_id
         """,
         "pack_bins": f"""
             WITH t AS (

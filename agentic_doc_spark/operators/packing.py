@@ -128,3 +128,31 @@ def sample_stratified(
     for k, v in sorted(rates.items()):
         rate = F.when(F.col(stratum_col) == k, F.lit(float(v))).otherwise(rate)
     return df.filter(u < rate)
+
+
+def materialize_bins(
+    packed: DataFrame,
+    order_col: str = "doc_id",
+    text_col: str = "text",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """(…, bin_id) from ``pack_sequences`` → one row per training bin:
+    (bin_id, n_docs, n_tokens, text) with documents concatenated in
+    ``order_col`` order — the final materialization step that turns bin
+    assignments into actual training sequences. Documents are never
+    split: a doc lives wholly in the bin where its first token lands
+    (greedy whole-doc packing), so a bin's n_tokens may exceed the
+    budget by less than one document.
+
+    One exchange (groupBy bin_id, bounded groups ≈ budget tokens);
+    ordering is in-row (array_sort over collected structs), no window."""
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col(order_col), F.col(text_col)))
+    )
+    return packed.groupBy("bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(tokens_col).alias(tokens_col),
+        F.array_join(
+            F.transform(ordered, lambda s: s[text_col]), " "
+        ).alias(text_col),
+    )

@@ -68,3 +68,22 @@ def test_sample_stratified_deterministic_and_rate(spark):
     # default rate 0 drops unknown strata entirely
     only_en = sample_stratified(df, {"en": 0.5}, "lang")
     assert all(r["lang"] == "en" for r in only_en.collect())
+
+
+def test_materialize_bins_concatenates_in_order(spark):
+    from agentic_doc_spark.operators.packing import (
+        materialize_bins,
+        pack_sequences,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb", 2), (2, "cc", 1), (3, "dd ee ff", 3), (4, "gg", 1)],
+        ["doc_id", "text", "n_tokens"],
+    )
+    packed = pack_sequences(docs, budget=3)
+    rows = {r["bin_id"]: r for r in materialize_bins(packed).collect()}
+    # prefix sums: 2,3,6,7 → bins 0,0,1,2 (doc starts where its first
+    # token lands)
+    assert rows[0]["text"] == "aa bb cc" and rows[0]["n_docs"] == 2
+    assert rows[1]["text"] == "dd ee ff" and rows[1]["n_tokens"] == 3
+    assert rows[2]["text"] == "gg"
