@@ -794,6 +794,36 @@ def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line filters (Raffel et al. 2020 §2.2): deterministic
+    multi-line texts (a kept sentence line, a too-short line, an
+    unterminated line, and a brace line on doc_id % 5 == 0) cleaned via
+    functions/textstats.py:c4_line_clean + c4_page_flags."""
+    from agentic_doc_spark.functions.textstats import (
+        c4_line_clean,
+        c4_page_flags,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    t = F.concat(
+        F.col("text"),
+        F.lit(" ends here.\ntoo short\n"
+              "this has no terminal punctuation at all"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.lit("\nsee the { brace here okay."),
+        ).otherwise(F.lit("")),
+    )
+    flags = c4_page_flags(t)
+    return docs.select(
+        "doc_id",
+        c4_line_clean(t).alias("clean"),
+        flags["has_brace"].alias("has_brace"),
+        flags["has_lorem"].alias("has_lorem"),
+        flags["has_javascript"].alias("has_javascript"),
+    )
+
+
 def q_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained unigram LM quality score (the distributed CCNet
     LM-filter proxy): per doc, mean -ln(count(token)/total_tokens)
@@ -1099,6 +1129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_rolling": q_fingerprint_rolling,
         "jaccard_pairs": q_jaccard_pairs,
         "lsh_jaccard_pairs": q_lsh_jaccard_pairs,
+        "c4_clean": q_c4_clean,
         "unigram_lm": q_unigram_lm,
         "dup_substring_spans": q_dup_substring_spans,
         "dedup_substrings": q_dedup_substrings,
@@ -1790,6 +1821,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM corpus
             WHERE doc_id NOT IN (SELECT v FROM losers)
         """,
+        "c4_clean": '''
+            WITH d AS (
+              SELECT doc_id,
+                     text || ' ends here.' || chr(10) || 'too short'
+                     || chr(10)
+                     || 'this has no terminal punctuation at all'
+                     || CASE WHEN doc_id % 5 = 0
+                             THEN chr(10) || 'see the { brace here okay.'
+                             ELSE '' END AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   array_to_string(
+                     list_filter(
+                       regexp_split_to_array(t, chr(10)),
+                       l -> regexp_matches(l, '[.!?"”]\\s*$')
+                            AND len(regexp_split_to_array(trim(l), '\\s+')) >= 4
+                     ), chr(10)) AS clean,
+                   contains(t, '{') AS has_brace,
+                   contains(lower(t), 'lorem ipsum') AS has_lorem,
+                   contains(lower(t), 'javascript') AS has_javascript
+            FROM d
+        ''',
         "unigram_lm": """
             WITH toks AS (
               SELECT doc_id,

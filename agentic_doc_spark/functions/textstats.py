@@ -305,3 +305,35 @@ def unigram_logprob_scores(
             ).alias("avg_neg_logprob"),
         )
     )
+
+
+def c4_line_clean(text):
+    """C4-style line-level cleanup (Raffel et al. 2020 §2.2): keep only
+    lines that END in terminal punctuation (., !, ?, or a closing
+    quote) and carry at least 4 whitespace words; survivors re-join
+    with newlines. Pure in-row Catalyst (split → filter → join), no
+    shuffle term at any scale."""
+    from pyspark.sql import functions as F
+
+    lines = F.split(text, "\n")
+    kept = F.filter(
+        lines,
+        lambda ln: ln.rlike(r'[.!?"”]\s*$')
+        & (F.size(words(ln)) >= 4),
+    )
+    return F.array_join(kept, "\n")
+
+
+def c4_page_flags(text):
+    """C4's page-level drop signals as a struct of booleans: curly
+    braces (code), 'lorem ipsum' placeholder text, and the word
+    'javascript' (enable-JS boilerplate). The caller decides the drop
+    policy; the flags are the reproducible primitive."""
+    from pyspark.sql import functions as F
+
+    low = F.lower(text)
+    return F.struct(
+        text.contains("{").alias("has_brace"),
+        low.contains("lorem ipsum").alias("has_lorem"),
+        low.contains("javascript").alias("has_javascript"),
+    )

@@ -200,3 +200,34 @@ def test_unigram_logprob_scores(spark):
     assert abs(got[1]["avg_neg_logprob"] - exp1) < 1e-6
     assert abs(got[2]["avg_neg_logprob"] - exp2) < 1e-6
     assert got[2]["avg_neg_logprob"] > got[1]["avg_neg_logprob"]
+
+
+def test_c4_line_clean_and_flags(spark):
+    from pyspark.sql import functions as F
+
+    from agentic_doc_spark.functions.textstats import c4_line_clean, c4_page_flags
+
+    doc = (
+        "this sentence ends with terminal punctuation properly.\n"
+        "short line\n"
+        "no terminal punctuation on this long enough line\n"
+        'he said "it ends with a quote."\n'
+        "ok.\n"  # terminal but < 4 words
+        "final good line has plenty of words!"
+    )
+    df = spark.createDataFrame([(1, doc)], ["doc_id", "text"])
+    out = df.select(
+        c4_line_clean(F.col("text")).alias("clean"),
+        c4_page_flags(F.col("text")).alias("flags"),
+    ).collect()[0]
+    assert out["clean"].split("\n") == [
+        "this sentence ends with terminal punctuation properly.",
+        'he said "it ends with a quote."',
+        "final good line has plenty of words!",
+    ]
+    assert out["flags"]["has_brace"] is False
+    flagged = spark.createDataFrame(
+        [(1, "Enable JavaScript please { lorem ipsum dolor }")],
+        ["doc_id", "text"],
+    ).select(c4_page_flags(F.col("text")).alias("f")).collect()[0]["f"]
+    assert flagged["has_brace"] and flagged["has_lorem"] and flagged["has_javascript"]
