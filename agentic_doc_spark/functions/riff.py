@@ -43,17 +43,27 @@ def _iter_chunks(data: bytes, start: int, end: int):
 
 
 def _parse_strf(data: bytes) -> tuple[int, int, int] | None:
-    """First video stream's BITMAPINFOHEADER → (width, height, bitcount)
+    """The VIDEO stream's BITMAPINFOHEADER → (width, height, bitcount)
     when it declares UNCOMPRESSED BI_RGB frames (biCompression == 0 and
-    24/32-bit); None for compressed streams (MJPG etc.)."""
-    i = data.find(b"strf")
-    if i < 0 or i + 8 + 40 > len(data):
+    24/32-bit); None for compressed streams (MJPG etc.). The strf is
+    located via its own strl's ``strh`` with fccType 'vids' — an
+    audio-first AVI's WAVEFORMAT strf must never shadow it."""
+    pos = 0
+    while True:
+        i = data.find(b"strh", pos)
+        if i < 0:
+            return None
+        pos = i + 4
+        if data[i + 8 : i + 12] != b"vids":
+            continue
+        j = data.find(b"strf", i)
+        if j < 0 or j + 8 + 40 > len(data):
+            return None
+        hdr = data[j + 8 : j + 48]
+        _sz, w, h, _planes, bits, comp = struct.unpack("<IiiHHI", hdr[:20])
+        if comp == 0 and bits in (24, 32) and 0 < w * abs(h) <= 64_000_000:
+            return w, h, bits
         return None
-    hdr = data[i + 8 : i + 48]
-    _sz, w, h, _planes, bits, comp = struct.unpack("<IiiHHI", hdr[:20])
-    if comp == 0 and bits in (24, 32) and 0 < w * abs(h) <= 64_000_000:
-        return w, h, bits
-    return None
 
 
 def _dib_to_png(payload: bytes, w: int, h: int, bits: int) -> bytes | None:
@@ -105,7 +115,10 @@ def extract_avi_frames(data: bytes) -> list[bytes]:
                 and size > 0
             ):
                 frame = bytes(data[payload : payload + size])
-                if raw_fmt is not None and frame[:2] != b"\xff\xd8":
+                if raw_fmt is not None:
+                    # strf says BI_RGB: EVERY frame is a raw DIB — no
+                    # content sniffing (a DIB whose first pixel bytes
+                    # spell FF D8 is still a DIB)
                     png = _dib_to_png(frame, *raw_fmt)
                     if png is None:
                         continue  # malformed raw frame: skip, keep rest

@@ -664,7 +664,11 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
                 if w is not None and len(w["samples"]):
                     x = w["samples"]
                     sr = w["sample_rate"]
-                    zc = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                    zc = (
+                        float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1])))
+                        if len(x) > 1
+                        else 0.0  # a 1-sample clip has no crossings
+                    )
                     rows.append(
                         (
                             ref,

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from agentic_doc_spark.operators.dedup import cosine
+from agentic_doc_spark.operators.dedup import _md5_key64, cosine
 
 
 def brute_force_topk(
@@ -276,12 +276,7 @@ def _train_sample(
     m = max(1, n // max(1, train_per_cell * n_cells))
     if m <= 1:
         return corpus
-    key = F.pmod(
-        F.conv(
-            F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
-        ).cast("bigint"),
-        F.lit(m),
-    )
+    key = F.pmod(_md5_key64(F.col(id_col).cast("string")), F.lit(m))
     return corpus.filter(key == F.lit(0))
 
 

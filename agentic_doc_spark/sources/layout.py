@@ -119,7 +119,9 @@ def _pdf_spans(data: bytes, doc_id: str) -> list[tuple[str, str | None, str | No
     )
 
     blocks = extract_pdf_blocks(data)
-    images = extract_pdf_images(data)
+    # probe mode: validity/page/order identical to a transcoding run,
+    # but no image decodes — pdf_media_table does the one real transcode
+    images = extract_pdf_images(data, transcode=False)
     if not blocks and not images:
         raise NotImplementedError(
             "no extractable text layer or embedded raster (encrypted/"

@@ -508,11 +508,21 @@ def extract_pdf_blocks(data: bytes) -> list[tuple[int, str]]:
             inflated.append((num, payload))
 
     # pass 2 — decode: per-font scoping when the graph resolved fonts
-    # for this stream, union heuristic otherwise
-    blocks: list[tuple[int, str]] = []
-    page = 0
+    # for this stream, union heuristic otherwise. Page numbering: a
+    # content stream referenced by a /Type /Page object takes THAT
+    # page's index (the same /Type /Page-order scheme
+    # extract_pdf_images uses, so mixed scanned/text documents keep
+    # text and images in true page order); unreferenced streams fall
+    # back to sequential text-yielding-stream counting (graph-less
+    # fixture PDFs).
+    page_of = _content_pages(objs)
+    raw_blocks: list[tuple[int, int, str]] = []  # (page, seq, text)
+    seq = 0
+    fallback_page = 0
     for num, payload in inflated:
         found = False
+        mapped = num is not None and num in page_of
+        pg = page_of[num] if mapped else fallback_page
         fonts = scoped.get(num) if num is not None else None
         cur: dict[int, str] | None = None
         for tm in _TEXTOBJ_RE.finditer(payload):
@@ -521,11 +531,33 @@ def extract_pdf_blocks(data: bytes) -> list[tuple[int, str]]:
             else:
                 text = _text_from_textobj(tm.group(1), union or None)
             if text and _plausible_text(text):
-                blocks.append((page, text))
+                raw_blocks.append((pg, seq, text))
+                seq += 1
                 found = True
-        if found:
-            page += 1
-    return blocks
+        if found and not mapped:
+            fallback_page += 1
+    raw_blocks.sort(key=lambda t: (t[0], t[1]))
+    return [(pg, text) for pg, _s, text in raw_blocks]
+
+
+def _content_pages(objs: dict[int, tuple[bytes, bytes | None]]) -> dict[int, int]:
+    """Content-stream object number → page index, by /Type /Page object
+    order — the SHARED page-numbering scheme of the text and image
+    extractors."""
+    out: dict[int, int] = {}
+    pi = 0
+    for _num, (header, _payload) in objs.items():
+        if not _TYPE_PAGE_RE.search(header):
+            continue
+        for cm_ in _CONTENTS_RE.finditer(header):
+            single, arr = cm_.groups()
+            if single is not None:
+                out.setdefault(int(single), pi)
+            else:
+                for x in _REF_RE.finditer(arr):
+                    out.setdefault(int(x.group(1)), pi)
+        pi += 1
+    return out
 
 
 # -- embedded raster images (scanned-PDF support) --------------------------
@@ -537,7 +569,9 @@ _HEIGHT_RE = re.compile(rb"/Height\s+(\d+)")
 _BPC_RE = re.compile(rb"/BitsPerComponent\s+(\d+)")
 
 
-def _image_payload(header: bytes, payload: bytes) -> bytes | None:
+def _image_payload(
+    header: bytes, payload: bytes, transcode: bool = True
+) -> bytes | None:
     """Image XObject stream → decodable image bytes: DCTDecode payloads
     ARE JPEG streams (baseline or progressive — both decode via
     functions/jpeg.py); Flate/LZW/unfiltered raw samples re-encode as
@@ -595,6 +629,8 @@ def _image_payload(header: bytes, payload: bytes) -> bytes | None:
         stride = (w + 7) // 8
         if len(raw) < stride * h:
             return None
+        if not transcode:
+            return b""  # probe: valid, encoding skipped
         rows = np.frombuffer(
             raw[: stride * h], dtype=np.uint8
         ).reshape(h, stride)
@@ -607,11 +643,15 @@ def _image_payload(header: bytes, payload: bytes) -> bytes | None:
     )
     if not ch or len(raw) < w * h * ch:
         return None
+    if not transcode:
+        return b""  # probe: valid, encoding skipped
     arr = np.frombuffer(raw[: w * h * ch], dtype=np.uint8).reshape(h, w, ch)
     return encode_png(arr)
 
 
-def extract_pdf_images(data: bytes) -> list[tuple[int, bytes]]:
+def extract_pdf_images(
+    data: bytes, transcode: bool = True
+) -> list[tuple[int, bytes]]:
     """PDF bytes → ordered (page_idx, image_bytes) for every embedded
     raster the object graph can resolve (page → /Resources /XObject →
     /Subtype /Image). This is what makes SCANNED PDFs — pages that are
@@ -620,7 +660,10 @@ def extract_pdf_images(data: bytes) -> list[tuple[int, bytes]]:
     image its own page index) when no page objects parse. The reference
     gets the same pixels by rasterizing via pymupdf
     (agentic_doc/utils.py:110-124); here the embedded stream IS the
-    page raster."""
+    page raster. ``transcode=False`` probes only: entries carry empty
+    bytes but validity/page/ORDER are identical to the transcoding run —
+    the cheap enumeration mode the span builder uses (the sidecar
+    ``pdf_media_table`` does the one real transcode)."""
     objs = _object_map(data)
     out: list[tuple[int, bytes]] = []
     pages = [
@@ -641,7 +684,7 @@ def extract_pdf_images(data: bytes) -> list[tuple[int, bytes]]:
             o = objs.get(int(ref))
             if not o or not _SUBTYPE_IMAGE_RE.search(o[0]):
                 continue
-            img = _image_payload(o[0], o[1])
+            img = _image_payload(o[0], o[1], transcode)
             if img is not None:
                 out.append((pi, img))
                 seen.add(int(ref))
@@ -649,7 +692,7 @@ def extract_pdf_images(data: bytes) -> list[tuple[int, bytes]]:
         for num, (header, payload) in objs.items():
             if num in seen or not _SUBTYPE_IMAGE_RE.search(header):
                 continue
-            img = _image_payload(header, payload)
+            img = _image_payload(header, payload, transcode)
             if img is not None:
                 out.append((len(out), img))
     return out

@@ -502,3 +502,55 @@ def test_zip_bomb_stream_bounded():
         + b"\nendstream\nendobj\n"
     )
     assert extract_pdf_blocks(pdf) == []
+
+
+def test_mixed_scanned_then_text_page_order():
+    # page 0 is image-only (scanned), page 1 is text-only: the text and
+    # image extractors must agree on page numbering via /Type /Page
+    # object order, so the image sorts BEFORE the page-1 text
+    import numpy as np
+
+    from agentic_doc_spark.functions.jpeg import encode_jpeg
+    from agentic_doc_spark.sources.pdf_text import (
+        extract_pdf_blocks,
+        extract_pdf_images,
+    )
+
+    jpg = encode_jpeg(np.full((8, 8, 3), 77, dtype=np.uint8))
+    pdf = (
+        b"%PDF-1.4\n"
+        + _stream_obj(
+            10, b"/Subtype /Image /Filter /DCTDecode /Width 8 /Height 8", jpg
+        )
+        + _obj(
+            11,
+            b"<< /Type /Page /Resources << /XObject << /Im0 10 0 R >> >> >>",
+        )
+        + _stream_obj(12, b"", b"BT (page two text here) Tj ET")
+        + _obj(13, b"<< /Type /Page /Contents 12 0 R >>")
+        + b"%%EOF\n"
+    )
+    assert extract_pdf_blocks(pdf) == [(1, "page two text here")]
+    assert [p for p, _ in extract_pdf_images(pdf)] == [0]
+    # and through the span builder: media (page 0) BEFORE text (page 1)
+    from agentic_doc_spark.sources.layout import _pdf_spans
+
+    spans = _pdf_spans(pdf, "d")
+    assert spans == [
+        ("raw", "", "pdfimg://d/0"),
+        ("raw", "page two text here", None),
+    ]
+
+
+def test_extract_pdf_images_probe_matches_transcode():
+    import numpy as np
+
+    from agentic_doc_spark.functions.jpeg import encode_jpeg
+    from agentic_doc_spark.sources.pdf_text import extract_pdf_images
+
+    jpg = encode_jpeg(np.full((8, 8, 3), 50, dtype=np.uint8))
+    pdf = _scanned_pdf([jpg, jpg])
+    full = extract_pdf_images(pdf)
+    probe = extract_pdf_images(pdf, transcode=False)
+    assert [p for p, _ in full] == [p for p, _ in probe]
+    assert len(full) == len(probe) == 2

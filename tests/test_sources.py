@@ -601,3 +601,61 @@ def test_extract_audio_features_real_wav(spark):
     assert cancel["decoded"] and cancel["channels"] == 2
     assert cancel["rms"] < 1e-4  # L/R cancel after downmix
     assert not rows["junk"]["decoded"]
+
+
+def test_audio_first_avi_strf_not_shadowed(spark):
+    # an AVI whose AUDIO strl precedes the video strl: the video strf
+    # must still be found via its own 'vids' strh, so raw DIB frames
+    # transcode correctly (a first-strf-wins scan would read the
+    # WAVEFORMAT as a bogus BITMAPINFOHEADER)
+    import struct as _s
+
+    import numpy as np
+
+    from agentic_doc_spark.functions.png import decode_png
+    from agentic_doc_spark.functions.riff import extract_avi_frames
+
+    def chunk(fourcc, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + _s.pack("<I", len(body)) + body + pad
+
+    h, w = 6, 9
+    frame = np.full((h, w, 3), 120, dtype=np.uint8)
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = frame[:, :, [2, 1, 0]].reshape(h, w * 3)
+    dib = rows[::-1].tobytes()
+
+    strh_a = _s.pack("<4s4sI44x", b"auds", b"\x00\x00\x00\x00", 0)
+    wavefmt = _s.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    strl_a = chunk(
+        b"LIST", b"strl" + chunk(b"strh", strh_a) + chunk(b"strf", wavefmt)
+    )
+    strh_v = _s.pack("<4s4sI44x", b"vids", b"DIB ", 0)
+    strf_v = _s.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0
+    )
+    strl_v = chunk(
+        b"LIST", b"strl" + chunk(b"strh", strh_v) + chunk(b"strf", strf_v)
+    )
+    avih = _s.pack("<14I", 33333, 0, 0, 0, 1, 0, 2, 0, w, h, 0, 0, 0, 0)
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih) + strl_a + strl_v)
+    movi = chunk(b"LIST", b"movi" + chunk(b"00db", dib))
+    body = b"AVI " + hdrl + movi
+    avi = b"RIFF" + _s.pack("<I", len(body)) + body
+
+    out = extract_avi_frames(avi)
+    assert len(out) == 1
+    assert (decode_png(out[0]) == frame).all()
+
+
+def test_audio_one_sample_wav_zcr_zero(spark):
+    from agentic_doc_spark.functions.riff import encode_wav_pcm16
+    from agentic_doc_spark.operators.multimodal import extract_audio_features
+
+    media = spark.createDataFrame(
+        [("one", bytearray(encode_wav_pcm16([0.5], 16000)))],
+        "media_ref string, content binary",
+    )
+    row = extract_audio_features(media).collect()[0]
+    assert row["decoded"] and row["zero_cross_rate"] == 0.0
