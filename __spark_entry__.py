@@ -521,6 +521,26 @@ def q_pack_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_bins(packed)
 
 
+def q_pack_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERLEAVED multimodal packing: text+media documents (a media
+    span after every 3 text spans, synth.documents_raw_interleaved)
+    packed into fixed-budget training sequences where each image costs
+    a 64-token placeholder block; each bin carries the in-order
+    modality signature ('T'/'M' per span, docs joined with '|') a
+    multimodal sequence builder must preserve
+    (operators/packing.py:pack_interleaved)."""
+    from agentic_doc_spark.operators.packing import pack_interleaved
+    from agentic_doc_spark.synth import documents_raw_interleaved
+
+    raw = documents_raw_interleaved(spark, sf_dir, TOKENS_PER_SPAN, 3)
+    out = pack_interleaved(
+        raw.withColumn("doc_id", F.col("doc_id").cast("long")),
+        budget=1024,
+        media_tokens=64,
+    )
+    return out.select("bin_id", "n_docs", "n_tokens", "n_media", "sig")
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-language hash sampling (data-mixing primitive):
     keep iff md5-uniform(doc_id) < rate(lang). Pure map, engine-portable
@@ -1107,6 +1127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_scanned": q_pdf_scanned,
         "pack_bins": q_pack_bins,
         "pack_texts": q_pack_texts,
+        "pack_interleaved": q_pack_interleaved,
         "stratified_sample": q_stratified_sample,
         "decontaminate": q_decontaminate,
         "training_set": q_training_set,
@@ -1442,6 +1463,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor((running - n_tokens) / 512.0) AS BIGINT)
                      AS bin_id
             FROM r
+        """,
+        "pack_interleaved": f"""
+            WITH c AS (
+              SELECT doc_id,
+                     CAST(len({_WS_WORDS}) AS BIGINT) AS n,
+                     CAST(ceil(len({_WS_WORDS}) / {TOKENS_PER_SPAN}.0)
+                          AS BIGINT) AS ns
+              FROM documents
+            ), d AS (
+              SELECT doc_id, n, ns,
+                     CAST(floor(ns / 3.0) AS BIGINT) AS m
+              FROM c
+            ), e AS (
+              SELECT doc_id, m,
+                     n + 64 * m AS cost,
+                     repeat('TTTM', CAST(m AS INT))
+                       || repeat('T', CAST(ns - 3 * m AS INT)) AS sig
+              FROM d
+            ), r AS (
+              SELECT doc_id, cost, m, sig,
+                     SUM(cost) OVER (ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS running
+              FROM e
+            )
+            SELECT CAST(floor((running - cost) / 1024.0) AS BIGINT)
+                     AS bin_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(cost) AS BIGINT) AS n_tokens,
+                   CAST(SUM(m) AS BIGINT) AS n_media,
+                   string_agg(sig, '|' ORDER BY doc_id) AS sig
+            FROM r GROUP BY 1
         """,
         "stratified_sample": """
             SELECT doc_id, lang FROM documents

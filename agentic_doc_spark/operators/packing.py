@@ -130,6 +130,88 @@ def sample_stratified(
     return df.filter(u < rate)
 
 
+def interleaved_costs(
+    raw: DataFrame,
+    media_tokens: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document token cost + modality signature for an INTERLEAVED
+    text+media corpus (documents_raw shape: spans of (kind, text,
+    media_ref, offset)).
+
+    A text span costs its whitespace token count; a media span
+    (``media_ref IS NOT NULL``) costs the fixed ``media_tokens`` budget —
+    the image-placeholder-token convention of multimodal pre-training
+    (one patch-token block per image). ``sig`` is the in-order modality
+    string ('T'/'M' per span, offset order) — the interleaving layout a
+    sequence builder must preserve.
+
+    One exchange (groupBy doc); the per-span cost and the ordered
+    signature fold are row-local (array_sort over collected structs —
+    bounded by spans-per-doc, no window)."""
+    ex = raw.select(F.col(id_col), F.explode("spans").alias("s"))
+    per = ex.select(
+        F.col(id_col),
+        F.col("s.offset").alias("offset"),
+        F.when(F.col("s.media_ref").isNotNull(), F.lit("M"))
+        .otherwise(F.lit("T"))
+        .alias("k"),
+        F.when(
+            F.col("s.media_ref").isNotNull(), F.lit(int(media_tokens))
+        )
+        .otherwise(F.size(F.split(F.col("s.text"), " ")))
+        .cast("long")
+        .alias("cost"),
+    )
+    ordered = F.array_sort(F.collect_list(F.struct("offset", "k")))
+    return per.groupBy(id_col).agg(
+        F.sum("cost").alias("n_tokens"),
+        F.sum(F.when(F.col("k") == "M", 1).otherwise(0)).alias("n_media"),
+        F.array_join(
+            F.transform(ordered, lambda s: s["k"]), ""
+        ).alias("sig"),
+    )
+
+
+def pack_interleaved(
+    raw: DataFrame,
+    budget: int = 512,
+    media_tokens: int = 64,
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Pack an interleaved text+media corpus into fixed-token-budget
+    training sequences: per-doc cost = text tokens + ``media_tokens``
+    per image (``interleaved_costs``), whole-doc greedy layout in
+    ``id_col`` order via the distributed prefix sum
+    (``pack_sequences``), then one row per bin carrying the
+    concatenated modality signature — the interleaved analog of
+    ``materialize_bins``.
+
+    Output: (bin_id, n_docs, n_tokens, n_media, sig) where ``sig``
+    joins the per-doc 'T'/'M' layouts with '|' in id order.
+
+    Exchange budget: 1 groupBy(doc) + 1 range exchange (prefix sum) +
+    1 groupBy(bin) — no global-order window, no skew beyond the
+    bounded bin size (≈ budget tokens)."""
+    costs = interleaved_costs(raw, media_tokens, id_col)
+    packed = pack_sequences(
+        costs, budget, order_col=id_col, tokens_col="n_tokens",
+        num_partitions=num_partitions,
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col(id_col), F.col("sig")))
+    )
+    return packed.groupBy("bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("n_media").alias("n_media"),
+        F.array_join(
+            F.transform(ordered, lambda s: s["sig"]), "|"
+        ).alias("sig"),
+    )
+
+
 def materialize_bins(
     packed: DataFrame,
     order_col: str = "doc_id",

@@ -300,3 +300,72 @@ def documents_raw_from_table(spark, sf_dir: str, tokens_per_span: int = 8):
     return docs.select(
         F.col("doc_id").cast("string").alias("doc_id"), spans.alias("spans")
     )
+
+
+def documents_raw_interleaved(
+    spark,
+    sf_dir: str,
+    tokens_per_span: int = 8,
+    media_every: int = 3,
+):
+    """Interleaved text+media documents_raw corpus derived from the
+    driver's documents parquet: text is sliced into
+    ``tokens_per_span``-token spans (as ``documents_raw_from_table``)
+    and a media span (empty text, ``media://{doc_id}/m{j}`` ref) is
+    inserted after every ``media_every`` text spans — the interleaved
+    image-text document shape of multimodal pre-training corpora.
+
+    Offsets interleave deterministically: text span i sits at
+    ``i + i // media_every``; media span j at
+    ``(media_every + 1) * j + media_every``. All-JVM (no UDF), purely
+    derived — the DuckDB oracle reproduces the same layout from the
+    base table with integer arithmetic.
+    """
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = F.split(F.col("text"), " ")
+    n_spans = F.ceil(F.size(toks) / tokens_per_span).cast("int")
+    did = F.col("doc_id").cast("string")
+    text_spans = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.struct(
+            F.lit("raw").alias("kind"),
+            F.array_join(
+                F.slice(toks, i * tokens_per_span + 1, tokens_per_span), " "
+            ).alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            (i + F.floor(i / media_every)).cast("int").alias("offset"),
+        ),
+    )
+    n_media = F.floor(n_spans / media_every).cast("int")
+    empty = F.array().cast(
+        "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    )
+    media_spans = F.when(
+        n_media > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_media - 1),
+            lambda j: F.struct(
+                F.lit("raw").alias("kind"),
+                F.lit("").alias("text"),
+                F.concat(
+                    F.lit("media://"), did, F.lit("/m"), j.cast("string")
+                ).alias("media_ref"),
+                (j * (media_every + 1) + media_every).cast("int").alias(
+                    "offset"
+                ),
+            ),
+        ),
+    ).otherwise(empty)
+    return docs.select(
+        did.alias("doc_id"),
+        F.array_sort(
+            F.concat(text_spans, media_spans),
+            lambda a, b: F.when(a["offset"] < b["offset"], -1)
+            .when(a["offset"] > b["offset"], 1)
+            .otherwise(0),
+        ).alias("spans"),
+    )

@@ -87,3 +87,66 @@ def test_materialize_bins_concatenates_in_order(spark):
     assert rows[0]["text"] == "aa bb cc" and rows[0]["n_docs"] == 2
     assert rows[1]["text"] == "dd ee ff" and rows[1]["n_tokens"] == 3
     assert rows[2]["text"] == "gg"
+
+
+def _interleaved_raw(spark):
+    # 3 docs: known interleavings of text (costed by ws tokens) and
+    # media spans (fixed placeholder budget)
+    def t(text, off):
+        return {"kind": "raw", "text": text, "media_ref": None, "offset": off}
+
+    def m(ref, off):
+        return {"kind": "raw", "text": "", "media_ref": ref, "offset": off}
+
+    rows = [
+        # T(2) M T(3) → sig TMT, cost 2+64+3
+        {"doc_id": 1, "spans": [t("a b", 0), m("media://1/m0", 1), t("x y z", 2)]},
+        # pure text: T(1) T(1) → TT, cost 2
+        {"doc_id": 2, "spans": [t("p", 0), t("q", 1)]},
+        # M M → MM, cost 128; offsets out of order on input
+        {"doc_id": 3, "spans": [m("media://3/m1", 5), m("media://3/m0", 2)]},
+    ]
+    return spark.createDataFrame(
+        rows,
+        "doc_id long, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+
+
+def test_interleaved_costs_and_signature(spark):
+    from agentic_doc_spark.operators.packing import interleaved_costs
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_media"], r["sig"])
+        for r in interleaved_costs(_interleaved_raw(spark), 64).collect()
+    }
+    assert got == {1: (69, 1, "TMT"), 2: (2, 0, "TT"), 3: (128, 2, "MM")}
+
+
+def test_pack_interleaved_bins_and_layout(spark):
+    from agentic_doc_spark.operators.packing import pack_interleaved
+
+    rows = sorted(
+        pack_interleaved(_interleaved_raw(spark), budget=70, media_tokens=64)
+        .collect(),
+        key=lambda r: r["bin_id"],
+    )
+    # doc1 cost 69 fills bin 0; doc2 (2 tokens) starts at 69 → bin 0;
+    # doc3 (128) starts at 71 → bin 1
+    assert [tuple(r) for r in rows] == [
+        (0, 2, 71, 1, "TMT|TT"),
+        (1, 1, 128, 2, "MM"),
+    ]
+
+
+def test_pack_interleaved_partition_invariant(spark):
+    from agentic_doc_spark.operators.packing import pack_interleaved
+
+    raw = _interleaved_raw(spark)
+    a = sorted(
+        map(tuple, pack_interleaved(raw, 70, 64, num_partitions=1).collect())
+    )
+    b = sorted(
+        map(tuple, pack_interleaved(raw, 70, 64, num_partitions=7).collect())
+    )
+    assert a == b
