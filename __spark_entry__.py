@@ -555,6 +555,19 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (hashed-unigram log-likelihood-ratio
+    weights, target = English docs): top-200 most target-like documents
+    (operators/selection.py — canonical md5 bucket hash, 6-dp-rounded
+    per-bucket ratios, bucket-ordered sequential fold; bounded top-k)."""
+    from agentic_doc_spark.operators.selection import dsir_select
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "text", (F.col("lang") == "en").alias("is_t")
+    )
+    return dsir_select(docs, "is_t", k=200)
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pretraining decontamination: docs sharing any 3-shingle with the
     synthetic eval split (doc_id % 17 == 0) are dropped; survivors
@@ -1129,6 +1142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_texts": q_pack_texts,
         "pack_interleaved": q_pack_interleaved,
         "stratified_sample": q_stratified_sample,
+        "dsir_select": q_dsir_select,
         "decontaminate": q_decontaminate,
         "training_set": q_training_set,
         "top_ngram": q_top_ngram,
@@ -1502,6 +1516,42 @@ def oracle_sql() -> dict[str, str]:
                   < CASE WHEN lang = 'en' THEN 0.5
                          WHEN lang = 'de' THEN 0.2
                          ELSE 0.05 END
+        """,
+        "dsir_select": """
+            WITH w AS (
+              SELECT doc_id, lang = 'en' AS is_t,
+                     unnest(string_split(text, ' ')) AS word
+              FROM documents
+            ), b AS (
+              SELECT doc_id, is_t,
+                     ('0x' || substr(md5(word), 1, 15))::BIGINT % 128
+                       AS bucket,
+                     COUNT(*) AS c
+              FROM w GROUP BY 1, 2, 3
+            ), s AS (
+              SELECT bucket,
+                     SUM(CASE WHEN is_t THEN c ELSE 0 END) AS t_b,
+                     SUM(c) AS r_b
+              FROM b GROUP BY 1
+            ), tot AS (
+              SELECT SUM(t_b) AS t_tot, SUM(r_b) AS r_tot FROM s
+            ), lam AS (
+              SELECT bucket,
+                     round(ln((t_b + 1.0) / (t_tot + 128.0))
+                           - ln((r_b + 1.0) / (r_tot + 128.0)), 6) AS lam
+              FROM s, tot
+            ), terms AS (
+              SELECT doc_id, b.bucket, c * lam AS term
+              FROM b JOIN lam USING (bucket)
+            ), agg AS (
+              SELECT doc_id,
+                     CAST(round(
+                       list_aggregate(list(term ORDER BY bucket), 'sum'), 6)
+                       AS DOUBLE) AS weight
+              FROM terms GROUP BY 1
+            )
+            SELECT doc_id, weight FROM agg
+            ORDER BY weight DESC, doc_id LIMIT 200
         """,
         "pdf_ingest": """
             SELECT doc_id,
