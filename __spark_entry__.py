@@ -45,6 +45,62 @@ SPLIT_SIZE = 10
 
 # DuckDB fragment: tokens / spans / span-count per document (the SQL twin
 # of synth.documents_raw_from_table + pipeline page math)
+# IVF cell assignment of the embeddings table, shared by the ann_ivf and
+# semantic_dedup oracle twins: deterministic md5-mod training sample →
+# id-modulo seeds → one Lloyd round (6-dp-rounded per-dim means, the
+# cross-engine determinism contract of similarity.refine_centroids) →
+# full-corpus nearest-centroid assignment.
+_SQL_IVF_ASSIGNED = """
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), t AS (
+              -- deterministic md5-mod TRAINING sample sized to
+              -- ~train_per_cell(256) × n_cells(8) vectors (mirrors
+              -- similarity._train_sample; m = 1 at this scale so the
+              -- sample is the full set)
+              SELECT vec_id, v FROM e
+              WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+                    % (SELECT GREATEST(1, COUNT(*) // 2048) FROM e) = 0
+            ), cents0 AS (
+              SELECT vec_id % 8 AS cell,
+                     arg_min(v, vec_id) AS centroid
+              FROM t GROUP BY 1
+            ), assigned0 AS (
+              -- Lloyd round 1: assignment of the TRAIN sample against
+              -- the seed centroids
+              SELECT vec_id, v, cell FROM (
+                SELECT t.vec_id, t.v, c.cell,
+                       row_number() OVER (PARTITION BY t.vec_id
+                         ORDER BY list_cosine_similarity(t.v, c.centroid) DESC,
+                                  c.cell ASC) AS rn
+                FROM t, cents0 c
+              ) WHERE rn = 1
+            ), dmeans AS (
+              -- per-dim member means, rounded to 6 dp (the cross-engine
+              -- determinism contract of refine_centroids)
+              SELECT cell, pos, round(avg(x), 6) AS m
+              FROM (
+                SELECT cell, unnest(v) AS x,
+                       unnest(range(1, len(v) + 1)) AS pos
+                FROM assigned0
+              )
+              GROUP BY cell, pos
+            ), refined AS (
+              SELECT cell, list(m ORDER BY pos) AS centroid
+              FROM dmeans GROUP BY cell
+            ), cents AS (
+              SELECT c0.cell, COALESCE(r.centroid, c0.centroid) AS centroid
+              FROM cents0 c0 LEFT JOIN refined r ON c0.cell = r.cell
+            ), assigned AS (
+              SELECT vec_id, v, cell FROM (
+                SELECT e.vec_id, e.v, c.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(e.v, c.centroid) DESC,
+                                  c.cell ASC) AS rn
+                FROM e, cents c
+              ) WHERE rn = 1
+            )"""
+
 _SQL_SPANS = f"""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
@@ -916,6 +972,20 @@ def q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication: IVF-clustered embeddings, drop
+    within-cluster near-duplicates (cos ≥ 0.3), keep the min-id
+    representative; survivors with their cluster
+    (operators/similarity.py:semantic_dedup — bounded sampled-Lloyd
+    training, zero-exchange assignment, within-cell pair join only)."""
+    from agentic_doc_spark.operators.similarity import semantic_dedup
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return semantic_dedup(emb, threshold=0.3).select("vec_id", "cell")
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (the similarity-search scale path): deterministic cells,
     n_probe nearest cells per query, exact cosine inside."""
@@ -1170,6 +1240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substrings": q_dedup_substrings,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_ivf": q_ann_ivf,
+        "semantic_dedup": q_semantic_dedup,
         "embedding_near_pairs": q_embedding_near_pairs,
         "embedding_buckets": q_embedding_buckets,
         "extraction_validate": q_extraction_validate,
@@ -2082,56 +2153,8 @@ def oracle_sql() -> dict[str, str]:
             FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
             WHERE list_cosine_similarity(l.v, r.v) >= 0.3
         """,
-        "ann_ivf": """
-            WITH e AS (
-              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-            ), t AS (
-              -- deterministic md5-mod TRAINING sample sized to
-              -- ~train_per_cell(256) × n_cells(8) vectors (mirrors
-              -- similarity._train_sample; m = 1 at this scale so the
-              -- sample is the full set)
-              SELECT vec_id, v FROM e
-              WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
-                    % (SELECT GREATEST(1, COUNT(*) // 2048) FROM e) = 0
-            ), cents0 AS (
-              SELECT vec_id % 8 AS cell,
-                     arg_min(v, vec_id) AS centroid
-              FROM t GROUP BY 1
-            ), assigned0 AS (
-              -- Lloyd round 1: assignment of the TRAIN sample against
-              -- the seed centroids
-              SELECT vec_id, v, cell FROM (
-                SELECT t.vec_id, t.v, c.cell,
-                       row_number() OVER (PARTITION BY t.vec_id
-                         ORDER BY list_cosine_similarity(t.v, c.centroid) DESC,
-                                  c.cell ASC) AS rn
-                FROM t, cents0 c
-              ) WHERE rn = 1
-            ), dmeans AS (
-              -- per-dim member means, rounded to 6 dp (the cross-engine
-              -- determinism contract of refine_centroids)
-              SELECT cell, pos, round(avg(x), 6) AS m
-              FROM (
-                SELECT cell, unnest(v) AS x,
-                       unnest(range(1, len(v) + 1)) AS pos
-                FROM assigned0
-              )
-              GROUP BY cell, pos
-            ), refined AS (
-              SELECT cell, list(m ORDER BY pos) AS centroid
-              FROM dmeans GROUP BY cell
-            ), cents AS (
-              SELECT c0.cell, COALESCE(r.centroid, c0.centroid) AS centroid
-              FROM cents0 c0 LEFT JOIN refined r ON c0.cell = r.cell
-            ), assigned AS (
-              SELECT vec_id, v, cell FROM (
-                SELECT e.vec_id, e.v, c.cell,
-                       row_number() OVER (PARTITION BY e.vec_id
-                         ORDER BY list_cosine_similarity(e.v, c.centroid) DESC,
-                                  c.cell ASC) AS rn
-                FROM e, cents c
-              ) WHERE rn = 1
-            ), probes AS (
+        "ann_ivf": _SQL_IVF_ASSIGNED
+        + """, probes AS (
               SELECT query_id, qv, cell FROM (
                 SELECT q.vec_id AS query_id, q.v AS qv, c.cell,
                        row_number() OVER (PARTITION BY q.vec_id
@@ -2153,6 +2176,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, neighbor_id, round(cos, 4) AS cos_r,
                    CAST(rank AS INT) AS rank
             FROM ranked WHERE rank <= 3
+        """,
+        "semantic_dedup": _SQL_IVF_ASSIGNED
+        + """, dropped AS (
+              SELECT DISTINCT b.vec_id
+              FROM assigned a JOIN assigned b USING (cell)
+              WHERE a.vec_id < b.vec_id
+                AND list_cosine_similarity(a.v, b.v) >= 0.3
+            )
+            SELECT a.vec_id, a.cell FROM assigned a
+            WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)
         """,
         "embedding_buckets": """
             SELECT array_to_string(list_transform(range(0, 8), d ->

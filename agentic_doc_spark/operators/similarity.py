@@ -417,3 +417,55 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    n_cells: int = 8,
+    refine: int = 1,
+    train_per_cell: int = 256,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    public method): cluster embeddings with the IVF centroid trainer
+    (bounded sampled k-means, deterministic), then WITHIN each cluster
+    drop every vector that has a lower-id near-duplicate at
+    cos ≥ ``threshold``. Keeping the minimum id per near-dup
+    neighborhood is the repo's deterministic survivor convention (same
+    rule as exact/MinHash dedup) — no RNG, no transitive closure, so
+    the result is reproducible in any engine.
+
+    Returns the SURVIVORS as (id, cell).
+
+    Scale shape: centroid training is the bounded sampled-Lloyd path of
+    ``ivf_topk`` (one filtered scan); assignment is zero-exchange
+    (centroid literals, in-row argmax); the only quadratic term is the
+    within-cell pair join — the same candidate-bounding tradeoff as the
+    published method, tunable by ``n_cells`` (cells shrink as cells
+    multiply; at 10^10 vectors use n_cells ~ 10^5 so cells hold ~10^5
+    vectors). The anti-join back is an equi-join on id."""
+    proj = corpus.select(F.col(id_col), F.col(vec_col))
+    train = _train_sample(proj, n_cells, train_per_cell, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        cents = _train_centroids(train, n_cells, refine, vec_col, id_col)
+    finally:
+        train.unpersist(False)
+    assigned = assign_cells(proj, None, vec_col, id_col, cells=cents)
+    a = assigned.select(
+        F.col(id_col).alias("_a"), F.col(vec_col).alias("_av"), "cell"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("_b"), F.col(vec_col).alias("_bv"), "cell"
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("_a") < F.col("_b"))
+        .filter(cosine(F.col("_av"), F.col("_bv")) >= threshold)
+        .select(F.col("_b").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dropped, id_col, "left_anti").select(id_col, "cell")

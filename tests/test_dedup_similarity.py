@@ -373,3 +373,44 @@ def test_duplicate_gram_spans_merges_chained_windows(spark):
         for r in duplicate_gram_spans(docs, k=8).collect()
     )
     assert got == [(1, 0, 8), (1, 11, 19), (2, 0, 8), (2, 11, 19)]
+
+
+def test_semantic_dedup_drops_higher_id_near_dups(spark):
+    from agentic_doc_spark.operators.similarity import semantic_dedup
+
+    # vectors 0/5 nearly identical (cos≈1), 1/9 identical, rest spread
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (5, [0.999, 0.001, 0.0, 0.0]),
+        (9, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]),
+        (3, [0.0, 0.0, 0.0, 1.0]),
+        (4, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(emb, threshold=0.95, n_cells=2).collect()
+    )
+    # 5 (near-dup of 0) and 9 (dup of 1) must drop iff co-clustered with
+    # their lower-id twin; nothing else may drop
+    assert 0 in kept and 1 in kept and {2, 3, 4} <= set(kept)
+    assert len(kept) <= 7
+
+    # identical vectors always co-cluster: 9 must be gone
+    assert 9 not in kept
+
+
+def test_semantic_dedup_partition_invariant(spark):
+    from agentic_doc_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (i, [float((i * 7 + d) % 5 - 2) for d in range(4)]) for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = sorted(map(tuple, semantic_dedup(emb, 0.9, 4).collect()))
+    b = sorted(
+        map(tuple, semantic_dedup(emb.repartition(7), 0.9, 4).collect())
+    )
+    assert a == b and 0 < len(a) < 40
