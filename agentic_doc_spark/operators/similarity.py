@@ -455,16 +455,38 @@ def semantic_dedup(
     finally:
         train.unpersist(False)
     assigned = assign_cells(proj, None, vec_col, id_col, cells=cents)
-    a = assigned.select(
-        F.col(id_col).alias("_a"), F.col(vec_col).alias("_av"), "cell"
+    # Stage each vector's norm ONCE per row BEFORE the pair join: the
+    # per-pair predicate then runs a single dot fold instead of
+    # dot + 2 norms. (Measured gain at sf0.1 is ~10% — pair-row
+    # materialization of the two vectors dominates — but the fold
+    # count per pair drops 3× and the staging costs one projection.)
+    # try_divide(dot, na*nb) is the exact expression cosine() builds —
+    # same floats, evaluated once per side instead of once per pair.
+    from agentic_doc_spark.operators.dedup import _dot, _norm
+
+    normed = assigned.withColumn("_n", _norm(F.col(vec_col)))
+    a = normed.select(
+        F.col(id_col).alias("_a"),
+        F.col(vec_col).alias("_av"),
+        F.col("_n").alias("_an"),
+        "cell",
     )
-    b = assigned.select(
-        F.col(id_col).alias("_b"), F.col(vec_col).alias("_bv"), "cell"
+    b = normed.select(
+        F.col(id_col).alias("_b"),
+        F.col(vec_col).alias("_bv"),
+        F.col("_n").alias("_bn"),
+        "cell",
+    )
+    cos = F.coalesce(
+        F.try_divide(
+            _dot(F.col("_av"), F.col("_bv")), F.col("_an") * F.col("_bn")
+        ),
+        F.lit(0.0),
     )
     dropped = (
         a.join(b, "cell")
         .filter(F.col("_a") < F.col("_b"))
-        .filter(cosine(F.col("_av"), F.col("_bv")) >= threshold)
+        .filter(cos >= threshold)
         .select(F.col("_b").alias(id_col))
         .distinct()
     )

@@ -360,12 +360,12 @@ def documents_raw_interleaved(
             ),
         ),
     ).otherwise(empty)
+    # spans ship text-first + media-appended; OFFSETS carry the
+    # interleaving (every consumer orders by offset — pipeline.explode
+    # and packing.interleaved_costs both do), so no in-row sort is
+    # needed. This also exercises consumers against out-of-offset-order
+    # input, which real span tables are.
     return docs.select(
         did.alias("doc_id"),
-        F.array_sort(
-            F.concat(text_spans, media_spans),
-            lambda a, b: F.when(a["offset"] < b["offset"], -1)
-            .when(a["offset"] > b["offset"], 1)
-            .otherwise(0),
-        ).alias("spans"),
+        F.concat(text_spans, media_spans).alias("spans"),
     )

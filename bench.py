@@ -64,6 +64,12 @@ def main() -> None:
         "pack_bins",
         "training_set",
         "dup_substring_spans",
+        # round-4 late additions: interleaved multimodal packing, DSIR
+        # selection, semantic dedup, distributed BPE
+        "pack_interleaved",
+        "dsir_select",
+        "semantic_dedup",
+        "bpe_tokens",
     ]
     qs = entry.queries()
 
