@@ -611,6 +611,21 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain mixture resampling (T=0.7 over the
+    source column at constant token budget): small sources repeat
+    (epochs), large sources downsample; deterministic md5 keep
+    decisions (operators/selection.py:domain_mix — bounded domain
+    stats broadcast, in-row sequence explode, no window)."""
+    from agentic_doc_spark.functions.textstats import token_count_ws
+    from agentic_doc_spark.operators.selection import domain_mix
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", token_count_ws(F.col("text")).alias("t")
+    )
+    return domain_mix(docs, "source", "t", temperature=0.7)
+
+
 def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE: learn 40 merges from the corpus word-frequency
     table (one shuffle + bounded driver merge loop), then count BPE
@@ -1228,6 +1243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_interleaved": q_pack_interleaved,
         "stratified_sample": q_stratified_sample,
         "dsir_select": q_dsir_select,
+        "domain_mix": q_domain_mix,
         "bpe_tokens": q_bpe_tokens,
         "decontaminate": q_decontaminate,
         "training_set": q_training_set,
@@ -1603,6 +1619,32 @@ def oracle_sql() -> dict[str, str]:
                   < CASE WHEN lang = 'en' THEN 0.5
                          WHEN lang = 'de' THEN 0.2
                          ELSE 0.05 END
+        """,
+        "domain_mix": f"""
+            WITH d AS (
+              SELECT doc_id, source,
+                     CAST(len({_WS_WORDS}) AS BIGINT) AS t
+              FROM documents
+            ), s AS (
+              SELECT source, SUM(t) AS n FROM d GROUP BY 1
+            ), tot AS (
+              SELECT SUM(n) AS budget, SUM(pow(n, 0.7)) AS z FROM s
+            ), r AS (
+              SELECT source,
+                     round(budget * pow(n, 0.7) / z / n, 6) AS rate
+              FROM s, tot
+            ), k AS (
+              SELECT d.doc_id, d.source,
+                     CAST(floor(rate) AS BIGINT)
+                     + (CASE WHEN ('0x' || substr(md5(
+                           CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                           / 1152921504606846976.0
+                           < rate - floor(rate)
+                        THEN 1 ELSE 0 END) AS n_copies
+              FROM d JOIN r USING (source)
+            )
+            SELECT doc_id, source, unnest(range(1, n_copies + 1)) AS copy
+            FROM k
         """,
         "dsir_select": """
             WITH w AS (

@@ -94,6 +94,70 @@ def dsir_weights(
     )
 
 
+def domain_mix(
+    docs: DataFrame,
+    domain_col: str,
+    tokens_col: str,
+    temperature: float = 0.7,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based domain mixture resampling (the standard
+    multi-source pre-training rebalancer, e.g. multilingual
+    temperature sampling): target share of domain s is
+    ``n_s^T / Σ n^T`` (T < 1 flattens the mixture toward small
+    domains), realized at the SAME total token budget by per-domain
+    rates ``r_s = budget·p_s / n_s`` — small domains get r > 1
+    (epoch repetition), large domains r < 1 (downsampling).
+
+    Each document is emitted ``floor(r)`` times plus one more iff
+    md5-uniform(id) < frac(r) — deterministic, engine-portable, no
+    RNG state. Rates are rounded to 6 dp before use so a 1-ulp pow()
+    difference between engines cannot flip a keep decision.
+
+    Output: one row per (document, copy): (id, domain, copy).
+
+    Scale shape: one bounded groupBy(domain) for the stats (domains ≪
+    corpus), broadcast back, then a pure map + in-row sequence explode
+    — no window, no global sort, no skew beyond the domain sizes
+    themselves."""
+    stats = docs.groupBy(domain_col).agg(
+        F.sum(tokens_col).alias("_n")
+    )
+    tot = stats.agg(
+        F.sum("_n").alias("_budget"),
+        F.sum(F.pow(F.col("_n").cast("double"), temperature)).alias(
+            "_z"
+        ),
+    )
+    rates = stats.crossJoin(F.broadcast(tot)).select(
+        domain_col,
+        F.round(
+            F.col("_budget")
+            * F.pow(F.col("_n").cast("double"), temperature)
+            / F.col("_z")
+            / F.col("_n"),
+            6,
+        ).alias("_rate"),
+    )
+    u = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("double") / F.lit(float(2 ** 60))
+    k = F.floor(F.col("_rate")).cast("long") + F.when(
+        u < F.col("_rate") - F.floor(F.col("_rate")), 1
+    ).otherwise(0)
+    copies = F.when(
+        k >= 1, F.sequence(F.lit(1).cast("long"), k)
+    ).otherwise(F.array().cast("array<bigint>"))
+    return (
+        docs.join(F.broadcast(rates), domain_col)
+        .select(
+            id_col,
+            domain_col,
+            F.explode(copies).alias("copy"),
+        )
+    )
+
+
 def dsir_select(
     docs: DataFrame,
     target_col: str,

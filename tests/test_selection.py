@@ -44,3 +44,45 @@ def test_dsir_weights_partition_invariant(spark):
         map(tuple, dsir_weights(docs.repartition(7), "is_t").collect())
     )
     assert a == b
+
+
+def test_domain_mix_rebalances_toward_small_domains(spark):
+    from agentic_doc_spark.operators.selection import domain_mix
+
+    # big: 90 docs × 100 tokens; small: 10 docs × 10 tokens
+    rows = [(i, "big", 100) for i in range(90)] + [
+        (100 + i, "small", 10) for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, domain string, t long")
+    out = domain_mix(docs, "domain", "t", temperature=0.5).toPandas()
+    per = out.groupby("domain").size().to_dict()
+    # T=0.5 flattens hard: the small domain must repeat (>1 copy/doc
+    # on average), the big domain must drop documents
+    assert per["small"] > 10 * 2
+    assert per["big"] < 90
+    # per-doc copy indexes are dense 1..k
+    g = out.groupby("doc_id")["copy"].agg(["min", "max", "count"])
+    assert (g["min"] == 1).all() and (g["max"] == g["count"]).all()
+
+
+def test_domain_mix_identity_when_uniform(spark):
+    from agentic_doc_spark.operators.selection import domain_mix
+
+    # equal domains → rate 1.0 exactly → every doc exactly once
+    rows = [(i, f"d{i % 4}", 50) for i in range(80)]
+    docs = spark.createDataFrame(rows, "doc_id long, domain string, t long")
+    out = domain_mix(docs, "domain", "t", temperature=0.7).collect()
+    assert sorted(r["doc_id"] for r in out) == list(range(80))
+    assert all(r["copy"] == 1 for r in out)
+
+
+def test_domain_mix_partition_invariant(spark):
+    from agentic_doc_spark.operators.selection import domain_mix
+
+    rows = [(i, "a" if i % 7 else "b", (i % 13) + 1) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, domain string, t long")
+    a = sorted(map(tuple, domain_mix(docs, "domain", "t").collect()))
+    b = sorted(
+        map(tuple, domain_mix(docs.repartition(11), "domain", "t").collect())
+    )
+    assert a == b
