@@ -78,8 +78,29 @@ def dsir_weights(
             6,
         ).alias("lam"),
     )
-    terms = per.join(F.broadcast(lam), "bucket").select(
-        id_col, "bucket", (F.col("c") * F.col("lam")).alias("term")
+    # Collect the BOUNDED ratio table (≤ n_buckets rows — a dimension
+    # load, not a data collect) and re-inject it as a map literal:
+    # without this the lam subtree re-derives the word counts inside
+    # the final plan, so the corpus is scanned and exploded THREE times
+    # per run (plan audit showed 6 exchanges / 3 scans). With the
+    # literal: one bounded training job + ONE corpus scan at execution
+    # (2 exchanges) — the same driver-orchestrated-bounded-stats shape
+    # as the IVF centroid literals. Rounding already happened in Spark,
+    # so the collected doubles are the exact values the inline form
+    # would have used.
+    lam_map = F.create_map(
+        *[
+            F.lit(x)
+            for r in sorted(lam.collect(), key=lambda r: r["bucket"])
+            for x in (r["bucket"], r["lam"])
+        ]
+    )
+    terms = per.select(
+        id_col,
+        "bucket",
+        (F.col("c") * F.coalesce(lam_map[F.col("bucket")], F.lit(0.0))).alias(
+            "term"
+        ),
     )
     ordered = F.array_sort(F.collect_list(F.struct("bucket", "term")))
     return terms.groupBy(id_col).agg(
