@@ -68,6 +68,7 @@ def main() -> None:
         # selection, semantic dedup, distributed BPE
         "pack_interleaved",
         "dsir_select",
+        "domain_mix",
         "semantic_dedup",
         "bpe_tokens",
     ]
