@@ -1583,10 +1583,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pack_interleaved": f"""
             WITH c AS (
+              -- literal-space split, UNFILTERED: must mirror the Spark
+              -- side's F.split(text, ' ') span construction (same
+              -- convention as _SQL_SPANS), NOT the regex-filtered
+              -- _WS_WORDS — they differ on consecutive/leading
+              -- whitespace
               SELECT doc_id,
-                     CAST(len({_WS_WORDS}) AS BIGINT) AS n,
-                     CAST(ceil(len({_WS_WORDS}) / {TOKENS_PER_SPAN}.0)
-                          AS BIGINT) AS ns
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+                     CAST(ceil(len(string_split(text, ' '))
+                          / {TOKENS_PER_SPAN}.0) AS BIGINT) AS ns
               FROM documents
             ), d AS (
               SELECT doc_id, n, ns,

@@ -153,7 +153,10 @@ def apply_bpe(
     table is closure-captured (bounded: ``n_merges`` entries), not a
     join."""
     ranks = {p: i for i, p in enumerate(merges)}
-    schema = f"{id_col} long, n_words long, n_bpe_tokens long"
+    # carry the caller's actual id dtype through (doc ids are strings
+    # in documents_raw frames, longs in the benchmark tables)
+    id_type = docs.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, n_words long, n_bpe_tokens long"
 
     def kernel(batches: Iterator["object"]) -> Iterator["object"]:
         import pandas as pd

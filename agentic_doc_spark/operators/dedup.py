@@ -635,8 +635,23 @@ def near_dedup(
 def _md5_key64(col: Column) -> Column:
     """Portable 60-bit fold of a string (first 15 hex chars of md5 →
     BIGINT) — the cross-engine join-key fold used where xxhash64 has no
-    DuckDB twin. Collision odds at 2^60 are negligible for gram keys."""
+    DuckDB twin. Collision odds at 2^60 are negligible for gram keys.
+
+    This expression IS the DuckDB-parity contract
+    (``('0x'||substr(md5(x),1,15))::BIGINT``); every md5-derived
+    bucket/uniform in the repo must route through here or
+    ``md5_uniform`` so the two engines cannot silently diverge."""
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def md5_uniform(col: Column) -> Column:
+    """Deterministic engine-portable uniform in [0, 1): the 60-bit md5
+    fold scaled by 2^60 (DuckDB: ``... / 1152921504606846976.0``).
+    The shared keep-decision primitive for stratified sampling, domain
+    mixing, and any other reproducible subsampling."""
+    return _md5_key64(col.cast("string")).cast("double") / F.lit(
+        float(2 ** 60)
+    )
 
 
 def duplicate_gram_spans(

@@ -121,9 +121,9 @@ def sample_stratified(
     ('0x'||substr(md5(id),1,15))::BIGINT / 2^60), reproducible across
     runs/cluster sizes, and uncorrelated with the id distribution.
     Pure map — no shuffle, no RNG state."""
-    u = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
-    ).cast("double") / F.lit(float(2 ** 60))
+    from agentic_doc_spark.operators.dedup import md5_uniform
+
+    u = md5_uniform(F.col(id_col))
     rate = F.lit(float(default_rate))
     for k, v in sorted(rates.items()):
         rate = F.when(F.col(stratum_col) == k, F.lit(float(v))).otherwise(rate)

@@ -30,11 +30,61 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _bucket(col, n_buckets: int):
-    """Canonical engine-portable hash bucket of a word."""
-    return (
-        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
-        % n_buckets
+def _bucket_counts(
+    docs: DataFrame,
+    target_col: str,
+    text_col: str,
+    id_col: str,
+    n_buckets: int,
+) -> DataFrame:
+    """Per-(doc, bucket) word counts via an Arrow-batched kernel:
+    hashlib-C md5 (bit-identical to the ``_bucket`` expression — same
+    hex fold, same utf-8 bytes, memoised per distinct word) and
+    integer counting inside the row. Replaces the explode → expression
+    md5 per token → partial-agg shuffle shape: counts complete within
+    each document, so NO shuffle is needed to produce them, and the
+    corpus-token-scale JVM MessageDigest work (which anti-scales under
+    high thread counts — see CLAUDE.md perf rules) disappears.
+    Integer-only, so there is no float-parity surface."""
+    id_type = docs.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, _is_t boolean, bucket long, c long"
+
+    def kernel(batches):
+        import hashlib
+        from collections import Counter
+
+        import pandas as pd
+
+        memo: dict[str, int] = {}
+
+        def b(w: str) -> int:
+            r = memo.get(w)
+            if r is None:
+                r = (
+                    int(hashlib.md5(w.encode("utf-8")).hexdigest()[:15], 16)
+                    % n_buckets
+                )
+                memo[w] = r
+            return r
+
+        for pdf in batches:
+            ids, ts, bs, cs = [], [], [], []
+            for i, t, tgt in zip(
+                pdf[id_col], pdf[text_col], pdf[target_col]
+            ):
+                for bk, c in Counter(
+                    b(w) for w in (t or "").split(" ")
+                ).items():
+                    ids.append(i)
+                    ts.append(bool(tgt))
+                    bs.append(bk)
+                    cs.append(c)
+            yield pd.DataFrame(
+                {id_col: ids, "_is_t": ts, "bucket": bs, "c": cs}
+            )
+
+    return docs.select(id_col, text_col, target_col).mapInPandas(
+        kernel, schema
     )
 
 
@@ -54,14 +104,7 @@ def dsir_weights(
     add-``alpha`` smoothing, summed in canonical bucket order and
     rounded to 6 dp. Positive weight ⇒ more target-like than the pool.
     """
-    words = docs.select(
-        F.col(id_col),
-        F.col(target_col).alias("_is_t"),
-        F.explode(F.split(F.col(text_col), " ")).alias("_w"),
-    )
-    per = words.groupBy(
-        id_col, "_is_t", _bucket(F.col("_w"), n_buckets).alias("bucket")
-    ).agg(F.count("*").alias("c"))
+    per = _bucket_counts(docs, target_col, text_col, id_col, n_buckets)
     stats = per.groupBy("bucket").agg(
         F.sum(F.when(F.col("_is_t"), F.col("c")).otherwise(0)).alias("t_b"),
         F.sum("c").alias("r_b"),
@@ -160,9 +203,9 @@ def domain_mix(
             6,
         ).alias("_rate"),
     )
-    u = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
-    ).cast("double") / F.lit(float(2 ** 60))
+    from agentic_doc_spark.operators.dedup import md5_uniform
+
+    u = md5_uniform(F.col(id_col))
     k = F.floor(F.col("_rate")).cast("long") + F.when(
         u < F.col("_rate") - F.floor(F.col("_rate")), 1
     ).otherwise(0)

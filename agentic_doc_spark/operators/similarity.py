@@ -454,7 +454,16 @@ def semantic_dedup(
         cents = _train_centroids(train, n_cells, refine, vec_col, id_col)
     finally:
         train.unpersist(False)
-    assigned = assign_cells(proj, None, vec_col, id_col, cells=cents)
+    # Materialize the full-corpus assignment ONCE: it feeds the a-side,
+    # the b-side, and the final anti-join left — without the cut,
+    # Catalyst re-derives the scan + argmax fold in all three branches
+    # (plan audit showed three corpus scans). Reliable checkpoint on
+    # clusters, localCheckpoint in local mode (dedup._truncate_lineage).
+    from agentic_doc_spark.operators.dedup import _truncate_lineage
+
+    assigned = _truncate_lineage(
+        assign_cells(proj, None, vec_col, id_col, cells=cents)
+    )
     # Stage each vector's norm ONCE per row BEFORE the pair join: the
     # per-pair predicate then runs a single dot fold instead of
     # dot + 2 norms. (Measured gain at sf0.1 is ~10% — pair-row

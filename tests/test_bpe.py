@@ -76,3 +76,13 @@ def test_train_bpe_partition_invariant(spark):
         "doc_id long, text string",
     )
     assert train_bpe(docs, 6) == train_bpe(docs.repartition(7), 6)
+
+
+def test_apply_bpe_preserves_string_ids(spark):
+    docs = spark.createDataFrame(
+        [("doc-a", "low low"), ("doc-b", "newest")],
+        "doc_id string, text string",
+    )
+    merges = merges_from_counts(SENNRICH, 3)
+    got = {r["doc_id"]: r["n_words"] for r in apply_bpe(docs, merges).collect()}
+    assert got == {"doc-a": 2, "doc-b": 1}
