@@ -2,15 +2,15 @@
 
 Images/audio/video ride as opaque BINARY columns with typed metadata
 (schema.MEDIA_REFS). Image decode is REAL for PNG and for baseline AND
-progressive JPEG via the pure-stdlib codecs in functions/png.py and
-functions/jpeg.py (PIL slots in ahead of them when installed) — see
-``_decode_array``'s decode ladder. Payloads outside that ladder
-(arithmetic/12-bit JPEG, other formats)
+progressive JPEG, GIF (incl. animation), and BMP via the pure-stdlib
+codecs in functions/{png,jpeg,gif,bmp}.py (PIL slots in ahead of them
+when installed) — see ``_decode_array``'s decode ladder. Payloads
+outside that ladder (arithmetic/12-bit JPEG, other formats)
 fall back to a deterministic fake derived from the bytes,
 and every row SURFACES which path it took via the ``decoded`` flag.
 Audio features are REAL for WAV/PCM payloads (functions/riff.py
 parse_wav → extract_audio_features); video frame sampling is REAL for
-MJPEG and raw-DIB AVIs; the
+MJPEG and raw-DIB AVIs plus animated GIFs; the
 reference fills the same contract with cv2/pymupdf
 (agentic_doc/utils.py:110-211, K1/K2).
 
@@ -42,8 +42,9 @@ def _decode_array(data: bytes) -> np.ndarray | None:
     """bytes → uint8 (h, w, ch) array, or None when undecodable.
 
     Decode ladder: PIL (any format, when installed) → the pure-stdlib
-    PNG codec (functions/png.py) → the pure-stdlib baseline JPEG decoder
-    (functions/jpeg.py) — both REAL even in this container → None."""
+    codecs: PNG (functions/png.py), baseline+progressive JPEG
+    (functions/jpeg.py), GIF (functions/gif.py), BMP
+    (functions/bmp.py) — all REAL even in this container → None."""
     if not data:
         return None
     if _HAS_PIL:
@@ -65,6 +66,18 @@ def _decode_array(data: bytes) -> np.ndarray | None:
         try:
             arr = jpeg.decode_jpeg(data)
             return arr[:, :, None] if arr.ndim == 2 else arr
+        except Exception:
+            return None
+    from agentic_doc_spark.functions import bmp, gif
+
+    if gif.is_gif(data):
+        try:
+            return gif.decode_gif(data)
+        except Exception:
+            return None
+    if bmp.is_bmp(data):
+        try:
+            return bmp.decode_bmp(data)
         except Exception:
             return None
     return None
@@ -602,7 +615,33 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
                             )
                         )
                     continue
-                # non-AVI payload: deterministic fake slices, surfaced
+                from agentic_doc_spark.functions.gif import (
+                    gif_frames,
+                    is_gif,
+                )
+
+                if is_gif(b):
+                    try:
+                        composed = gif_frames(b)
+                    except Exception:
+                        composed = []
+                    if composed:
+                        for i in range(0, len(composed), every_n):
+                            arr = composed[i]
+                            rows.append(
+                                (
+                                    ref,
+                                    i,
+                                    int(arr.shape[1]),
+                                    int(arr.shape[0]),
+                                    hashlib.sha256(
+                                        arr.tobytes()
+                                    ).hexdigest()[:16],
+                                    True,
+                                )
+                            )
+                        continue
+                # non-AVI/GIF payload: deterministic fake slices, surfaced
                 n_frames = max(1, len(b) // 256)
                 for i in range(0, n_frames, every_n):
                     chunk = b[i * 256 : (i + 1) * 256]
