@@ -181,6 +181,14 @@ def gif_frames(data: bytes, max_frames: int = 0) -> list[np.ndarray]:
     unchanged. ``max_frames`` > 0 stops early (frame sampling)."""
     if not is_gif(data):
         raise ValueError("not a GIF")
+    try:
+        return _gif_frames(data, max_frames)
+    except (struct.error, IndexError) as ex:
+        # truncated headers/blocks fold into the one contract exception
+        raise ValueError(f"corrupt GIF: {ex}") from ex
+
+
+def _gif_frames(data: bytes, max_frames: int) -> list[np.ndarray]:
     w, h, flags, bg_idx, _ = struct.unpack_from("<HHBBB", data, 6)
     if w * h > MAX_PIXELS or w == 0 or h == 0:
         raise ValueError(f"implausible GIF dimensions {w}x{h}")

@@ -135,3 +135,46 @@ def test_sample_frames_real_animated_gif(spark):
     assert all(
         r["decoded"] and r["width"] == 8 and r["height"] == 6 for r in rows
     )
+
+
+def test_gif_fuzz_truncation_and_corruption_fold_to_valueerror():
+    # corrupt/truncated GIFs must raise ValueError (or decode) — never
+    # hang, MemoryError, IndexError, or struct.error
+    import random
+
+    rng = random.Random(41)
+    data = encode_gif([_img(seed=21, shape=(16, 20))])
+    for cut in range(7, len(data), max(1, len(data) // 50)):
+        try:
+            decode_gif(data[:cut])
+        except ValueError:
+            pass
+    for _ in range(300):
+        b = bytearray(data)
+        for _ in range(rng.randint(1, 6)):
+            b[rng.randrange(6, len(b))] = rng.randrange(256)
+        try:
+            decode_gif(bytes(b))
+        except ValueError:
+            pass
+
+
+def test_bmp_fuzz_truncation_and_corruption_fold_to_valueerror():
+    import random
+
+    rng = random.Random(43)
+    img = _img(seed=22, shape=(12, 14))
+    data = encode_bmp(img)
+    for cut in range(2, len(data), max(1, len(data) // 40)):
+        try:
+            decode_bmp(data[:cut])
+        except ValueError:
+            pass
+    for _ in range(300):
+        b = bytearray(data)
+        for _ in range(rng.randint(1, 5)):
+            b[rng.randrange(2, len(b))] = rng.randrange(256)
+        try:
+            decode_bmp(bytes(b))
+        except ValueError:
+            pass
