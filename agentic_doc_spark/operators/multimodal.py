@@ -68,7 +68,7 @@ def _decode_array(data: bytes) -> np.ndarray | None:
             return arr[:, :, None] if arr.ndim == 2 else arr
         except Exception:
             return None
-    from agentic_doc_spark.functions import bmp, gif
+    from agentic_doc_spark.functions import bmp, gif, tiff
 
     if gif.is_gif(data):
         try:
@@ -78,6 +78,11 @@ def _decode_array(data: bytes) -> np.ndarray | None:
     if bmp.is_bmp(data):
         try:
             return bmp.decode_bmp(data)
+        except Exception:
+            return None
+    if tiff.is_tiff(data):
+        try:
+            return tiff.decode_tiff(data)
         except Exception:
             return None
     return None

@@ -140,6 +140,38 @@ def _pdf_spans(data: bytes, doc_id: str) -> list[tuple[str, str | None, str | No
     return [("raw", text, ref) for _p, _m, _i, text, ref in items]
 
 
+def _raster_spans(
+    data: bytes, doc_id: str
+) -> list[tuple[str, str | None, str | None]] | None:
+    """Raster DOCUMENT (png/jpeg/gif/bmp/tiff file fed to parse()) →
+    one media span per page under ``imgdoc://{doc_id}/p{i}`` refs, the
+    scanned-document analog of the ``pdfimg://`` path; multi-page TIFFs
+    (the fax/scanner shape) get one span per IFD via a header-only page
+    walk. None when the bytes are not a known raster format (text/md
+    keep the block path). Bytes are served by ``image_media_table`` —
+    span rows never carry payloads."""
+    from agentic_doc_spark.functions import bmp, gif, tiff
+    from agentic_doc_spark.functions.jpeg import is_jpeg
+    from agentic_doc_spark.functions.png import is_png
+
+    if tiff.is_tiff(data):
+        try:
+            n = tiff.tiff_page_count(data)
+        except ValueError:
+            n = 1
+        return [
+            ("raw", "", f"imgdoc://{doc_id}/p{i}") for i in range(max(n, 1))
+        ]
+    if (
+        is_png(data)
+        or is_jpeg(data)
+        or gif.is_gif(data)
+        or bmp.is_bmp(data)
+    ):
+        return [("raw", "", f"imgdoc://{doc_id}/p0")]
+    return None
+
+
 def layout_parse(binary_df: DataFrame) -> DataFrame:
     """(doc_id, content BINARY, doc_type) → documents_raw (doc_id, spans).
 
@@ -159,7 +191,7 @@ def layout_parse(binary_df: DataFrame) -> DataFrame:
                     if eff == "pdf":
                         spans = _pdf_spans(data, doc_id)
                     else:
-                        spans = [
+                        spans = _raster_spans(data, doc_id) or [
                             ("raw", b, None) for b in split_blocks(data, eff)
                         ]
                 except NotImplementedError as ex:
@@ -266,6 +298,57 @@ def pdf_media_table(binary_df: DataFrame) -> DataFrame:
                     rows.append(
                         (doc_id, f"pdfimg://{doc_id}/{i}", int(page),
                          bytearray(img))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "media_ref", "page", "content"]
+            )
+
+    return binary_df.mapInPandas(run, _MEDIA_TABLE)
+
+
+def image_media_table(binary_df: DataFrame) -> DataFrame:
+    """(doc_id, content, doc_type) → (doc_id, media_ref, page, content):
+    payloads behind ``_raster_spans``'s ``imgdoc://`` refs. Single-image
+    formats pass their original bytes through; multi-page TIFFs
+    transcode each page to PNG (pure functions/tiff.py →
+    functions/png.py) so every sidecar row is decodable by the standard
+    ladder. Same narrow-table discipline as ``pdf_media_table``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from agentic_doc_spark.functions import bmp, gif, tiff
+        from agentic_doc_spark.functions.jpeg import is_jpeg
+        from agentic_doc_spark.functions.png import encode_png, is_png
+
+        for pdf in batches:
+            rows = []
+            for doc_id, content, dt in zip(
+                pdf["doc_id"], pdf["content"], pdf["doc_type"]
+            ):
+                if dt == "pdf":
+                    continue
+                data = bytes(content)
+                if tiff.is_tiff(data):
+                    try:
+                        pages = tiff.tiff_pages(data)
+                    except ValueError:
+                        continue
+                    for i, arr in enumerate(pages):
+                        rows.append(
+                            (
+                                doc_id,
+                                f"imgdoc://{doc_id}/p{i}",
+                                i,
+                                bytearray(encode_png(arr)),
+                            )
+                        )
+                elif (
+                    is_png(data)
+                    or is_jpeg(data)
+                    or gif.is_gif(data)
+                    or bmp.is_bmp(data)
+                ):
+                    rows.append(
+                        (doc_id, f"imgdoc://{doc_id}/p0", 0, bytearray(data))
                     )
             yield pd.DataFrame(
                 rows, columns=["doc_id", "media_ref", "page", "content"]

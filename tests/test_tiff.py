@@ -1,0 +1,188 @@
+"""Pure-stdlib TIFF codec (functions/tiff.py)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from agentic_doc_spark.functions.tiff import (
+    decode_tiff,
+    encode_tiff,
+    is_tiff,
+    tiff_pages,
+)
+
+
+def _img(seed=7, shape=(19, 27)):
+    return np.random.RandomState(seed).randint(
+        0, 256, (*shape, 3), dtype=np.uint8
+    )
+
+
+@pytest.mark.parametrize(
+    "comp,pred", [(1, 1), (5, 1), (5, 2), (32773, 1)]
+)
+def test_tiff_roundtrip_compressions(comp, pred):
+    img = _img()
+    data = encode_tiff([img], compression=comp, predictor=pred)
+    assert is_tiff(data)
+    assert np.array_equal(decode_tiff(data), img)
+
+
+def test_tiff_lzw_width_growth_and_reset():
+    img = _img(seed=3, shape=(150, 220))
+    assert np.array_equal(decode_tiff(encode_tiff([img], 5, 2)), img)
+
+
+def test_tiff_lzw_predictor_compresses_gradients():
+    grad = np.tile(
+        np.arange(256, dtype=np.uint8)[None, :, None], (40, 1, 3)
+    )
+    plain = encode_tiff([grad], 1)
+    packed = encode_tiff([grad], 5, 2)
+    assert np.array_equal(decode_tiff(packed), grad)
+    assert len(packed) < len(plain) / 10
+
+
+def test_tiff_multipage_scanned_document_shape():
+    pages = [_img(seed=s, shape=(9, 11)) for s in range(3)]
+    dec = tiff_pages(encode_tiff(pages, 32773))
+    assert len(dec) == 3
+    for a, b in zip(dec, pages):
+        assert np.array_equal(a, b)
+
+
+def _minimal_tiff(tags, body):
+    """Hand-build a little-endian single-strip TIFF from (tag, type,
+    count, value) entries; value==None → patched to the strip offset."""
+    out = bytearray(b"II*\x00\x00\x00\x00\x00")
+    strip_off = len(out)
+    out += body
+    if len(out) % 2:
+        out += b"\x00"
+    ifd_off = len(out)
+    struct.pack_into("<I", out, 4, ifd_off)
+    entries = sorted(
+        (t, ty, n, strip_off if v is None else v) for t, ty, n, v in tags
+    )
+    out += struct.pack("<H", len(entries))
+    for t, ty, n, v in entries:
+        out += struct.pack("<HHII", t, ty, n, v)
+    out += b"\x00\x00\x00\x00"
+    return bytes(out)
+
+
+def test_tiff_bilevel_white_is_zero():
+    # 1-bit, photometric 0: bit 0 → white, bit 1 → black
+    idx = np.array([[0, 1, 0, 1, 1, 0, 0, 1], [1, 0, 1, 0, 0, 1, 1, 0]],
+                   dtype=np.uint8)
+    body = np.packbits(idx, axis=1).tobytes()
+    data = _minimal_tiff(
+        [
+            (256, 4, 1, 8), (257, 4, 1, 2), (258, 3, 1, 1),
+            (259, 3, 1, 1), (262, 3, 1, 0), (273, 4, 1, None),
+            (277, 3, 1, 1), (278, 4, 1, 2), (279, 4, 1, len(body)),
+        ],
+        body,
+    )
+    exp = np.array(
+        [[255, 255, 255], [0, 0, 0]], dtype=np.uint8
+    )[idx]
+    assert np.array_equal(decode_tiff(data), exp)
+
+
+def test_tiff_gray8_white_is_zero_inverts():
+    g = np.array([[0, 128, 255]], dtype=np.uint8)
+    data = _minimal_tiff(
+        [
+            (256, 4, 1, 3), (257, 4, 1, 1), (258, 3, 1, 8),
+            (259, 3, 1, 1), (262, 3, 1, 0), (273, 4, 1, None),
+            (277, 3, 1, 1), (278, 4, 1, 1), (279, 4, 1, 3),
+        ],
+        g.tobytes(),
+    )
+    exp = np.repeat((255 - g)[:, :, None], 3, axis=2)
+    assert np.array_equal(decode_tiff(data), exp)
+
+
+def test_tiff_ccitt_surfaced():
+    img = _img(seed=5, shape=(4, 4))
+    data = bytearray(encode_tiff([img], 1))
+    # patch Compression (tag 259) value to CCITT G4 (4)
+    idf_off = struct.unpack_from("<I", data, 4)[0]
+    count = struct.unpack_from("<H", data, idf_off)[0]
+    for i in range(count):
+        base = idf_off + 2 + 12 * i
+        if struct.unpack_from("<H", data, base)[0] == 259:
+            struct.pack_into("<I", data, base + 8, 4)
+    with pytest.raises(ValueError, match="CCITT"):
+        decode_tiff(bytes(data))
+
+
+def test_tiff_fuzz_folds_to_valueerror():
+    import random
+
+    rng = random.Random(47)
+    data = encode_tiff([_img(seed=21, shape=(12, 16))], 5, 2)
+    for cut in range(4, len(data), max(1, len(data) // 40)):
+        try:
+            decode_tiff(data[:cut])
+        except ValueError:
+            pass
+    for _ in range(300):
+        b = bytearray(data)
+        for _ in range(rng.randint(1, 6)):
+            b[rng.randrange(4, len(b))] = rng.randrange(256)
+        try:
+            decode_tiff(bytes(b))
+        except ValueError:
+            pass
+
+
+def test_decode_ladder_handles_tiff():
+    from agentic_doc_spark.operators.multimodal import _decode_array
+
+    img = _img(seed=11)
+    assert np.array_equal(_decode_array(encode_tiff([img], 5, 2)), img)
+
+
+def test_raster_documents_become_media_spans(spark, tmp_path):
+    from agentic_doc_spark.functions.png import decode_png, encode_png
+    from agentic_doc_spark.pipeline import extract
+    from agentic_doc_spark.sources.layout import (
+        image_media_table,
+        layout_parse,
+    )
+    from agentic_doc_spark.sources.resolve import read_binary_dir
+
+    pages = [_img(seed=s, shape=(10, 12)) for s in range(3)]
+    (tmp_path / "scan.tiff").write_bytes(encode_tiff(pages, 5, 2))
+    (tmp_path / "photo.png").write_bytes(encode_png(_img(seed=9)))
+    (tmp_path / "note.txt").write_text("Plain paragraph.\n\nSecond one.")
+
+    raw = read_binary_dir(spark, str(tmp_path))
+    parsed = {r["doc_id"]: r for r in extract(layout_parse(raw)).collect()}
+    by_name = {k.rsplit("/", 1)[-1]: v for k, v in parsed.items()}
+
+    scan = by_name["scan.tiff"]
+    assert [s["kind"] for s in scan["spans"]] == ["media"] * 3
+    assert [s["media_ref"] for s in scan["spans"]] == [
+        f"imgdoc://{scan['doc_id']}/p{i}" for i in range(3)
+    ]
+    assert scan["errors"] == []
+
+    photo = by_name["photo.png"]
+    assert [s["kind"] for s in photo["spans"]] == ["media"]
+
+    note = by_name["note.txt"]
+    assert [s["kind"] for s in note["spans"]] == ["text", "text"]
+
+    # the sidecar serves decodable bytes for every imgdoc:// ref
+    media = {r["media_ref"]: r for r in image_media_table(raw).collect()}
+    for i in range(3):
+        row = media[f"imgdoc://{scan['doc_id']}/p{i}"]
+        assert row["page"] == i
+        assert np.array_equal(decode_png(bytes(row["content"])), pages[i])
+    assert f"imgdoc://{photo['doc_id']}/p0" in media
