@@ -167,9 +167,18 @@ def _raster_spans(
         or is_jpeg(data)
         or gif.is_gif(data)
         or bmp.is_bmp(data)
+        or _is_webp(data)
     ):
         return [("raw", "", f"imgdoc://{doc_id}/p0")]
     return None
+
+
+def _is_webp(data: bytes) -> bool:
+    # RIFF container with WEBP form type; VP8/VP8L payload decode is
+    # outside the pure-stdlib ladder (surfaced by the `decoded` flag
+    # downstream), but the FILE must still route as a raster document,
+    # not fall through to the utf-8 text path
+    return data[:4] == b"RIFF" and data[8:12] == b"WEBP"
 
 
 def layout_parse(binary_df: DataFrame) -> DataFrame:
@@ -346,6 +355,7 @@ def image_media_table(binary_df: DataFrame) -> DataFrame:
                     or is_jpeg(data)
                     or gif.is_gif(data)
                     or bmp.is_bmp(data)
+                    or _is_webp(data)
                 ):
                     rows.append(
                         (doc_id, f"imgdoc://{doc_id}/p0", 0, bytearray(data))
