@@ -99,6 +99,7 @@ def parse(
     if connector_path and not isinstance(documents, DataFrame):
         df = resolve(spark, connector_path, pattern=connector_pattern)
 
+    binary_routed = None
     if "spans" not in df.columns:
         # raw-binary corpus (directory / bytes / path list): run the
         # layout-parse stage — txt/md/HTML and text-layer PDFs decode for
@@ -106,7 +107,8 @@ def parse(
         # documents are skipped, not fatal (R6, reference parse.py:183-190)
         from agentic_doc_spark.sources.layout import layout_parse, route_doc_types
 
-        df = layout_parse(route_doc_types(df))
+        binary_routed = route_doc_types(df)
+        df = layout_parse(binary_routed)
 
     parsed = extract(df, settings)
 
@@ -134,11 +136,25 @@ def parse(
             # (try/finally below) so a failed write cannot pin the cached
             # corpus for the driver's lifetime
             persisted = parsed = parsed.persist()
-            pages = (
-                page_rasters
-                if page_rasters is not None
-                else rasterize_pages(parsed)
-            )
+            pages = page_rasters
+            if pages is None and binary_routed is not None:
+                # raster DOCUMENTS (scanned TIFF/PNG/JPEG/... files)
+                # have REAL page images — use them for crops; only the
+                # remaining docs fall back to the synthesized layout
+                # pages (left-anti on doc_id keeps one source per doc)
+                from agentic_doc_spark.sources.layout import (
+                    image_media_table,
+                )
+
+                real = image_media_table(binary_routed).select(
+                    "doc_id", "page", "content"
+                )
+                synth_pages = rasterize_pages(parsed).join(
+                    real.select("doc_id").distinct(), "doc_id", "left_anti"
+                )
+                pages = real.unionByName(synth_pages)
+            elif pages is None:
+                pages = rasterize_pages(parsed)
             try:
                 write_grounding_images(
                     render_grounding_crops(parsed, pages), grounding_save_dir

@@ -411,13 +411,17 @@ def render_grounding_crops(
                 arr = cache[key]
                 if arr is None:  # R6: undecodable page → skip its crops
                     continue
-                piece = crop(
-                    arr,
-                    int(px["x0"]),
-                    int(px["y0"]),
-                    int(px["x1"]),
-                    int(px["y1"]),
-                )
+                # spec px live in the reference page space
+                # (page_width × page_height); the REAL page image may
+                # have any dimensions (scanned rasters, caller DPI) —
+                # scale the rect to the decoded page, keeping ≥1 px.
+                ah, aw = arr.shape[:2]
+                sx, sy = aw / page_width, ah / page_height
+                x0 = int(px["x0"] * sx)
+                y0 = int(px["y0"] * sy)
+                x1 = max(int(px["x1"] * sx), x0 + 1)
+                y1 = max(int(px["y1"] * sy), y0 + 1)
+                piece = crop(arr, x0, y0, min(x1, aw), min(y1, ah))
                 if piece.size == 0:
                     continue
                 out = (doc_id, rel, bytearray(encode_png(piece)))

@@ -196,13 +196,28 @@ def layout_parse(binary_df: DataFrame) -> DataFrame:
                 data = bytes(content)
                 is_html = dt == "image" and data[:1] == b"<"
                 eff = "html" if is_html or dt == "html" else dt
+                step = 1
                 try:
                     if eff == "pdf":
                         spans = _pdf_spans(data, doc_id)
                     else:
-                        spans = _raster_spans(data, doc_id) or [
-                            ("raw", b, None) for b in split_blocks(data, eff)
-                        ]
+                        spans = _raster_spans(data, doc_id)
+                        if spans is not None:
+                            # one span PER PAGE: space offsets by
+                            # spans_per_page so page_no = offset // spp
+                            # equals the real scan page — end_page_idx
+                            # and grounding pages line up with the
+                            # image_media_table sidecar
+                            from agentic_doc_spark.config import (
+                                DEFAULT_SETTINGS,
+                            )
+
+                            step = DEFAULT_SETTINGS.spans_per_page
+                        else:
+                            spans = [
+                                ("raw", b, None)
+                                for b in split_blocks(data, eff)
+                            ]
                 except NotImplementedError as ex:
                     # A document that reaches the parser but cannot be
                     # decoded is a PARSE failure, not a download failure:
@@ -223,7 +238,7 @@ def layout_parse(binary_df: DataFrame) -> DataFrame:
                 kinds.extend(k for k, _t, _m in spans)
                 texts.extend(t for _k, t, _m in spans)
                 refs.extend(m for _k, _t, m in spans)
-                offs.extend(range(len(spans)))
+                offs.extend(i * step for i in range(len(spans)))
             yield pd.DataFrame(
                 {
                     "doc_id": ids,

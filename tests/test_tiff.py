@@ -172,6 +172,8 @@ def test_raster_documents_become_media_spans(spark, tmp_path):
         f"imgdoc://{scan['doc_id']}/p{i}" for i in range(3)
     ]
     assert scan["errors"] == []
+    # one parsed page per scan page (offsets spaced by spans_per_page)
+    assert scan["end_page_idx"] == 2
 
     photo = by_name["photo.png"]
     assert [s["kind"] for s in photo["spans"]] == ["media"]
@@ -202,3 +204,42 @@ def test_webp_routes_as_raster_document(spark, tmp_path):
     row = extract(layout_parse(raw)).collect()[0]
     assert [s["kind"] for s in row["spans"]] == ["media"]
     assert row["spans"][0]["media_ref"].startswith("imgdoc://")
+
+
+def test_parse_scanned_tiff_grounding_crops_from_real_pages(
+    spark, tmp_path
+):
+    # parse(grounding_save_dir=) over a raster DOCUMENT: crops must come
+    # from the REAL page image (solid-color pages → solid-color crops),
+    # not the synthesized layout canvas
+    import os
+
+    from agentic_doc_spark.api import parse
+    from agentic_doc_spark.functions.png import decode_png
+
+    pages = [
+        np.full((40, 30, 3), (40 * (i + 1), 10, 200 - 30 * i), np.uint8)
+        for i in range(2)
+    ]
+    src = tmp_path / "docs"
+    src.mkdir()
+    (src / "scan.tiff").write_bytes(encode_tiff(pages, 5, 2))
+    save = str(tmp_path / "gsave")
+    out = parse(spark, str(src), grounding_save_dir=save)
+    rows = out.collect()
+    assert len(rows) == 1
+    paths = [
+        (c["grounding"][0]["page"], g["image_path"])
+        for c in (rows[0]["chunks"] or [])
+        for g in (c["grounding"] or [])
+        if g["image_path"] is not None
+    ]
+    assert {p for p, _ in paths} == {0, 1}
+    for page, path in paths:
+        assert os.path.isfile(path), path
+        with open(path, "rb") as f:
+            crop = decode_png(f.read())
+        # every pixel of the crop carries the page's solid color
+        uniq = np.unique(crop.reshape(-1, 3), axis=0)
+        assert uniq.shape[0] == 1
+        assert tuple(uniq[0]) == tuple(pages[page][0, 0])
