@@ -488,6 +488,69 @@ def q_pdf_scanned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spans_out.join(sidecar, "doc_id")
 
 
+def q_raster_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scanned raster DOCUMENTS (multi-page TIFF files, the fax shape):
+    parse() over a directory of LZW+predictor TIFFs must yield one
+    MEDIA span per scan page with page-aligned offsets (end_page_idx =
+    n_pages-1) and image_media_table must serve one decodable sidecar
+    payload per page (sources/layout.py:_raster_spans /
+    image_media_table, functions/tiff.py)."""
+    import shutil
+
+    import numpy as np
+
+    from agentic_doc_spark.api import parse
+    from agentic_doc_spark.functions.tiff import encode_tiff
+    from agentic_doc_spark.sources.layout import image_media_table
+    from agentic_doc_spark.sources.resolve import read_binary_dir
+
+    _ship(spark)
+    ids = sorted(
+        r[0]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 10 == 4)
+        .collect()
+    )
+    base = (
+        f"/tmp/spark_graft_rastertiff_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    for doc_id in ids:
+        n_pages = doc_id % 3 + 1
+        pages = [
+            np.full(
+                (12, 10, 3),
+                ((doc_id * 37 + p * 11) % 256, 80, 170),
+                np.uint8,
+            )
+            for p in range(n_pages)
+        ]
+        with open(f"{base}/{doc_id:08d}.tiff", "wb") as f:
+            f.write(encode_tiff(pages, compression=5, predictor=2))
+    parsed = parse(spark, base)
+    raw = read_binary_dir(spark, base)
+    num_id = F.regexp_extract(F.col("doc_id"), r"(\d+)\.tiff$", 1).cast(
+        "long"
+    )
+    sidecar = (
+        image_media_table(raw)
+        .groupBy(num_id.alias("doc_id"))
+        .agg(F.count("*").alias("n_sidecar"))
+    )
+    spans_out = parsed.select(
+        num_id.alias("doc_id"),
+        F.size("spans").alias("n_spans"),
+        F.size(
+            F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("media"))
+        ).alias("n_media"),
+        F.col("end_page_idx"),
+    )
+    return spans_out.join(sidecar, "doc_id")
+
+
 def q_chunk_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1: chunk-reference provenance join — synthetic metadata references
     (every doc < 50 references its chunks at (page 0, offsets 0 and 1))
@@ -1238,6 +1301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingest_extract": q_ingest_extract,
         "pdf_ingest": q_pdf_ingest,
         "pdf_scanned": q_pdf_scanned,
+        "raster_ingest": q_raster_ingest,
         "pack_bins": q_pack_bins,
         "pack_texts": q_pack_texts,
         "pack_interleaved": q_pack_interleaved,
@@ -1695,6 +1759,14 @@ def oracle_sql() -> dict[str, str]:
                    AS markdown,
                    'pdf' AS doc_type
             FROM documents WHERE doc_id % 10 = 1
+        """,
+        "raster_ingest": """
+            SELECT doc_id,
+                   CAST(doc_id % 3 + 1 AS INT) AS n_spans,
+                   CAST(doc_id % 3 + 1 AS INT) AS n_media,
+                   CAST(doc_id % 3 AS INT) AS end_page_idx,
+                   CAST(doc_id % 3 + 1 AS BIGINT) AS n_sidecar
+            FROM documents WHERE doc_id % 10 = 4
         """,
         "pdf_scanned": """
             SELECT doc_id,
