@@ -108,7 +108,7 @@ def parse(
         from agentic_doc_spark.sources.layout import layout_parse, route_doc_types
 
         binary_routed = route_doc_types(df)
-        df = layout_parse(binary_routed)
+        df = layout_parse(binary_routed, settings)
 
     parsed = extract(df, settings)
 
@@ -139,18 +139,30 @@ def parse(
             pages = page_rasters
             if pages is None and binary_routed is not None:
                 # raster DOCUMENTS (scanned TIFF/PNG/JPEG/... files)
-                # have REAL page images — use them for crops; only the
-                # remaining docs fall back to the synthesized layout
-                # pages (left-anti on doc_id keeps one source per doc)
+                # have REAL page images — use them for crops; all other
+                # (doc, page)s fall back to the synthesized layout pages
+                from pyspark.sql import functions as F
+
                 from agentic_doc_spark.sources.layout import (
                     image_media_table,
                 )
 
-                real = image_media_table(binary_routed).select(
-                    "doc_id", "page", "content"
+                # decodable-only: an undecodable real page (WebP, a
+                # CCITT TIFF page) must NOT anti-join away the doc's
+                # synthesized fallback pages — image_path would then
+                # point at crop files that are never written
+                real = (
+                    image_media_table(binary_routed)
+                    .filter(F.col("decodable"))
+                    .select("doc_id", "page", "content")
                 )
+                # per-PAGE anti-join: a doc whose page 1 is undecodable
+                # keeps its synthesized page 1 while page 0 crops come
+                # from the real scan (crop rects scale to either size)
                 synth_pages = rasterize_pages(parsed).join(
-                    real.select("doc_id").distinct(), "doc_id", "left_anti"
+                    real.select("doc_id", "page"),
+                    ["doc_id", "page"],
+                    "left_anti",
                 )
                 pages = real.unionByName(synth_pages)
             elif pages is None:

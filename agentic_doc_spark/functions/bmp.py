@@ -20,6 +20,31 @@ def is_bmp(data: bytes) -> bool:
     return data[:2] == b"BM" and len(data) > 54
 
 
+def sniff_bmp(data: bytes) -> bool:
+    """Strict header-plausibility probe for FILE ROUTING: the 2-byte
+    'BM' magic alone false-positives on ordinary text ("BMW sales
+    rose ..."), which must keep the text path. Requires a coherent
+    BITMAPINFOHEADER: known header size, planes == 1, supported bit
+    depth, plausible dimensions."""
+    if not is_bmp(data):
+        return False
+    try:
+        hdr_size = struct.unpack_from("<I", data, 14)[0]
+        w, h_raw = struct.unpack_from("<ii", data, 18)
+        planes, bits = struct.unpack_from("<HH", data, 26)
+    except struct.error:
+        return False
+    h = abs(h_raw)
+    return (
+        hdr_size in (40, 52, 56, 108, 124)
+        and planes == 1
+        and bits in (1, 4, 8, 16, 24, 32)
+        and 0 < w <= 1 << 20
+        and 0 < h <= 1 << 20
+        and w * h <= MAX_PIXELS
+    )
+
+
 def decode_bmp(data: bytes) -> np.ndarray:
     """bytes → RGB uint8 (h, w, 3). Raises on compressed or exotic
     variants (surfaced boundary, not silent corruption)."""
@@ -34,6 +59,19 @@ def decode_bmp(data: bytes) -> np.ndarray:
     compression = struct.unpack_from("<I", data, 30)[0]
     if compression not in (0, 3):  # BI_RGB / BI_BITFIELDS(default masks)
         raise ValueError(f"unsupported BMP compression {compression}")
+    if compression == 3:
+        # BI_BITFIELDS: only the default BGRX layout is supported —
+        # decoding with other masks would silently swap channels
+        # masks sit at byte 54 for BITMAPINFOHEADER (appended) and for
+        # V4/V5 headers (bV4RedMask field) alike
+        try:
+            r_m, g_m, b_m = struct.unpack_from("<III", data, 54)
+        except struct.error as ex:
+            raise ValueError("truncated BI_BITFIELDS masks") from ex
+        if (r_m, g_m, b_m) != (0x00FF0000, 0x0000FF00, 0x000000FF):
+            raise ValueError(
+                f"non-default BI_BITFIELDS masks {r_m:#x}/{g_m:#x}/{b_m:#x}"
+            )
     if bits not in (1, 4, 8, 24, 32):
         raise ValueError(f"unsupported BMP bit depth {bits}")
     top_down = h_raw < 0

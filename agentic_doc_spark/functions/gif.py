@@ -172,23 +172,31 @@ def _deinterlace(idx: np.ndarray) -> np.ndarray:
     return out
 
 
-def gif_frames(data: bytes, max_frames: int = 0) -> list[np.ndarray]:
+def gif_frames(
+    data: bytes, max_frames: int = 0, stride: int = 1
+) -> list[np.ndarray]:
     """Decode a GIF into COMPOSED RGB frames (uint8 (h, w, 3) each).
 
     Composition follows the 89a disposal model: frames draw onto the
     persistent canvas (disposal 0/1); disposal 2 restores the frame's
-    rect to the background color; transparent pixels leave the canvas
-    unchanged. ``max_frames`` > 0 stops early (frame sampling)."""
+    rect to the background color; disposal 3 restores the pre-frame
+    pixels; transparent pixels leave the canvas unchanged.
+    ``max_frames`` > 0 stops early. ``stride`` > 1 RETAINS only every
+    stride-th composed frame (frame sampling) — every frame must still
+    be composed for correctness, but the returned list holds only the
+    sampled copies, bounding memory to n/stride canvases."""
     if not is_gif(data):
         raise ValueError("not a GIF")
     try:
-        return _gif_frames(data, max_frames)
+        return _gif_frames(data, max_frames, max(stride, 1))
     except (struct.error, IndexError) as ex:
         # truncated headers/blocks fold into the one contract exception
         raise ValueError(f"corrupt GIF: {ex}") from ex
 
 
-def _gif_frames(data: bytes, max_frames: int) -> list[np.ndarray]:
+def _gif_frames(
+    data: bytes, max_frames: int, stride: int
+) -> list[np.ndarray]:
     w, h, flags, bg_idx, _ = struct.unpack_from("<HHBBB", data, 6)
     if w * h > MAX_PIXELS or w == 0 or h == 0:
         raise ValueError(f"implausible GIF dimensions {w}x{h}")
@@ -206,6 +214,7 @@ def _gif_frames(data: bytes, max_frames: int) -> list[np.ndarray]:
     )
     canvas = np.ones((h, w, 3), dtype=np.uint8) * bg_rgb
     frames: list[np.ndarray] = []
+    n_composed = 0
     transparent: int | None = None
     disposal = 0
 
@@ -256,17 +265,24 @@ def _gif_frames(data: bytes, max_frames: int) -> list[np.ndarray]:
         if fflags & 0x40:
             idx = _deinterlace(idx)
         region = canvas[fy : fy + fh, fx : fx + fw]
+        before = region.copy() if disposal == 3 else None
         rgb = ct[np.minimum(idx, len(ct) - 1)]
         if transparent is not None:
             mask = (idx != transparent)[:, :, None]
             region[:] = np.where(mask, rgb, region)
         else:
             region[:] = rgb
-        frames.append(canvas.copy())
-        if max_frames and len(frames) >= max_frames:
-            return frames
+        if n_composed % stride == 0:
+            frames.append(canvas.copy())
+            if max_frames and len(frames) >= max_frames:
+                return frames
+        n_composed += 1
         if disposal == 2:
             canvas[fy : fy + fh, fx : fx + fw] = bg_rgb
+        elif disposal == 3 and before is not None:
+            # restore-to-previous: the next frame composes over the
+            # pre-frame pixels, not over what this frame drew
+            canvas[fy : fy + fh, fx : fx + fw] = before
         transparent = None
         disposal = 0
     return frames

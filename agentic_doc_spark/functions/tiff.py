@@ -288,25 +288,55 @@ def _decode_page(data: bytes, tags: dict[int, list[int]]) -> np.ndarray:
     return px[:, :, :3].copy()
 
 
-def tiff_pages(data: bytes, max_pages: int = 64) -> list[np.ndarray]:
-    """Decode every page (IFD) to RGB uint8 (h, w, 3) — the multi-page
-    scanned-document shape."""
+def _walk_ifds(data: bytes, max_pages: int):
+    """Yield per-page tag dicts; ValueError on a broken container."""
     if not is_tiff(data):
         raise ValueError("not a TIFF")
+    e = "<" if data[:2] == b"II" else ">"
     try:
-        e = "<" if data[:2] == b"II" else ">"
         off = struct.unpack_from(e + "I", data, 4)[0]
-        pages = []
-        seen = set()
-        while off and len(pages) < max_pages:
-            if off in seen:
-                raise ValueError("cyclic IFD chain")
-            seen.add(off)
-            tags, off = _read_ifd(data, off, e)
-            pages.append(_decode_page(data, tags))
-        return pages
-    except (struct.error, IndexError, KeyError) as ex:
+    except struct.error as ex:
         raise ValueError(f"corrupt TIFF: {ex}") from ex
+    n = 0
+    seen = set()
+    while off and n < max_pages:
+        if off in seen:
+            raise ValueError("cyclic IFD chain")
+        seen.add(off)
+        try:
+            tags, off = _read_ifd(data, off, e)
+        except (struct.error, IndexError) as ex:
+            raise ValueError(f"corrupt TIFF IFD: {ex}") from ex
+        yield n, tags
+        n += 1
+
+
+def iter_tiff_pages(data: bytes, max_pages: int = 64):
+    """Yield ``(page_index, array_or_None)`` per IFD — None for a page
+    that fails to decode (CCITT page, corrupt strip) while the REST of
+    the document still decodes: a 4-page scanner TIFF with one bad page
+    must not lose its three good pages. Raises ValueError only when the
+    CONTAINER itself is broken (bad magic, cyclic/truncated IFD chain)."""
+    for n, tags in _walk_ifds(data, max_pages):
+        try:
+            arr = _decode_page(data, tags)
+        except (ValueError, struct.error, IndexError, KeyError):
+            arr = None
+        yield n, arr
+
+
+def tiff_pages(data: bytes, max_pages: int = 64) -> list[np.ndarray]:
+    """Decode every page (IFD) to RGB uint8 (h, w, 3) — the multi-page
+    scanned-document shape. STRICT: any undecodable page raises with
+    its cause (the codec-test contract); use ``iter_tiff_pages`` for
+    per-page tolerance."""
+    pages = []
+    for _n, tags in _walk_ifds(data, max_pages):
+        try:
+            pages.append(_decode_page(data, tags))
+        except (struct.error, IndexError, KeyError) as ex:
+            raise ValueError(f"corrupt TIFF page: {ex}") from ex
+    return pages
 
 
 def tiff_page_count(data: bytes, max_pages: int = 64) -> int:

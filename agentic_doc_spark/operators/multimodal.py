@@ -631,16 +631,18 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
 
                 if is_gif(b):
                     try:
-                        composed = gif_frames(b)
+                        # stride retains only the sampled frames: every
+                        # frame is still COMPOSED (disposal semantics),
+                        # but memory holds n/every_n canvases, not n
+                        composed = gif_frames(b, stride=every_n)
                     except Exception:
                         composed = []
                     if composed:
-                        for i in range(0, len(composed), every_n):
-                            arr = composed[i]
+                        for i, arr in enumerate(composed):
                             rows.append(
                                 (
                                     ref,
-                                    i,
+                                    i * every_n,
                                     int(arr.shape[1]),
                                     int(arr.shape[0]),
                                     hashlib.sha256(

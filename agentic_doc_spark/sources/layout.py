@@ -166,7 +166,10 @@ def _raster_spans(
         is_png(data)
         or is_jpeg(data)
         or gif.is_gif(data)
-        or bmp.is_bmp(data)
+        # sniff_bmp, not is_bmp: the bare 'BM' magic false-positives on
+        # ordinary text ("BMW sales rose ..."), which must keep the
+        # text path — the strict probe validates the DIB header
+        or bmp.sniff_bmp(data)
         or _is_webp(data)
     ):
         return [("raw", "", f"imgdoc://{doc_id}/p0")]
@@ -181,11 +184,17 @@ def _is_webp(data: bytes) -> bool:
     return data[:4] == b"RIFF" and data[8:12] == b"WEBP"
 
 
-def layout_parse(binary_df: DataFrame) -> DataFrame:
+def layout_parse(binary_df: DataFrame, settings=None) -> DataFrame:
     """(doc_id, content BINARY, doc_type) → documents_raw (doc_id, spans).
 
     Emits 'raw' kinds — classification happens in the extract kernel, so
-    the span stream composes with the rest of the pipeline unchanged."""
+    the span stream composes with the rest of the pipeline unchanged.
+    ``settings`` must be the SAME Settings later passed to extract():
+    raster-document page spacing uses ``settings.spans_per_page`` so
+    page_no = offset // spans_per_page equals the real scan page."""
+    from agentic_doc_spark.config import DEFAULT_SETTINGS
+
+    spans_per_page = (settings or DEFAULT_SETTINGS).spans_per_page
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -208,11 +217,7 @@ def layout_parse(binary_df: DataFrame) -> DataFrame:
                             # equals the real scan page — end_page_idx
                             # and grounding pages line up with the
                             # image_media_table sidecar
-                            from agentic_doc_spark.config import (
-                                DEFAULT_SETTINGS,
-                            )
-
-                            step = DEFAULT_SETTINGS.spans_per_page
+                            step = spans_per_page
                         else:
                             spans = [
                                 ("raw", b, None)
@@ -330,13 +335,23 @@ def pdf_media_table(binary_df: DataFrame) -> DataFrame:
     return binary_df.mapInPandas(run, _MEDIA_TABLE)
 
 
+_IMG_MEDIA_TABLE = T.StructType(
+    list(_MEDIA_TABLE.fields)
+    + [T.StructField("decodable", T.BooleanType())]
+)
+
+
 def image_media_table(binary_df: DataFrame) -> DataFrame:
-    """(doc_id, content, doc_type) → (doc_id, media_ref, page, content):
-    payloads behind ``_raster_spans``'s ``imgdoc://`` refs. Single-image
-    formats pass their original bytes through; multi-page TIFFs
-    transcode each page to PNG (pure functions/tiff.py →
-    functions/png.py) so every sidecar row is decodable by the standard
-    ladder. Same narrow-table discipline as ``pdf_media_table``."""
+    """(doc_id, content, doc_type) → (doc_id, media_ref, page, content,
+    decodable): payloads behind ``_raster_spans``'s ``imgdoc://`` refs.
+    Single-image formats pass their original bytes through; multi-page
+    TIFFs transcode each page to PNG (pure functions/tiff.py →
+    functions/png.py) PER PAGE — one bad page (CCITT, corrupt strip)
+    yields an undecodable row, not the loss of the document's good
+    pages. ``decodable`` marks rows the pure-stdlib ladder can decode
+    (False for WebP and failed TIFF pages — PIL may still handle them,
+    but grounding falls back to synthesized pages for those). Same
+    narrow-table discipline as ``pdf_media_table``."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from agentic_doc_spark.functions import bmp, gif, tiff
@@ -353,30 +368,54 @@ def image_media_table(binary_df: DataFrame) -> DataFrame:
                 data = bytes(content)
                 if tiff.is_tiff(data):
                     try:
-                        pages = tiff.tiff_pages(data)
+                        for i, arr in tiff.iter_tiff_pages(data):
+                            ref = f"imgdoc://{doc_id}/p{i}"
+                            if arr is None:
+                                rows.append(
+                                    (doc_id, ref, i, bytearray(), False)
+                                )
+                            else:
+                                rows.append(
+                                    (
+                                        doc_id,
+                                        ref,
+                                        i,
+                                        bytearray(encode_png(arr)),
+                                        True,
+                                    )
+                                )
                     except ValueError:
-                        continue
-                    for i, arr in enumerate(pages):
-                        rows.append(
-                            (
-                                doc_id,
-                                f"imgdoc://{doc_id}/p{i}",
-                                i,
-                                bytearray(encode_png(arr)),
-                            )
-                        )
+                        continue  # broken container: no pages to serve
                 elif (
                     is_png(data)
                     or is_jpeg(data)
                     or gif.is_gif(data)
-                    or bmp.is_bmp(data)
-                    or _is_webp(data)
+                    or bmp.sniff_bmp(data)
                 ):
                     rows.append(
-                        (doc_id, f"imgdoc://{doc_id}/p0", 0, bytearray(data))
+                        (
+                            doc_id,
+                            f"imgdoc://{doc_id}/p0",
+                            0,
+                            bytearray(data),
+                            True,
+                        )
+                    )
+                elif _is_webp(data):
+                    rows.append(
+                        (
+                            doc_id,
+                            f"imgdoc://{doc_id}/p0",
+                            0,
+                            bytearray(data),
+                            False,
+                        )
                     )
             yield pd.DataFrame(
-                rows, columns=["doc_id", "media_ref", "page", "content"]
+                rows,
+                columns=[
+                    "doc_id", "media_ref", "page", "content", "decodable",
+                ],
             )
 
-    return binary_df.mapInPandas(run, _MEDIA_TABLE)
+    return binary_df.mapInPandas(run, _IMG_MEDIA_TABLE)

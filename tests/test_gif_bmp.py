@@ -178,3 +178,64 @@ def test_bmp_fuzz_truncation_and_corruption_fold_to_valueerror():
             decode_bmp(bytes(b))
         except ValueError:
             pass
+
+
+def test_gif_stride_matches_full_decode():
+    frames = [_img(seed=s, shape=(7, 9)) for s in range(7)]
+    data = encode_gif(frames)
+    full = gif_frames(data)
+    strided = gif_frames(data, stride=3)
+    assert len(strided) == 3
+    for a, b in zip(strided, full[::3]):
+        assert np.array_equal(a, b)
+
+
+def test_gif_disposal_restore_to_previous():
+    import struct as st
+
+    # two frames; patch frame 1's GCE disposal to 3 (restore-previous):
+    # frame 2's composition must start from the ORIGINAL canvas
+    f1 = np.full((4, 4, 3), 10, dtype=np.uint8)
+    f2 = np.full((4, 4, 3), 20, dtype=np.uint8)
+    colors = sorted({(10, 10, 10), (20, 20, 20), (30, 30, 30)})
+    t_idx = colors.index((30, 30, 30))
+    # frame 2 entirely transparent → shows what disposal left behind
+    f2t = np.full((4, 4, 3), 30, dtype=np.uint8)
+    data = bytearray(encode_gif([f1, f2, f2t], transparent_index=t_idx))
+    # set disposal=3 on the SECOND frame's graphic control (find GCEs)
+    gces = []
+    i = 0
+    while i < len(data) - 1:
+        if data[i] == 0x21 and data[i + 1] == 0xF9:
+            gces.append(i)
+            i += 8
+        else:
+            i += 1
+    assert len(gces) == 3
+    packed = data[gces[1] + 3]
+    data[gces[1] + 3] = (packed & ~0x1C) | (3 << 2)
+    dec = gif_frames(bytes(data))
+    # frame 3 is fully transparent: with disposal 3 on frame 2, the
+    # canvas reverted to frame 1's pixels
+    assert np.array_equal(dec[2], dec[0])
+
+
+def test_sniff_bmp_rejects_text():
+    from agentic_doc_spark.functions.bmp import sniff_bmp
+
+    assert not sniff_bmp(("BMW sales rose sharply. " * 10).encode())
+    rng = np.random.RandomState(3)
+    real = encode_bmp(rng.randint(0, 256, (6, 7, 3), dtype=np.uint8))
+    assert sniff_bmp(real)
+
+
+def test_bmp_bitfields_nondefault_masks_surfaced():
+    import struct as st
+
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    data = bytearray(encode_bmp(img))
+    st.pack_into("<I", data, 30, 3)  # BI_BITFIELDS
+    # no mask bytes present → truncated masks error; with wrong masks
+    # appended the decoder must refuse rather than swap channels
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(data))

@@ -243,3 +243,65 @@ def test_parse_scanned_tiff_grounding_crops_from_real_pages(
         uniq = np.unique(crop.reshape(-1, 3), axis=0)
         assert uniq.shape[0] == 1
         assert tuple(uniq[0]) == tuple(pages[page][0, 0])
+
+
+def test_text_starting_with_bm_keeps_text_path(spark, tmp_path):
+    from agentic_doc_spark.pipeline import extract
+    from agentic_doc_spark.sources.layout import layout_parse
+    from agentic_doc_spark.sources.resolve import read_binary_dir
+
+    body = "BMW sales rose sharply this quarter.\n\n" + "x " * 40
+    (tmp_path / "report.txt").write_text(body)
+    raw = read_binary_dir(spark, str(tmp_path))
+    row = extract(layout_parse(raw)).collect()[0]
+    kinds = [s["kind"] for s in row["spans"]]
+    assert "media" not in kinds
+    assert "BMW sales rose" in row["spans"][0]["text"]
+
+
+def test_tiff_bad_page_keeps_good_pages_in_sidecar(spark, tmp_path):
+    import struct as st
+
+    from agentic_doc_spark.functions.png import decode_png
+    from agentic_doc_spark.functions.tiff import iter_tiff_pages
+    from agentic_doc_spark.sources.layout import image_media_table
+    from agentic_doc_spark.sources.resolve import read_binary_dir
+
+    pages = [_img(seed=s, shape=(8, 9)) for s in range(3)]
+    data = bytearray(encode_tiff(pages, 1))
+    # corrupt the SECOND page's compression tag to CCITT G4
+    ifd_off = st.unpack_from("<I", data, 4)[0]
+    count = st.unpack_from("<H", data, ifd_off)[0]
+    ifd2 = st.unpack_from("<I", data, ifd_off + 2 + 12 * count)[0]
+    count2 = st.unpack_from("<H", data, ifd2)[0]
+    for i in range(count2):
+        base = ifd2 + 2 + 12 * i
+        if st.unpack_from("<H", data, base)[0] == 259:
+            st.pack_into("<I", data, base + 8, 4)
+    decoded = dict(iter_tiff_pages(bytes(data)))
+    assert decoded[1] is None and decoded[0] is not None and decoded[2] is not None
+
+    (tmp_path / "scan.tiff").write_bytes(bytes(data))
+    raw = read_binary_dir(spark, str(tmp_path))
+    rows = {r["page"]: r for r in image_media_table(raw).collect()}
+    assert sorted(rows) == [0, 1, 2]
+    assert rows[1]["decodable"] is False
+    for p in (0, 2):
+        assert rows[p]["decodable"] is True
+        assert np.array_equal(
+            decode_png(bytes(rows[p]["content"])), pages[p]
+        )
+
+
+def test_layout_parse_honors_custom_spans_per_page(spark, tmp_path):
+    from agentic_doc_spark.config import Settings
+    from agentic_doc_spark.pipeline import extract
+    from agentic_doc_spark.sources.layout import layout_parse
+    from agentic_doc_spark.sources.resolve import read_binary_dir
+
+    pages = [_img(seed=s, shape=(6, 7)) for s in range(3)]
+    (tmp_path / "scan.tiff").write_bytes(encode_tiff(pages, 1))
+    raw = read_binary_dir(spark, str(tmp_path))
+    st = Settings(spans_per_page=8)
+    row = extract(layout_parse(raw, st), st).collect()[0]
+    assert row["end_page_idx"] == 2
