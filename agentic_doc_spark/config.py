@@ -108,6 +108,24 @@ def build_spark(
         # instead of accumulating forever (default is false)
         .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
+    # Shuffle files on tmpfs in LOCAL mode: this box's disk-backed /tmp
+    # is the shared bottleneck for every shuffle (measured: a 320k-row
+    # round-robin repartition at local[32] took 1.52 s via /tmp vs
+    # 0.55 s via /dev/shm — shuffle-heavy operators anti-scaled with
+    # thread count). A real cluster configures per-node spark.local.dir
+    # (NVMe) in spark-submit conf, which overrides this local default.
+    shm = "/dev/shm"
+    if (
+        master.startswith("local")
+        and "spark.local.dir" not in (extra_conf or {})
+        and os.access(shm, os.W_OK)
+    ):
+        d = os.path.join(shm, "spark-local")
+        try:
+            os.makedirs(d, exist_ok=True)
+            b = b.config("spark.local.dir", d)
+        except OSError:
+            pass
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
