@@ -58,6 +58,12 @@ def spark_submit(
         "spark.ui.showConsoleProgress=false",
         "--conf",
         "spark.driver.memory=24g",
+        # shuffle/spill files on tmpfs: disk-backed /tmp anti-scales
+        # with thread count on this box (see build_spark's local-mode
+        # default; spark-submit sessions are preconfigured, so the CLI
+        # conf is the only channel here)
+        "--conf",
+        "spark.local.dir=/dev/shm/spark-local",
         "--py-files",
         str(WORK / "pkg.zip"),
         str(REPO / "scripts" / "run_extraction_job.py"),
