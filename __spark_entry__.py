@@ -1065,6 +1065,28 @@ def q_embedding_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (the billion-vector MEMORY path): per-
+    subspace codebooks (deterministic sampled k-means, 32 subspaces ×
+    16 codes → 32× compression of 64-dim doubles), corpus encoded to
+    code arrays, asymmetric-distance top-3 per query — the corpus is
+    touched only through its codes (operators/similarity.py:
+    pq_train_codebook / pq_encode / pq_topk)."""
+    from agentic_doc_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train_codebook,
+    )
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cb = pq_train_codebook(emb, m=32, k=16)
+    codes = pq_encode(emb, cb)
+    q = emb.filter(F.col("vec_id") < 5)
+    return pq_topk(q, codes, cb, topk=3)
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic deduplication: IVF-clustered embeddings, drop
     within-cluster near-duplicates (cos ≥ 0.3), keep the min-id
@@ -1336,6 +1358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substrings": q_dedup_substrings,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_ivf": q_ann_ivf,
+        "ann_pq": q_ann_pq,
         "semantic_dedup": q_semantic_dedup,
         "embedding_near_pairs": q_embedding_near_pairs,
         "embedding_buckets": q_embedding_buckets,
@@ -2310,6 +2333,91 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, round(cos, 4) AS cos_r,
                    CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 3
+        """,
+        "ann_pq": """
+            WITH e AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ), t AS (
+              -- deterministic md5-mod training sample sized to
+              -- ~train_per_cell(256) × k(16) (mirrors _train_sample;
+              -- pass-through at these scales)
+              SELECT vec_id, v FROM e
+              WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+                    % (SELECT GREATEST(1, COUNT(*) // 4096) FROM e) = 0
+            ), subs AS (
+              SELECT CAST(unnest(range(0, 32)) AS INT) AS sub
+            ), tsv AS (
+              SELECT vec_id, sub,
+                     list_slice(v, sub * 2 + 1, sub * 2 + 2) AS subvec
+              FROM t, subs
+            ), seeds AS (
+              SELECT sub, CAST(vec_id % 16 AS INT) AS cell,
+                     arg_min(subvec, vec_id) AS centroid
+              FROM tsv GROUP BY 1, 2
+            ), assigned AS (
+              SELECT sub, cell, subvec FROM (
+                SELECT tsv.sub, s.cell, tsv.subvec,
+                       row_number() OVER (PARTITION BY tsv.vec_id, tsv.sub
+                         ORDER BY list_sum(list_transform(range(1, 3), i ->
+                           (tsv.subvec[i] - s.centroid[i])
+                           * (tsv.subvec[i] - s.centroid[i]))) ASC,
+                           s.cell ASC) AS rn
+                FROM tsv JOIN seeds s USING (sub)
+              ) WHERE rn = 1
+            ), dmeans AS (
+              SELECT sub, cell, pos, round(avg(x), 6) AS mval
+              FROM (
+                SELECT sub, cell, unnest(subvec) AS x,
+                       unnest(range(1, len(subvec) + 1)) AS pos
+                FROM assigned
+              ) GROUP BY 1, 2, 3
+            ), refined AS (
+              SELECT sub, cell, list(mval ORDER BY pos) AS centroid
+              FROM dmeans GROUP BY 1, 2
+            ), cb AS (
+              SELECT s.sub, s.cell,
+                     COALESCE(r.centroid, s.centroid) AS centroid
+              FROM seeds s LEFT JOIN refined r
+                ON s.sub = r.sub AND s.cell = r.cell
+            ), esv AS (
+              SELECT vec_id, sub,
+                     list_slice(v, sub * 2 + 1, sub * 2 + 2) AS subvec
+              FROM e, subs
+            ), codes AS (
+              SELECT vec_id, sub, cell AS code FROM (
+                SELECT esv.vec_id, esv.sub, cb.cell,
+                       row_number() OVER (PARTITION BY esv.vec_id, esv.sub
+                         ORDER BY list_sum(list_transform(range(1, 3), i ->
+                           (esv.subvec[i] - cb.centroid[i])
+                           * (esv.subvec[i] - cb.centroid[i]))) ASC,
+                           cb.cell ASC) AS rn
+                FROM esv JOIN cb USING (sub)
+              ) WHERE rn = 1
+            ), dtab AS (
+              SELECT q.vec_id AS query_id, cb.sub, cb.cell AS code,
+                     list_sum(list_transform(range(1, 3), i ->
+                       (list_slice(q.v, cb.sub * 2 + 1, cb.sub * 2 + 2)[i]
+                        - cb.centroid[i])
+                       * (list_slice(q.v, cb.sub * 2 + 1, cb.sub * 2 + 2)[i]
+                          - cb.centroid[i]))) AS dpart
+              FROM e q, cb WHERE q.vec_id < 5
+            ), scored AS (
+              SELECT d.query_id, c.vec_id AS neighbor_id,
+                     CAST(round(list_aggregate(
+                       list(d.dpart ORDER BY d.sub), 'sum'), 6) AS DOUBLE)
+                       AS adist
+              FROM codes c
+              JOIN dtab d ON c.sub = d.sub AND c.code = d.code
+              WHERE d.query_id <> c.vec_id
+              GROUP BY 1, 2
+            ), ranked AS (
+              SELECT query_id, neighbor_id, adist,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY adist ASC, neighbor_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, adist, CAST(rank AS INT) AS rank
             FROM ranked WHERE rank <= 3
         """,
         "semantic_dedup": _SQL_IVF_ASSIGNED

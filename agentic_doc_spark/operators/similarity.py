@@ -500,3 +500,218 @@ def semantic_dedup(
         .distinct()
     )
     return assigned.join(dropped, id_col, "left_anti").select(id_col, "cell")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (the billion-vector ANN memory path)
+# ---------------------------------------------------------------------------
+
+
+def _l2(a: Column, b: Column) -> Column:
+    """Squared L2 distance — sequential in-row fold (same double
+    arithmetic and summation order as the DuckDB twin's
+    list_sum(list_transform(...)))."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _pq_subvectors(
+    df: DataFrame, m: int, d_sub: int, vec_col: str, id_col: str
+) -> DataFrame:
+    """(id, vec) → (id, sub, subvec): each vector split into m
+    contiguous d_sub-dim subvectors (in-row explode, no shuffle)."""
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.struct(
+                    s.cast("int").alias("sub"),
+                    F.slice(
+                        F.col(vec_col), s * d_sub + 1, d_sub
+                    ).alias("subvec"),
+                ),
+            )
+        ).alias("sv"),
+    ).select(id_col, F.col("sv.sub").alias("sub"), F.col("sv.subvec").alias("subvec"))
+
+
+def pq_train_codebook(
+    corpus: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    train_per_cell: int = 256,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Train per-subspace codebooks (Jégou et al. 2011 product
+    quantization, public method): split the vector into ``m``
+    subspaces, run the repo's deterministic sampled k-means in each —
+    id-modulo seeds, one Lloyd round with 6-dp-rounded means (the
+    cross-engine determinism contract shared with ``refine_centroids``)
+    — over the SAME bounded md5-mod training sample for every subspace.
+
+    Returns (sub, cell, centroid: array<double>) — m × k rows, a
+    dimension table. Training cost: one filtered corpus scan; every
+    aggregation is map-side-combinable over m × k groups."""
+    dim = len(corpus.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    train = _train_sample(
+        corpus.select(F.col(id_col), F.col(vec_col)), k, train_per_cell,
+        id_col,
+    )
+    sv = _pq_subvectors(train, m, d_sub, vec_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        seeds = (
+            sv.withColumn("cell", (F.col(id_col) % k).cast("int"))
+            .groupBy("sub", "cell")
+            .agg(F.min_by("subvec", F.col(id_col)).alias("centroid"))
+        )
+        # one Lloyd round: nearest seed by squared L2 (ties → lowest
+        # cell via the struct ordering), per-dim means rounded to 6 dp
+        cand = sv.join(F.broadcast(seeds), "sub")
+        assigned = (
+            cand.withColumn("d", _l2(F.col("subvec"), F.col("centroid")))
+            .groupBy(id_col, "sub")
+            .agg(
+                F.min_by(
+                    F.struct("cell", "subvec"), F.struct("d", "cell")
+                ).alias("best")
+            )
+            .select(
+                "sub",
+                F.col("best.cell").alias("cell"),
+                F.col("best.subvec").alias("subvec"),
+            )
+        )
+        dims = assigned.select(
+            "sub", "cell", F.posexplode("subvec").alias("pos", "x")
+        )
+        means = dims.groupBy("sub", "cell", "pos").agg(
+            F.round(F.avg("x"), 6).alias("mval")
+        )
+        refined = means.groupBy("sub", "cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mval"))),
+                lambda s: s["mval"],
+            ).alias("refined")
+        )
+        out = (
+            seeds.join(refined, ["sub", "cell"], "left")
+            .select(
+                "sub",
+                "cell",
+                F.coalesce("refined", "centroid").alias("centroid"),
+            )
+        )
+        out = out.sparkSession.createDataFrame(
+            out.collect(), out.schema
+        )  # materialize before unpersisting the train sample
+        return out
+    finally:
+        sv.unpersist(False)
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode every vector as m one-byte-ish codes: per subspace, the
+    nearest codebook centroid (squared L2, ties → lowest cell).
+
+    Output (id, codes: array<int>, sub order) — the 10^10-vector memory
+    story: m codes replace the full vector (dim=64, m=8, k=16 → 8
+    codes vs 512 bytes of doubles). Plan: in-row subvector explode →
+    broadcast join with the m×k dimension table → map-side-combinable
+    min per (id, sub) → one groupBy(id); compute is the inherent
+    O(n·m·k) of PQ encoding, the only exchange carries n·m rows."""
+    mk = codebook.agg(
+        F.max("sub").alias("ms"), F.size(F.first("centroid")).alias("ds")
+    ).first()
+    m, d_sub = int(mk["ms"]) + 1, int(mk["ds"])
+    sv = _pq_subvectors(corpus, m, d_sub, vec_col, id_col)
+    cand = sv.join(F.broadcast(codebook), "sub")
+    best = (
+        cand.withColumn("d", _l2(F.col("subvec"), F.col("centroid")))
+        .groupBy(id_col, "sub")
+        .agg(F.min(F.struct("d", "cell")).alias("b"))
+        .select(id_col, "sub", F.col("b.cell").alias("code"))
+    )
+    ordered = F.array_sort(F.collect_list(F.struct("sub", "code")))
+    return best.groupBy(id_col).agg(
+        F.transform(ordered, lambda s: s["code"]).alias("codes")
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebook: DataFrame,
+    topk: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: the query keeps its exact
+    subvectors, corpus vectors are represented only by their codes;
+    approximate distance = Σ_sub ‖q_sub − centroid(code_sub)‖².
+
+    Plan: per-query distance TABLE to every (sub, cell) centroid
+    (queries × m·k broadcast — bounded), joined to the exploded codes
+    on (sub, cell): the full corpus is touched only through its codes,
+    never its vectors — the PQ scan at 10^10 vectors reads m ints per
+    row. One exchange groups per-(query, vector) partial sums; ranking
+    is a bounded per-query window."""
+    qs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    mk = codebook.agg(
+        F.max("sub").alias("ms"), F.size(F.first("centroid")).alias("ds")
+    ).first()
+    m, d_sub = int(mk["ms"]) + 1, int(mk["ds"])
+    qsv = _pq_subvectors(qs, m, d_sub, "qv", "query_id")
+    dtab = qsv.join(F.broadcast(codebook), "sub").select(
+        "query_id",
+        "sub",
+        F.col("cell").alias("code"),
+        _l2(F.col("subvec"), F.col("centroid")).alias("dpart"),
+    )
+    cv = codes.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.posexplode("codes").alias("sub", "code"),
+    )
+    # canonical sub-ordered sequential fold (not F.sum): partial-agg
+    # combine order is partition-dependent, and the DuckDB twin's
+    # list(dpart ORDER BY sub) fold must see the same double sequence
+    ordered = F.array_sort(F.collect_list(F.struct("sub", "dpart")))
+    scored = (
+        cv.join(dtab, ["sub", "code"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.transform(ordered, lambda s: s["dpart"]),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("adist")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id", "adist", "rank")
+    )

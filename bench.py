@@ -71,6 +71,7 @@ def main() -> None:
         "domain_mix",
         "semantic_dedup",
         "bpe_tokens",
+        "ann_pq",
     ]
     qs = entry.queries()
 

@@ -414,3 +414,87 @@ def test_semantic_dedup_partition_invariant(spark):
         map(tuple, semantic_dedup(emb.repartition(7), 0.9, 4).collect())
     )
     assert a == b and 0 < len(a) < 40
+
+
+def _pq_emb(spark, n=200, dim=16):
+    rows = [
+        (i, [float(((i * 13 + d * 7) % 17) - 8) / 8.0 for d in range(dim)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_pq_roundtrip_shapes_and_compression(spark):
+    from agentic_doc_spark.operators.similarity import (
+        pq_encode,
+        pq_train_codebook,
+    )
+
+    emb = _pq_emb(spark)
+    cb = pq_train_codebook(emb, m=8, k=4)
+    assert cb.count() == 8 * 4
+    first = cb.orderBy("sub", "cell").first()
+    assert len(first["centroid"]) == 2  # dim 16 / m 8
+    codes = pq_encode(emb, cb)
+    rows = codes.collect()
+    assert len(rows) == 200
+    for r in rows:
+        assert len(r["codes"]) == 8
+        assert all(0 <= c < 4 for c in r["codes"])
+
+
+def test_pq_topk_recall_vs_exact_l2(spark):
+    from pyspark.sql import functions as F
+
+    from agentic_doc_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train_codebook,
+    )
+
+    emb = _pq_emb(spark, n=150, dim=16)
+    cb = pq_train_codebook(emb, m=8, k=8)
+    codes = pq_encode(emb, cb)
+    q = emb.filter(F.col("vec_id") < 5)
+    top = pq_topk(q, codes, cb, topk=3)
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+
+    def l2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    hits = total = 0
+    got: dict[int, set] = {}
+    for r in top.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for qid, nbrs in got.items():
+        exact = {
+            i
+            for _, i in sorted(
+                (l2(vecs[qid], v), i)
+                for i, v in vecs.items()
+                if i != qid
+            )[:10]
+        }
+        hits += len(nbrs & exact)
+        total += len(nbrs)
+    assert total == 15
+    assert hits / total >= 0.5, f"recall {hits}/{total}"
+
+
+def test_pq_partition_invariant(spark):
+    from agentic_doc_spark.operators.similarity import (
+        pq_encode,
+        pq_train_codebook,
+    )
+
+    emb = _pq_emb(spark, n=120, dim=16)
+    a = sorted(
+        (r["vec_id"], tuple(r["codes"]))
+        for r in pq_encode(emb, pq_train_codebook(emb, 4, 4)).collect()
+    )
+    emb2 = emb.repartition(7)
+    b = sorted(
+        (r["vec_id"], tuple(r["codes"]))
+        for r in pq_encode(emb2, pq_train_codebook(emb2, 4, 4)).collect()
+    )
+    assert a == b
