@@ -693,7 +693,10 @@ def pq_topk(
     # list(dpart ORDER BY sub) fold must see the same double sequence
     ordered = F.array_sort(F.collect_list(F.struct("sub", "dpart")))
     scored = (
-        cv.join(dtab, ["sub", "code"])
+        # dtab is |queries| × m × k rows — bounded (queries ≪ corpus,
+        # the same contract as brute_force_topk), so broadcast it: the
+        # exploded-codes side then never shuffles for this join
+        cv.join(F.broadcast(dtab), ["sub", "code"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .groupBy("query_id", "neighbor_id")
         .agg(
