@@ -2340,11 +2340,12 @@ def oracle_sql() -> dict[str, str]:
               SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
             ), t AS (
               -- deterministic md5-mod training sample sized to
-              -- ~train_per_cell(256) × k(16) (mirrors _train_sample;
-              -- pass-through at these scales)
+              -- ~train_per_cell(64) × k(16) (mirrors _train_sample;
+              -- 16-cell subspace k-means needs ~1k vectors, not the
+              -- corpus)
               SELECT vec_id, v FROM e
               WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
-                    % (SELECT GREATEST(1, COUNT(*) // 4096) FROM e) = 0
+                    % (SELECT GREATEST(1, COUNT(*) // 1024) FROM e) = 0
             ), subs AS (
               SELECT CAST(unnest(range(0, 32)) AS INT) AS sub
             ), tsv AS (

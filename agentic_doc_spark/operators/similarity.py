@@ -543,7 +543,7 @@ def pq_train_codebook(
     corpus: DataFrame,
     m: int = 8,
     k: int = 16,
-    train_per_cell: int = 256,
+    train_per_cell: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
@@ -619,6 +619,47 @@ def pq_train_codebook(
         sv.unpersist(False)
 
 
+def _pq_codes_sql(vec_col: str, cb: dict[tuple[int, int], list[float]],
+                  m: int, k: int, d_sub: int) -> str:
+    """SQL text computing the m-code array for one row: per subspace, a
+    strict-less keep-first fold over the k centroid LITERALS (exact
+    round-trip doubles) — the same IEEE op sequence as the relational
+    ``_l2`` + min(struct) form, so encodings are bit-identical, but the
+    whole encode is a pure in-row map: ZERO exchanges over the corpus
+    (the ann_ivf centroid-literal pattern; SQL text, not the Column
+    API, per the py4j expression-construction lesson)."""
+    cbs = "array(" + ",".join(
+        "array(" + ",".join(
+            "array(" + ",".join(
+                _sql_double(x) for x in cb[(s, c)]
+            ) + ")"
+            for c in range(k)
+        ) + ")"
+        for s in range(m)
+    ) + ")"
+    v = f"`{vec_col}`"
+    dist = (
+        f"aggregate(zip_with(slice({v}, s * {d_sub} + 1, {d_sub}),"
+        f" element_at(element_at(__cbs, s + 1), c + 1),"
+        " (x, y) -> (x - y) * (x - y)), 0.0D, (a, z) -> a + z)"
+    )
+    # score once per cell, THEN fold — inlining the dist fold into both
+    # arms of the IF would evaluate it twice per cell (no CSE inside
+    # interpreted higher-order lambdas)
+    fold = (
+        f"aggregate("
+        f"transform(sequence(0, {k - 1}),"
+        f" c -> named_struct('d', {dist}, 'c', c)),"
+        " named_struct('d', CAST('Infinity' AS DOUBLE), 'c', -1),"
+        " (acc, sc) -> IF(sc.d < acc.d, sc, acc)).c"
+    )
+    return (
+        f"transform(sequence(0, {m - 1}), s -> "
+        + fold.replace("__cbs", cbs)
+        + ")"
+    )
+
+
 def pq_encode(
     corpus: DataFrame,
     codebook: DataFrame,
@@ -629,26 +670,22 @@ def pq_encode(
     nearest codebook centroid (squared L2, ties → lowest cell).
 
     Output (id, codes: array<int>, sub order) — the 10^10-vector memory
-    story: m codes replace the full vector (dim=64, m=8, k=16 → 8
-    codes vs 512 bytes of doubles). Plan: in-row subvector explode →
-    broadcast join with the m×k dimension table → map-side-combinable
-    min per (id, sub) → one groupBy(id); compute is the inherent
-    O(n·m·k) of PQ encoding, the only exchange carries n·m rows."""
-    mk = codebook.agg(
-        F.max("sub").alias("ms"), F.size(F.first("centroid")).alias("ds")
-    ).first()
-    m, d_sub = int(mk["ms"]) + 1, int(mk["ds"])
-    sv = _pq_subvectors(corpus, m, d_sub, vec_col, id_col)
-    cand = sv.join(F.broadcast(codebook), "sub")
-    best = (
-        cand.withColumn("d", _l2(F.col("subvec"), F.col("centroid")))
-        .groupBy(id_col, "sub")
-        .agg(F.min(F.struct("d", "cell")).alias("b"))
-        .select(id_col, "sub", F.col("b.cell").alias("code"))
-    )
-    ordered = F.array_sort(F.collect_list(F.struct("sub", "code")))
-    return best.groupBy(id_col).agg(
-        F.transform(ordered, lambda s: s["code"]).alias("codes")
+    story: m codes replace the full vector (dim=64, m=32, k=16 → 32
+    nibbles vs 512 bytes of doubles). Plan: the codebook (bounded
+    m × k × d_sub doubles) rides as LITERALS and the argmin folds run
+    inside the row, so encoding is one pure map over the scan — zero
+    exchanges at any corpus size."""
+    rows = codebook.collect()
+    m = max(int(r["sub"]) for r in rows) + 1
+    k = max(int(r["cell"]) for r in rows) + 1
+    d_sub = len(rows[0]["centroid"])
+    cb = {
+        (int(r["sub"]), int(r["cell"])): [float(x) for x in r["centroid"]]
+        for r in rows
+    }
+    expr = _pq_codes_sql(vec_col, cb, m, k, d_sub)
+    return corpus.selectExpr(
+        f"`{id_col}`", f"CAST({expr} AS array<int>) AS codes"
     )
 
 
