@@ -704,6 +704,28 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_bpe(docs, merges)
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Gopher document-quality rule battery (Rae et al. 2021
+    Table A1): per-rule booleans + combined keep for every document
+    (functions/textstats.py:gopher_flags — pure Catalyst, struct
+    projected once)."""
+    from agentic_doc_spark.functions.textstats import gopher_flags
+
+    d = _docs(spark, sf_dir).withColumn("g", gopher_flags(F.col("text")))
+    return d.select(
+        "doc_id",
+        F.col("g.n_words"),
+        F.col("g.wc_ok"),
+        F.col("g.mwl_ok"),
+        F.col("g.sym_ok"),
+        F.col("g.bullet_ok"),
+        F.col("g.ellipsis_ok"),
+        F.col("g.alpha_ok"),
+        F.col("g.stop_ok"),
+        F.col("g.keep"),
+    )
+
+
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (hashed-unigram log-likelihood-ratio
     weights, target = English docs): top-200 most target-like documents
@@ -1330,6 +1352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "dsir_select": q_dsir_select,
         "domain_mix": q_domain_mix,
+        "gopher_quality": q_gopher_quality,
         "bpe_tokens": q_bpe_tokens,
         "decontaminate": q_decontaminate,
         "training_set": q_training_set,
@@ -1737,6 +1760,55 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, source, unnest(range(1, n_copies + 1)) AS copy
             FROM k
+        """,
+        "gopher_quality": f"""
+            WITH g AS (
+              SELECT doc_id,
+                     {_WS_WORDS} AS ws,
+                     list_filter(string_split(text, chr(10)),
+                                 ln -> trim(ln) <> '') AS lines,
+                     len(regexp_extract_all(text, '(#|\\.\\.\\.|…)')) AS n_sym
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+                     len(ws) AS wc,
+                     CAST(list_sum(list_transform(ws, w -> length(w)))
+                          AS DOUBLE)
+                       / GREATEST(CAST(len(ws) AS DOUBLE), 1.0) AS mwl,
+                     CAST(n_sym AS DOUBLE)
+                       / GREATEST(CAST(len(ws) AS DOUBLE), 1.0) AS symr,
+                     CAST(len(list_filter(lines, ln ->
+                       regexp_matches(trim(ln),
+                         '^([*\\-•‣▪]|[0-9]+[.)])\\s'))) AS DOUBLE)
+                       / GREATEST(len(lines), 1) AS bulletf,
+                     CAST(len(list_filter(lines, ln ->
+                       regexp_matches(trim(ln), '(\\.\\.\\.|…)$')))
+                       AS DOUBLE)
+                       / GREATEST(len(lines), 1) AS ellipsisf,
+                     CAST(len(list_filter(ws, w ->
+                       regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+                       / GREATEST(CAST(len(ws) AS DOUBLE), 1.0) AS alphaf,
+                     len(list_distinct(list_filter(
+                       list_transform(ws, w -> lower(w)),
+                       w -> w IN ('the','be','to','of','and','that',
+                                  'have','with')))) AS n_stops
+              FROM g
+            )
+            SELECT doc_id,
+                   CAST(wc AS BIGINT) AS n_words,
+                   wc >= 50 AND wc <= 100000 AS wc_ok,
+                   mwl >= 3.0 AND mwl <= 10.0 AS mwl_ok,
+                   symr <= 0.1 AS sym_ok,
+                   bulletf < 0.9 AS bullet_ok,
+                   ellipsisf < 0.3 AS ellipsis_ok,
+                   alphaf >= 0.8 AS alpha_ok,
+                   n_stops >= 2 AS stop_ok,
+                   (wc >= 50 AND wc <= 100000)
+                   AND (mwl >= 3.0 AND mwl <= 10.0)
+                   AND symr <= 0.1 AND bulletf < 0.9
+                   AND ellipsisf < 0.3 AND alphaf >= 0.8
+                   AND n_stops >= 2 AS keep
+            FROM s
         """,
         "dsir_select": """
             WITH w AS (

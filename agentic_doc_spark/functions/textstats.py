@@ -337,3 +337,84 @@ def c4_page_flags(text):
         low.contains("lorem ipsum").alias("has_lorem"),
         low.contains("javascript").alias("has_javascript"),
     )
+
+
+def gopher_flags(text: Column) -> Column:
+    """The full Gopher document-quality rule battery (Rae et al. 2021,
+    Table A1 — public method): returns a struct of per-rule booleans
+    plus the combined ``keep``. Rules (document KEPT when all hold):
+
+    - ``wc_ok``: 50 ≤ word count ≤ 100,000
+    - ``mwl_ok``: 3 ≤ mean word length ≤ 10
+    - ``sym_ok``: (# of '#' or '…'/'...') / words ≤ 0.1
+    - ``bullet_ok``: < 90% of lines start with a bullet marker
+    - ``ellipsis_ok``: < 30% of lines end with an ellipsis
+    - ``alpha_ok``: ≥ 80% of words contain at least one alphabetic char
+    - ``stop_ok``: ≥ 2 distinct English stop words present
+
+    Pure Catalyst (staged word/line arrays — consumers should project
+    the struct ONCE per the CollapseProject multi-reference rule); the
+    repetition-side Gopher rules live in ``repetition_ratio`` /
+    ``top_ngram_fraction``."""
+    ws = words(text)
+    wc = F.size(ws)
+    mwl = F.aggregate(
+        F.transform(ws, lambda w: F.length(w).cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    ) / F.greatest(wc.cast("double"), F.lit(1.0))
+    n_sym = F.size(
+        F.regexp_extract_all(text, F.lit(r"(#|\.\.\.|…)"), 0)
+    )
+    lines = F.filter(
+        F.split(text, "\n"), lambda ln: F.trim(ln) != ""
+    )
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_frac = (
+        F.size(
+            F.filter(
+                lines,
+                lambda ln: F.trim(ln).rlike(r"^([\*\-•‣▪]|\d+[\.\)])\s"),
+            )
+        ).cast("double")
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(
+            F.filter(
+                lines, lambda ln: F.trim(ln).rlike(r"(\.\.\.|…)$")
+            )
+        ).cast("double")
+        / n_lines
+    )
+    alpha_frac = F.size(
+        F.filter(ws, lambda w: w.rlike("[A-Za-z]"))
+    ).cast("double") / F.greatest(wc.cast("double"), F.lit(1.0))
+    stops = ("the", "be", "to", "of", "and", "that", "have", "with")
+    n_stops = F.size(
+        F.array_distinct(
+            F.filter(
+                F.transform(ws, lambda w: F.lower(w)),
+                lambda w: w.isin(*stops),
+            )
+        )
+    )
+    flags = {
+        "wc_ok": (wc >= 50) & (wc <= 100_000),
+        "mwl_ok": (mwl >= 3.0) & (mwl <= 10.0),
+        "sym_ok": n_sym.cast("double")
+        / F.greatest(wc.cast("double"), F.lit(1.0))
+        <= 0.1,
+        "bullet_ok": bullet_frac < 0.9,
+        "ellipsis_ok": ellipsis_frac < 0.3,
+        "alpha_ok": alpha_frac >= 0.8,
+        "stop_ok": n_stops >= 2,
+    }
+    keep = F.lit(True)
+    for c in flags.values():
+        keep = keep & c
+    return F.struct(
+        wc.cast("long").alias("n_words"),
+        *[v.alias(k) for k, v in flags.items()],
+        keep.alias("keep"),
+    )

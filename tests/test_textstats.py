@@ -231,3 +231,65 @@ def test_c4_line_clean_and_flags(spark):
         ["doc_id", "text"],
     ).select(c4_page_flags(F.col("text")).alias("f")).collect()[0]["f"]
     assert flagged["has_brace"] and flagged["has_lorem"] and flagged["has_javascript"]
+
+
+def test_gopher_flags_rule_battery(spark):
+    from pyspark.sql import functions as F
+
+    from agentic_doc_spark.functions.textstats import gopher_flags
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and runs to "
+        "the river bank with great speed that nobody could have "
+        "imagined since records began " * 3
+    )
+    rows = [
+        (0, good),                                  # passes everything
+        (1, "too short to have fifty words"),       # wc fails
+        (2, good + " ##### " * 20),                 # symbol ratio fails
+        (3, "\n".join("- bullet line here now ok" for _ in range(20))
+            + "\n" + good),                          # bullets fail? (>90% needs more)
+        (4, good.replace("the", "123").replace("and", "456")
+             .replace("to", "789").replace("with", "000")
+             .replace("have", "111").replace("that", "222")
+             .replace("over", "333")),               # stopwords fail
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["g"]
+        for r in docs.select(
+            "doc_id", gopher_flags(F.col("text")).alias("g")
+        ).collect()
+    }
+    assert out[0]["keep"] is True and out[0]["n_words"] >= 50
+    assert out[1]["wc_ok"] is False and out[1]["keep"] is False
+    assert out[2]["sym_ok"] is False
+    assert out[4]["stop_ok"] is False and out[4]["keep"] is False
+
+
+def test_gopher_bullet_and_ellipsis_lines(spark):
+    from pyspark.sql import functions as F
+
+    from agentic_doc_spark.functions.textstats import gopher_flags
+
+    bullets = "\n".join(f"- item {i} in the list" for i in range(19))
+    # 17 bullets / 20 lines = 0.85 < 0.9 → ok
+    almost_all_bullets = "\n".join(
+        f"- item {i} in the list" for i in range(17)
+    ) + "\nplain one\nplain two\nplain three"
+    all_ellipsis = "\n".join(
+        f"this line number {i} trails off..." for i in range(10)
+    )
+    docs = spark.createDataFrame(
+        [(0, almost_all_bullets), (1, bullets), (2, all_ellipsis)],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["g"]
+        for r in docs.select(
+            "doc_id", gopher_flags(F.col("text")).alias("g")
+        ).collect()
+    }
+    assert out[0]["bullet_ok"] is True   # 17/20 = 0.85 < 0.9
+    assert out[1]["bullet_ok"] is False  # 100% bullet lines
+    assert out[2]["ellipsis_ok"] is False
