@@ -751,6 +751,24 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean.select("doc_id")
 
 
+def q_training_set_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal training-set composition: the interleaved text+media
+    corpus quality-gated and exact-deduped on its TEXT content, then
+    packed into fixed-budget sequences with per-image token costs
+    (pipeline_llm.build_interleaved_training_set — the interleaved
+    sibling of training_set)."""
+    from agentic_doc_spark.pipeline_llm import build_interleaved_training_set
+    from agentic_doc_spark.synth import documents_raw_interleaved
+
+    raw = documents_raw_interleaved(spark, sf_dir, TOKENS_PER_SPAN, 3)
+    return build_interleaved_training_set(
+        raw.withColumn("doc_id", F.col("doc_id").cast("long")),
+        min_quality=0.3,
+        pack_budget=1024,
+        media_tokens=64,
+    )
+
+
 def q_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WHOLE LLM-data pipeline composed end to end
     (pipeline_llm.build_training_set): quality/langid filter → exact
@@ -1356,6 +1374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens": q_bpe_tokens,
         "decontaminate": q_decontaminate,
         "training_set": q_training_set,
+        "training_set_interleaved": q_training_set_interleaved,
         "top_ngram": q_top_ngram,
         "chunk_refs": q_chunk_refs,
         "resume_anti_join": q_resume_anti_join,
@@ -1690,6 +1709,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor((running - n_tokens) / 512.0) AS BIGINT)
                      AS bin_id
             FROM r
+        """,
+        "training_set_interleaved": f"""
+            WITH q AS (
+              SELECT doc_id, text FROM documents
+              WHERE {_QUALITY_EXPR} >= 0.3
+            ), canon AS (
+              SELECT min(doc_id) AS doc_id FROM q GROUP BY md5({_NORM})
+            ), c AS (
+              SELECT d.doc_id,
+                     CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n,
+                     CAST(ceil(len(string_split(d.text, ' '))
+                          / {TOKENS_PER_SPAN}.0) AS BIGINT) AS ns
+              FROM documents d JOIN canon USING (doc_id)
+            ), dd AS (
+              SELECT doc_id, n, ns,
+                     CAST(floor(ns / 3.0) AS BIGINT) AS m
+              FROM c
+            ), e AS (
+              SELECT doc_id, m,
+                     n + 64 * m AS cost,
+                     repeat('TTTM', CAST(m AS INT))
+                       || repeat('T', CAST(ns - 3 * m AS INT)) AS sig
+              FROM dd
+            ), r AS (
+              SELECT doc_id, cost, m, sig,
+                     SUM(cost) OVER (ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS running
+              FROM e
+            )
+            SELECT CAST(floor((running - cost) / 1024.0) AS BIGINT)
+                     AS bin_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(cost) AS BIGINT) AS n_tokens,
+                   CAST(SUM(m) AS BIGINT) AS n_media,
+                   string_agg(sig, '|' ORDER BY doc_id) AS sig
+            FROM r GROUP BY 1
         """,
         "pack_interleaved": f"""
             WITH c AS (

@@ -280,3 +280,64 @@ def build_training_set_resumable(
         )
         final.write.mode("overwrite").parquet(final_dir)
     return spark.read.parquet(final_dir)
+
+
+def build_interleaved_training_set(
+    raw: DataFrame,
+    *,
+    min_quality: float | None = 0.3,
+    pack_budget: int = 1024,
+    media_tokens: int = 64,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """INTERLEAVED text+media corpus (documents_raw shape) → packed
+    multimodal training sequences: the text content of each document
+    (text spans concatenated in offset order) is quality-gated
+    (C4-style score) and exact-deduplicated (normalized-md5 min-id
+    survivor), then the SURVIVING documents — text AND media spans —
+    are packed into fixed-budget bins with per-image placeholder-token
+    costs (operators/packing.py:pack_interleaved).
+
+    The multimodal sibling of ``build_training_set``: gates evaluate
+    only the text modality (the signal quality filters understand);
+    packing preserves the interleaving. Output: (bin_id, n_docs,
+    n_tokens, n_media, sig).
+
+    Scale shape: every stage is a tested operator — one groupBy for
+    the fingerprint dedup, a LEFT SEMI join back (AQE broadcasts the
+    survivor ids when small), then pack_interleaved's
+    groupBy + range-exchange prefix sum + groupBy(bin)."""
+    from pyspark.sql import functions as F
+
+    from agentic_doc_spark.functions.textstats import (
+        normalize_text,
+        quality_score,
+    )
+    from agentic_doc_spark.operators.packing import pack_interleaved
+
+    text_spans = F.filter(F.col("spans"), lambda s: s["media_ref"].isNull())
+    ordered = F.array_sort(
+        F.transform(
+            text_spans,
+            lambda s: F.struct(
+                s["offset"].alias("offset"), s["text"].alias("text")
+            ),
+        )
+    )
+    texts = raw.select(
+        F.col(id_col),
+        F.array_join(
+            F.transform(ordered, lambda s: s["text"]), " "
+        ).alias("text"),
+    )
+    gated = texts
+    if min_quality is not None:
+        gated = gated.filter(quality_score(F.col("text")) >= min_quality)
+    canon = gated.groupBy(F.md5(normalize_text(F.col("text")))).agg(
+        F.min(id_col).alias(id_col)
+    ).select(id_col)
+    survivors = raw.join(canon, id_col, "left_semi")
+    return pack_interleaved(
+        survivors, budget=pack_budget, media_tokens=media_tokens,
+        id_col=id_col,
+    )

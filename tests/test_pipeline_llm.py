@@ -208,3 +208,48 @@ def test_build_training_set_substring_removal(spark):
         assert "november" not in t and "whiskey" not in t
     assert out[1] == GOOD_A
     assert out[2].endswith("trailing unique tail words here")
+
+
+def test_interleaved_training_set_gates_and_packs(spark):
+    from pyspark.sql import functions as F
+
+    from agentic_doc_spark.pipeline_llm import build_interleaved_training_set
+
+    good = (
+        "the fast key order sort table scan merge part window small "
+        "hash join spark group query row data slow filter customer "
+        "line batch value page span chunk figure layout grounding "
+        "extract markdown document parse the fast key order sort "
+        "table scan merge part window small hash join spark group"
+    )
+
+    def t(text, off):
+        return {"kind": "raw", "text": text, "media_ref": None, "offset": off}
+
+    def m(ref, off):
+        return {"kind": "raw", "text": "", "media_ref": ref, "offset": off}
+
+    rows = [
+        # doc 1: good text + one image
+        {"doc_id": 1, "spans": [t(good, 0), m("media://1/m0", 1)]},
+        # doc 2: exact duplicate TEXT of doc 1 (different media) → dropped
+        {"doc_id": 2, "spans": [t(good, 0), m("media://2/m0", 1)]},
+        # doc 3: junk text (all punctuation → quality < 0.3) → dropped
+        {"doc_id": 3, "spans": [t("!!! ??? ### $$$ %%% ^^^", 0)]},
+        # doc 4: good text, no media
+        {"doc_id": 4, "spans": [t(good + " extra tail words here", 0)]},
+    ]
+    raw = spark.createDataFrame(
+        rows,
+        "doc_id long, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    bins = build_interleaved_training_set(
+        raw, min_quality=0.3, pack_budget=4096, media_tokens=64
+    ).collect()
+    # survivors: docs 1 and 4 only; everything fits one bin
+    assert len(bins) == 1
+    b = bins[0]
+    assert b["n_docs"] == 2
+    assert b["n_media"] == 1
+    assert b["sig"] == "TM|T"
