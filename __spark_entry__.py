@@ -1827,9 +1827,13 @@ def oracle_sql() -> dict[str, str]:
             ), s AS (
               SELECT doc_id,
                      len(ws) AS wc,
-                     CAST(list_sum(list_transform(ws, w -> length(w)))
-                          AS DOUBLE)
-                       / GREATEST(CAST(len(ws) AS DOUBLE), 1.0) AS mwl,
+                     -- len(ws) > 0 guard: DuckDB list_sum over an empty
+                     -- list is NULL, but Spark's 0.0-seeded fold gives
+                     -- 0.0 — a zero-word doc must compare equal
+                     CASE WHEN len(ws) > 0 THEN
+                       CAST(list_sum(list_transform(ws, w -> length(w)))
+                            AS DOUBLE) / CAST(len(ws) AS DOUBLE)
+                     ELSE 0.0 END AS mwl,
                      CAST(n_sym AS DOUBLE)
                        / GREATEST(CAST(len(ws) AS DOUBLE), 1.0) AS symr,
                      CAST(len(list_filter(lines, ln ->

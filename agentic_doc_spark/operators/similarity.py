@@ -557,7 +557,10 @@ def pq_train_codebook(
     Returns (sub, cell, centroid: array<double>) — m × k rows, a
     dimension table. Training cost: one filtered corpus scan; every
     aggregation is map-side-combinable over m × k groups."""
-    dim = len(corpus.select(vec_col).first()[0])
+    head = corpus.select(vec_col).first()
+    if head is None or head[0] is None:
+        raise ValueError("empty corpus: cannot train a PQ codebook")
+    dim = len(head[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     d_sub = dim // m
@@ -620,27 +623,32 @@ def pq_train_codebook(
 
 
 def _pq_codes_sql(vec_col: str, cb: dict[tuple[int, int], list[float]],
-                  m: int, k: int, d_sub: int) -> str:
+                  m: int, d_sub: int) -> str:
     """SQL text computing the m-code array for one row: per subspace, a
-    strict-less keep-first fold over the k centroid LITERALS (exact
-    round-trip doubles) — the same IEEE op sequence as the relational
-    ``_l2`` + min(struct) form, so encodings are bit-identical, but the
-    whole encode is a pure in-row map: ZERO exchanges over the corpus
-    (the ann_ivf centroid-literal pattern; SQL text, not the Column
-    API, per the py4j expression-construction lesson)."""
-    cbs = "array(" + ",".join(
-        "array(" + ",".join(
+    strict-less keep-first fold over the PRESENT centroid LITERALS
+    (exact round-trip doubles, (cell, centroid) pairs — cells may be
+    sparse when sampled id-modulo seeds skip residues) — the same IEEE
+    op sequence as the relational ``_l2`` + min(struct) form, so
+    encodings are bit-identical, but the whole encode is a pure in-row
+    map: ZERO exchanges over the corpus (the ann_ivf centroid-literal
+    pattern; SQL text, not the Column API, per the py4j
+    expression-construction lesson)."""
+    per_sub = []
+    for s in range(m):
+        cells = sorted(c for (ss, c) in cb if ss == s)
+        per_sub.append(
             "array(" + ",".join(
-                _sql_double(x) for x in cb[(s, c)]
+                f"named_struct('cl', {c}, 'ct', array("
+                + ",".join(_sql_double(x) for x in cb[(s, c)])
+                + "))"
+                for c in cells
             ) + ")"
-            for c in range(k)
-        ) + ")"
-        for s in range(m)
-    ) + ")"
+        )
+    cbs = "array(" + ",".join(per_sub) + ")"
     v = f"`{vec_col}`"
     dist = (
         f"aggregate(zip_with(slice({v}, s * {d_sub} + 1, {d_sub}),"
-        f" element_at(element_at(__cbs, s + 1), c + 1),"
+        " e.ct,"
         " (x, y) -> (x - y) * (x - y)), 0.0D, (a, z) -> a + z)"
     )
     # score once per cell, THEN fold — inlining the dist fold into both
@@ -648,8 +656,8 @@ def _pq_codes_sql(vec_col: str, cb: dict[tuple[int, int], list[float]],
     # interpreted higher-order lambdas)
     fold = (
         f"aggregate("
-        f"transform(sequence(0, {k - 1}),"
-        f" c -> named_struct('d', {dist}, 'c', c)),"
+        f"transform(element_at(__cbs, s + 1),"
+        f" e -> named_struct('d', {dist}, 'c', e.cl)),"
         " named_struct('d', CAST('Infinity' AS DOUBLE), 'c', -1),"
         " (acc, sc) -> IF(sc.d < acc.d, sc, acc)).c"
     )
@@ -676,14 +684,15 @@ def pq_encode(
     inside the row, so encoding is one pure map over the scan — zero
     exchanges at any corpus size."""
     rows = codebook.collect()
+    if not rows:
+        raise ValueError("empty PQ codebook")
     m = max(int(r["sub"]) for r in rows) + 1
-    k = max(int(r["cell"]) for r in rows) + 1
     d_sub = len(rows[0]["centroid"])
     cb = {
         (int(r["sub"]), int(r["cell"])): [float(x) for x in r["centroid"]]
         for r in rows
     }
-    expr = _pq_codes_sql(vec_col, cb, m, k, d_sub)
+    expr = _pq_codes_sql(vec_col, cb, m, d_sub)
     return corpus.selectExpr(
         f"`{id_col}`", f"CAST({expr} AS array<int>) AS codes"
     )

@@ -310,7 +310,7 @@ def build_interleaved_training_set(
     from pyspark.sql import functions as F
 
     from agentic_doc_spark.functions.textstats import (
-        normalize_text,
+        fingerprint,
         quality_score,
     )
     from agentic_doc_spark.operators.packing import pack_interleaved
@@ -333,7 +333,10 @@ def build_interleaved_training_set(
     gated = texts
     if min_quality is not None:
         gated = gated.filter(quality_score(F.col("text")) >= min_quality)
-    canon = gated.groupBy(F.md5(normalize_text(F.col("text")))).agg(
+    # the CANONICAL fingerprint (textstats.fingerprint — shared with
+    # dedup_exact), not an inline md5: the exact-dedup definition must
+    # not drift between the two paths
+    canon = gated.groupBy(fingerprint(F.col("text"))).agg(
         F.min(id_col).alias(id_col)
     ).select(id_col)
     survivors = raw.join(canon, id_col, "left_semi")

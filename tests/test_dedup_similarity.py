@@ -498,3 +498,34 @@ def test_pq_partition_invariant(spark):
         for r in pq_encode(emb2, pq_train_codebook(emb2, 4, 4)).collect()
     )
     assert a == b
+
+
+def test_pq_encode_handles_sparse_cells(spark):
+    # all-even ids mod k=4 seed only cells {0, 2}; encoding must use
+    # the PRESENT cells, not crash on the gap (review regression)
+    from agentic_doc_spark.operators.similarity import (
+        pq_encode,
+        pq_train_codebook,
+    )
+
+    rows = [
+        (2 * i, [float((i * 5 + d) % 7 - 3) for d in range(8)])
+        for i in range(30)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = pq_train_codebook(emb, m=4, k=4)
+    cells = {r["cell"] for r in cb.collect()}
+    assert cells == {0, 2}  # sparse by construction
+    codes = pq_encode(emb, cb).collect()
+    assert len(codes) == 30
+    assert all(set(r["codes"]) <= {0, 2} for r in codes)
+
+
+def test_pq_train_empty_corpus_raises(spark):
+    import pytest
+
+    from agentic_doc_spark.operators.similarity import pq_train_codebook
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty corpus"):
+        pq_train_codebook(empty, m=4, k=4)

@@ -248,7 +248,7 @@ def test_gopher_flags_rule_battery(spark):
         (1, "too short to have fifty words"),       # wc fails
         (2, good + " ##### " * 20),                 # symbol ratio fails
         (3, "\n".join("- bullet line here now ok" for _ in range(20))
-            + "\n" + good),                          # bullets fail? (>90% needs more)
+            + "\n" + good),  # 20 of 21 lines bulleted → bullet_ok False
         (4, good.replace("the", "123").replace("and", "456")
              .replace("to", "789").replace("with", "000")
              .replace("have", "111").replace("that", "222")
@@ -264,6 +264,7 @@ def test_gopher_flags_rule_battery(spark):
     assert out[0]["keep"] is True and out[0]["n_words"] >= 50
     assert out[1]["wc_ok"] is False and out[1]["keep"] is False
     assert out[2]["sym_ok"] is False
+    assert out[3]["bullet_ok"] is False and out[3]["keep"] is False
     assert out[4]["stop_ok"] is False and out[4]["keep"] is False
 
 
