@@ -150,3 +150,73 @@ def test_pack_interleaved_partition_invariant(spark):
         map(tuple, pack_interleaved(raw, 70, 64, num_partitions=7).collect())
     )
     assert a == b
+
+
+def test_pack_interleaved_matches_python_reference(spark):
+    # property-style pin against an independent sequential reference
+    # over a pseudo-random interleaved corpus
+    import random
+
+    from agentic_doc_spark.operators.packing import pack_interleaved
+
+    rng = random.Random(17)
+    docs = []
+    for i in range(60):
+        spans = []
+        off = 0
+        for _ in range(rng.randint(1, 6)):
+            if rng.random() < 0.3:
+                spans.append(
+                    {"kind": "raw", "text": "", "media_ref": f"m://{i}/{off}",
+                     "offset": off}
+                )
+            else:
+                nw = rng.randint(1, 9)
+                spans.append(
+                    {"kind": "raw",
+                     "text": " ".join(f"w{j}" for j in range(nw)),
+                     "media_ref": None, "offset": off}
+                )
+            off += 1
+        docs.append({"doc_id": i, "spans": spans})
+
+    budget, mtok = 100, 16
+    # reference: sequential prefix sum over doc_id order
+    ref_bins: dict[int, dict] = {}
+    running = 0
+    for d in sorted(docs, key=lambda x: x["doc_id"]):
+        cost = sum(
+            mtok if s["media_ref"] else len(s["text"].split(" "))
+            for s in d["spans"]
+        )
+        sig = "".join(
+            "M" if s["media_ref"] else "T"
+            for s in sorted(d["spans"], key=lambda s: s["offset"])
+        )
+        bin_id = running // budget
+        running += cost
+        b = ref_bins.setdefault(
+            bin_id, {"n_docs": 0, "n_tokens": 0, "n_media": 0, "sigs": []}
+        )
+        b["n_docs"] += 1
+        b["n_tokens"] += cost
+        b["n_media"] += sum(1 for s in d["spans"] if s["media_ref"])
+        b["sigs"].append(sig)
+
+    raw = spark.createDataFrame(
+        docs,
+        "doc_id long, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    got = {
+        r["bin_id"]: r
+        for r in pack_interleaved(raw, budget, mtok, num_partitions=5)
+        .collect()
+    }
+    assert set(got) == set(ref_bins)
+    for bid, ref in ref_bins.items():
+        r = got[bid]
+        assert r["n_docs"] == ref["n_docs"]
+        assert r["n_tokens"] == ref["n_tokens"]
+        assert r["n_media"] == ref["n_media"]
+        assert r["sig"] == "|".join(ref["sigs"])

@@ -315,3 +315,35 @@ def test_stream_near_dedup_replay_idempotent(spark, tmp_path):
     _process_near_dedup_batch(spark, b2, 1, out, state)
     final = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert final == [1, 2]
+
+
+def test_stream_extract_interleaved_media_docs(spark, tmp_path):
+    # interleaved text+media documents stream through extraction with
+    # media spans preserved in order — the multimodal corpus shape is
+    # first-class in the streaming path too
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def t(text, off):
+        return {"kind": "raw", "text": text, "media_ref": None, "offset": off}
+
+    def m(ref, off):
+        return {"kind": "raw", "text": "", "media_ref": ref, "offset": off}
+
+    rows = [
+        {"doc_id": "mm-0", "spans": [t("alpha beta", 0), m("media://mm-0/x", 1),
+                                     t("gamma delta", 2)]},
+        {"doc_id": "mm-1", "spans": [m("media://mm-1/a", 0), t("solo", 1)]},
+    ]
+    from agentic_doc_spark.schema import DOCUMENTS_RAW
+
+    spark.createDataFrame(rows, DOCUMENTS_RAW).write.mode("append").parquet(src)
+    stream_extract(spark, src, out, ckpt)
+    got = {r["doc_id"]: r for r in spark.read.parquet(out).collect()}
+    assert set(got) == {"mm-0", "mm-1"}
+    s0 = [(s["kind"], s["media_ref"]) for s in got["mm-0"]["spans"]]
+    assert s0 == [("text", None), ("media", "media://mm-0/x"),
+                  ("text", None)]
+    s1 = [(s["kind"], s["media_ref"]) for s in got["mm-1"]["spans"]]
+    assert s1 == [("media", "media://mm-1/a"), ("text", None)]
