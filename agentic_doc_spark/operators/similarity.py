@@ -19,11 +19,138 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.storagelevel import StorageLevel
 
 from agentic_doc_spark.operators.dedup import _md5_key64, cosine
+
+
+def _topk_cmp_sql(value_col: str, id_col: str, ascending: bool) -> str:
+    """array_sort comparator for (value ASC|DESC, id ASC) with the Spark
+    ordering convention for NaN (greatest: last in ASC, first in DESC).
+    SQL text, not the Column API — py4j expression-construction cost."""
+    lt, gt = (-1, 1) if ascending else (1, -1)
+    nan_cmp = 1 if ascending else -1
+    return (
+        "(a, b) -> CASE"
+        f" WHEN isnan(a.`{value_col}`) AND NOT isnan(b.`{value_col}`)"
+        f" THEN {nan_cmp}"
+        f" WHEN isnan(b.`{value_col}`) AND NOT isnan(a.`{value_col}`)"
+        f" THEN {-nan_cmp}"
+        f" WHEN a.`{value_col}` < b.`{value_col}` THEN {lt}"
+        f" WHEN a.`{value_col}` > b.`{value_col}` THEN {gt}"
+        f" WHEN a.`{id_col}` < b.`{id_col}` THEN -1"
+        f" WHEN a.`{id_col}` > b.`{id_col}` THEN 1 ELSE 0 END"
+    )
+
+
+def _topk_per_group(
+    scored: DataFrame,
+    k: int,
+    value_col: str,
+    ascending: bool,
+    group_col: str = "query_id",
+    id_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Two-phase bounded per-group top-k — the distributed replacement
+    for ``Window.partitionBy(group).orderBy(...)`` + row_number, whose
+    rank step funnels EVERY candidate row of a group through ONE reducer
+    task (at 10^10 vectors with n_probe/n_cells = 1/4 that is ~2.5e9
+    rows per query in a single task — the per-group analog of the
+    TakeOrderedAndProject pattern ``q_top_orders`` uses for global
+    top-k).
+
+    Phase 1 — ZERO shuffle: a mapInArrow kernel keeps only the top-k
+    rows per group within each partition, streaming Arrow batches
+    through a bounded carry (≤ groups-seen × k rows held at once — no
+    giant collect_list buffer, no partition-sized sort spill). The
+    kernel only SELECTS rows; the double values pass through Arrow
+    bit-exact, so cross-engine value parity is untouched.
+
+    Phase 2 — bounded shuffle: the ≤ k × partitions survivors per group
+    merge under one groupBy(group) via
+    slice(array_sort(collect_list(...)), 1, k).
+
+    The (value, id) ordering is total (id unique per group in every
+    caller), so the result is the exact global top-k, partition-count
+    invariant, ties broken identically to the window form. NaN values
+    sort greatest (the Spark ASC/DESC convention); values must be
+    non-null (all callers compute coalesced/closed-form scores).
+    """
+    schema = scored.schema
+    vcol, gcol, icol, kk = value_col, group_col, id_col, int(k)
+    asc = bool(ascending)
+
+    def _local(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        names = [f.name for f in schema.fields]
+
+        def take(t):
+            vals = t.column(vcol).to_numpy(zero_copy_only=False)
+            vals = np.asarray(vals, dtype="float64")
+            if asc:
+                key = np.where(np.isnan(vals), np.inf, vals)
+            else:
+                key = np.where(np.isnan(vals), -np.inf, -vals)
+            t2 = t.append_column("__k", pa.array(key, type=pa.float64()))
+            idx = pc.sort_indices(
+                t2,
+                sort_keys=[
+                    (gcol, "ascending"),
+                    ("__k", "ascending"),
+                    (icol, "ascending"),
+                ],
+            )
+            t2 = t2.take(idx)
+            g = t2.column(gcol).to_numpy(zero_copy_only=False)
+            n = len(g)
+            if n == 0:
+                return t2.select(names)
+            change = np.ones(n, dtype=bool)
+            change[1:] = g[1:] != g[:-1]
+            starts = np.flatnonzero(change)
+            grp = np.cumsum(change) - 1
+            pos = np.arange(n) - starts[grp]
+            return t2.filter(pa.array(pos < kk)).select(names)
+
+        carry = None
+        for batch in batches:
+            t = pa.Table.from_batches([batch])
+            if carry is not None and carry.num_rows:
+                t = pa.concat_tables([carry, t])
+            carry = take(t)
+        if carry is not None and carry.num_rows:
+            yield from carry.combine_chunks().to_batches()
+
+    local = scored.mapInArrow(_local, schema)
+    cmp = _topk_cmp_sql(vcol, icol, asc)
+    merged = (
+        local.selectExpr(
+            f"`{gcol}`",
+            f"named_struct('{vcol}', `{vcol}`, '{icol}', `{icol}`) AS __s",
+        )
+        .groupBy(gcol)
+        .agg(
+            F.expr(
+                f"slice(array_sort(collect_list(__s), {cmp}), 1, {kk})"
+            ).alias("__top")
+        )
+    )
+    return (
+        merged.select(gcol, F.posexplode("__top").alias("__pos", "__s"))
+        .select(
+            gcol,
+            F.col("__s").getField(icol).alias(icol),
+            F.col("__s").getField(vcol).alias(vcol),
+            (F.col("__pos") + 1).cast("int").alias(rank_col),
+        )
+    )
 
 
 def brute_force_topk(
@@ -36,8 +163,9 @@ def brute_force_topk(
     """Exact top-k neighbors per query (query_id, neighbor_id, cos, rank).
 
     Self-matches excluded. Queries are broadcast — scoring is a map-side
-    nested loop over corpus partitions, then one shuffle for the window
-    top-k."""
+    nested loop over corpus partitions, then per-partition top-k
+    selection (zero shuffle) and one bounded merge of ≤ k × partitions
+    candidates per query (``_topk_per_group``)."""
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
@@ -48,14 +176,7 @@ def brute_force_topk(
     scored = scored.select(
         "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos")
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos", "rank")
-    )
+    return _topk_per_group(scored, k, "cos", ascending=False)
 
 
 def derive_centroids(
@@ -389,9 +510,11 @@ def ivf_topk(
 
     Exchange budget: 1 bounded exchange for seeds, 1 bounded exchange
     per refine round (both over the train sample), 1 for the
-    probe⋈assigned equi-join on cell, 1 for the per-query top-k window —
+    probe⋈assigned equi-join on cell, and 1 BOUNDED exchange
+    (≤ k × partitions rows per query) for the two-phase top-k merge —
     corpus assignment and probe selection are row-local, so the full
-    corpus is scanned exactly once at query time."""
+    corpus is scanned exactly once at query time and no corpus-sized
+    row set ever funnels through a single task."""
     proj = corpus.select(F.col(id_col), F.col(vec_col))
     train = _train_sample(proj, n_cells, train_per_cell, id_col).persist(
         StorageLevel.MEMORY_AND_DISK
@@ -411,12 +534,7 @@ def ivf_topk(
     scored = cand.select(
         "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos", "rank")
-    )
+    return _topk_per_group(scored, k, "cos", ascending=False)
 
 
 def semantic_dedup(
@@ -507,17 +625,6 @@ def semantic_dedup(
 # ---------------------------------------------------------------------------
 
 
-def _l2(a: Column, b: Column) -> Column:
-    """Squared L2 distance — sequential in-row fold (same double
-    arithmetic and summation order as the DuckDB twin's
-    list_sum(list_transform(...)))."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
 def _pq_subvectors(
     df: DataFrame, m: int, d_sub: int, vec_col: str, id_col: str
 ) -> DataFrame:
@@ -555,8 +662,21 @@ def pq_train_codebook(
     — over the SAME bounded md5-mod training sample for every subspace.
 
     Returns (sub, cell, centroid: array<double>) — m × k rows, a
-    dimension table. Training cost: one filtered corpus scan; every
-    aggregation is map-side-combinable over m × k groups."""
+    dimension table.
+
+    Driver-orchestrated for job count (the `_train_centroids` lesson:
+    bounded-output training loops beat DataFrame chains): exactly FOUR
+    bounded Spark jobs — head row, sample-modulus count, one seeds
+    aggregation over all m subspaces at once, and one fused per-dim
+    means aggregation (the training sample is encoded against the seed
+    codebook IN ROW via the ``_pq_codes_sql`` literal fold — the exact
+    same squared-L2 op sequence and ties→lowest-cell rule as the
+    min_by(struct) chain this replaces — then one map-side-combinable
+    groupBy over m × k × d_sub groups). Means are rounded to 6 dp IN
+    Spark (the cross-engine determinism contract shared with
+    ``refine_centroids``); the seed/mean coalesce for empty cells runs
+    in Python over ≤ m × k rows. The previous per-stage DataFrame
+    chain cost a broadcast build plus four exchanges of the same data."""
     head = corpus.select(vec_col).first()
     if head is None or head[0] is None:
         raise ValueError("empty corpus: cannot train a PQ codebook")
@@ -567,59 +687,58 @@ def pq_train_codebook(
     train = _train_sample(
         corpus.select(F.col(id_col), F.col(vec_col)), k, train_per_cell,
         id_col,
-    )
-    sv = _pq_subvectors(train, m, d_sub, vec_col, id_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     try:
-        seeds = (
+        sv = _pq_subvectors(train, m, d_sub, vec_col, id_col)
+        seed_rows = (
             sv.withColumn("cell", (F.col(id_col) % k).cast("int"))
             .groupBy("sub", "cell")
             .agg(F.min_by("subvec", F.col(id_col)).alias("centroid"))
+            .collect()
         )
-        # one Lloyd round: nearest seed by squared L2 (ties → lowest
-        # cell via the struct ordering), per-dim means rounded to 6 dp
-        cand = sv.join(F.broadcast(seeds), "sub")
-        assigned = (
-            cand.withColumn("d", _l2(F.col("subvec"), F.col("centroid")))
-            .groupBy(id_col, "sub")
-            .agg(
-                F.min_by(
-                    F.struct("cell", "subvec"), F.struct("d", "cell")
-                ).alias("best")
-            )
-            .select(
-                "sub",
-                F.col("best.cell").alias("cell"),
-                F.col("best.subvec").alias("subvec"),
-            )
+        seed_cb = {
+            (int(r["sub"]), int(r["cell"])): [float(x) for x in r["centroid"]]
+            for r in seed_rows
+        }
+        # one Lloyd round, fused into ONE aggregation job: assign each
+        # training vector per subspace to its nearest seed inside the
+        # row (seed-codebook literals — zero exchange), explode to
+        # (sub, cell, pos, x) and take 6-dp-rounded per-dim means.
+        # __codes is staged in its own projection: it is referenced
+        # m × d_sub times by the explode and CollapseProject does not
+        # inline multi-referenced non-cheap expressions.
+        codes_expr = _pq_codes_sql(vec_col, seed_cb, m, d_sub)
+        staged = train.selectExpr(f"`{vec_col}`", f"{codes_expr} AS __codes")
+        exploded = staged.selectExpr(
+            f"explode(flatten(transform(sequence(0, {m - 1}), s -> "
+            f"transform(sequence(1, {d_sub}), i -> named_struct("
+            "'sub', CAST(s AS INT), 'cell', element_at(__codes, s + 1), "
+            "'pos', CAST(i AS INT), "
+            f"'x', element_at(`{vec_col}`, s * {d_sub} + i)))))) AS e"
+        ).select("e.sub", "e.cell", "e.pos", "e.x")
+        mean_rows = (
+            exploded.groupBy("sub", "cell", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("mval"))
+            .collect()
         )
-        dims = assigned.select(
-            "sub", "cell", F.posexplode("subvec").alias("pos", "x")
-        )
-        means = dims.groupBy("sub", "cell", "pos").agg(
-            F.round(F.avg("x"), 6).alias("mval")
-        )
-        refined = means.groupBy("sub", "cell").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "mval"))),
-                lambda s: s["mval"],
-            ).alias("refined")
-        )
-        out = (
-            seeds.join(refined, ["sub", "cell"], "left")
-            .select(
-                "sub",
-                "cell",
-                F.coalesce("refined", "centroid").alias("centroid"),
-            )
-        )
-        out = out.sparkSession.createDataFrame(
-            out.collect(), out.schema
-        )  # materialize before unpersisting the train sample
-        return out
     finally:
-        sv.unpersist(False)
+        train.unpersist(False)
+    by_sc: dict[tuple[int, int], dict[int, float]] = {}
+    for r in mean_rows:
+        by_sc.setdefault((int(r["sub"]), int(r["cell"])), {})[
+            int(r["pos"])
+        ] = float(r["mval"])
+    rows = [
+        (
+            sub,
+            cell,
+            [mv[p] for p in sorted(mv)] if (mv := by_sc.get((sub, cell))) else seed,
+        )
+        for (sub, cell), seed in sorted(seed_cb.items())
+    ]
+    return corpus.sparkSession.createDataFrame(
+        rows, "sub int, cell int, centroid array<double>"
+    )
 
 
 def _pq_codes_sql(vec_col: str, cb: dict[tuple[int, int], list[float]],
@@ -710,57 +829,73 @@ def pq_topk(
     subvectors, corpus vectors are represented only by their codes;
     approximate distance = Σ_sub ‖q_sub − centroid(code_sub)‖².
 
-    Plan: per-query distance TABLE to every (sub, cell) centroid
-    (queries × m·k broadcast — bounded), joined to the exploded codes
-    on (sub, cell): the full corpus is touched only through its codes,
-    never its vectors — the PQ scan at 10^10 vectors reads m ints per
-    row. One exchange groups per-(query, vector) partial sums; ranking
-    is a bounded per-query window."""
-    qs = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    Plan: the per-(query, sub, cell) distance TABLE is computed
+    DRIVER-SIDE over the collected queries (bounded — the same
+    queries ≪ corpus contract brute_force_topk's broadcast relies on;
+    |queries| × m × k doubles) and broadcast as ONE row per query; the
+    approximate distance is then an IN-ROW fold over the m codes in
+    ascending sub order — the exact double sequence the DuckDB twin's
+    list(dpart ORDER BY sub) sum sees. The corpus side is therefore a
+    pure map over the codes scan (m ints per row at 10^10 vectors):
+    no corpus × m explode, no per-(query, vector) hash aggregation,
+    and ranking is the two-phase bounded ``_topk_per_group`` — the
+    previous explode + broadcast-join + collect_list-agg + window plan
+    shuffled corpus-sized row sets twice.
+
+    Value parity: each dpart is the sequential ‖q_sub − c‖² fold
+    ((x−y)·(x−y) accumulated in element order). Python doubles ARE
+    IEEE-754 doubles executing the same op sequence, so the collected
+    table is bit-identical to the relational _l2 form it replaces."""
+    rows = codebook.collect()
+    if not rows:
+        raise ValueError("empty PQ codebook")
+    m = max(int(r["sub"]) for r in rows) + 1
+    d_sub = len(rows[0]["centroid"])
+    max_cell = max(int(r["cell"]) for r in rows)
+    cb = {
+        (int(r["sub"]), int(r["cell"])): [float(x) for x in r["centroid"]]
+        for r in rows
+    }
+    qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    data = []
+    for qr in qrows:
+        qv = [float(x) for x in qr[1]]
+        dtab = []
+        for s in range(m):
+            # dense cell→dpart row; holes (cells the sampled seeds
+            # skipped) stay +inf and are never referenced — codes only
+            # ever name cells present in the codebook
+            drow = [float("inf")] * (max_cell + 1)
+            for c in range(max_cell + 1):
+                cent = cb.get((s, c))
+                if cent is None:
+                    continue
+                acc = 0.0
+                for i in range(d_sub):
+                    d = qv[s * d_sub + i] - cent[i]
+                    acc += d * d
+                drow[c] = acc
+            dtab.append(drow)
+        data.append((qr[0], dtab))
+    qschema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[id_col].dataType),
+            T.StructField(
+                "dtab", T.ArrayType(T.ArrayType(T.DoubleType()))
+            ),
+        ]
     )
-    mk = codebook.agg(
-        F.max("sub").alias("ms"), F.size(F.first("centroid")).alias("ds")
-    ).first()
-    m, d_sub = int(mk["ms"]) + 1, int(mk["ds"])
-    qsv = _pq_subvectors(qs, m, d_sub, "qv", "query_id")
-    dtab = qsv.join(F.broadcast(codebook), "sub").select(
-        "query_id",
-        "sub",
-        F.col("cell").alias("code"),
-        _l2(F.col("subvec"), F.col("centroid")).alias("dpart"),
-    )
-    cv = codes.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.posexplode("codes").alias("sub", "code"),
-    )
-    # canonical sub-ordered sequential fold (not F.sum): partial-agg
-    # combine order is partition-dependent, and the DuckDB twin's
-    # list(dpart ORDER BY sub) fold must see the same double sequence
-    ordered = F.array_sort(F.collect_list(F.struct("sub", "dpart")))
+    qdf = queries.sparkSession.createDataFrame(data, qschema)
     scored = (
-        # dtab is |queries| × m × k rows — bounded (queries ≪ corpus,
-        # the same contract as brute_force_topk), so broadcast it: the
-        # exploded-codes side then never shuffles for this join
-        cv.join(F.broadcast(dtab), ["sub", "code"])
+        codes.select(F.col(id_col).alias("neighbor_id"), "codes")
+        .crossJoin(F.broadcast(qdf))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .groupBy("query_id", "neighbor_id")
-        .agg(
-            F.round(
-                F.aggregate(
-                    F.transform(ordered, lambda s: s["dpart"]),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-                6,
-            ).alias("adist")
+        .selectExpr(
+            "query_id",
+            "neighbor_id",
+            f"round(aggregate(sequence(0, {m - 1}), 0.0D,"
+            " (acc, s) -> acc + element_at(element_at(dtab, s + 1),"
+            " element_at(codes, s + 1) + 1)), 6) AS adist",
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.asc("adist"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= topk)
-        .select("query_id", "neighbor_id", "adist", "rank")
-    )
+    return _topk_per_group(scored, topk, "adist", ascending=True)

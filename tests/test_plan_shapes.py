@@ -68,6 +68,16 @@ def test_ann_pq_has_no_sort_merge_join(spark, entry):
     assert "SortMergeJoin" not in plan, plan
 
 
+@pytest.mark.parametrize("name", ["ann_bruteforce", "ann_ivf", "ann_pq"])
+def test_ann_topk_has_no_single_partition_window(spark, entry, name):
+    # per-query ranking must be the two-phase bounded top-k
+    # (mapInArrow local top-k + bounded merge agg) — a
+    # Window.partitionBy(query_id) funnels every candidate row of a
+    # query through ONE reducer task (round-4 VERDICT finding #1)
+    plan = _plan(entry.queries()[name](spark, SF))
+    assert "Window" not in plan, (name, plan)
+
+
 def test_semantic_dedup_assignment_materialized_once(spark):
     # the checkpoint cut: without it the zero-exchange assignment
     # subtree (scan + argmax fold) re-derives in all three consumers
