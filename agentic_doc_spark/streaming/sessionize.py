@@ -40,6 +40,35 @@ STATE_SCHEMA = T.StructType(
 )
 
 
+def _fold_events(
+    user_id, events: pd.DataFrame, state_tuple, gap_seconds: float
+):
+    """The per-event gap fold shared by the STREAMING state kernel and
+    the BATCH replay (``sessionize_batch``): walk events in ts order,
+    close the open session whenever the gap exceeds ``gap_seconds``.
+    Returns (closed_sessions, (start, last, n, total)) — the caller
+    decides whether the final open session persists (stream state) or
+    closes (batch end-of-input). One shared implementation keeps the
+    streaming and CORRECTNESS-gated batch semantics identical."""
+    if state_tuple is not None:
+        start, last, n, total = state_tuple
+    else:
+        start = last = None
+        n, total = 0, 0.0
+    closed: list[tuple] = []
+    for ts, value in zip(events["ts"], events["value"]):
+        ts = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+        if last is not None and (ts - last).total_seconds() > gap_seconds:
+            closed.append((user_id, start, last, n, total))
+            start, n, total = ts, 0, 0.0
+        if start is None:
+            start = ts
+        last = ts
+        n += 1
+        total += float(value)
+    return closed, (start, last, n, total)
+
+
 def _session_func(gap_seconds: float):
     def func(
         key: tuple[Any, ...],
@@ -48,23 +77,10 @@ def _session_func(gap_seconds: float):
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
         events = pd.concat(list(pdfs)).sort_values("ts")
-        if state.exists:
-            start, last, n, total = state.get
-        else:
-            start = last = None
-            n, total = 0, 0.0
-        closed: list[tuple] = []
-        for ts, value in zip(events["ts"], events["value"]):
-            ts = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
-            if last is not None and (ts - last).total_seconds() > gap_seconds:
-                closed.append((user_id, start, last, n, total))
-                start, n, total = ts, 0, 0.0
-            if start is None:
-                start = ts
-            last = ts
-            n += 1
-            total += float(value)
-        state.update((start, last, n, total))
+        closed, new_state = _fold_events(
+            user_id, events, state.get if state.exists else None, gap_seconds
+        )
+        state.update(new_state)
         if closed:
             yield pd.DataFrame(
                 closed,
@@ -78,6 +94,61 @@ def _session_func(gap_seconds: float):
             )
 
     return func
+
+
+def sessionize_batch(events, gap_minutes: float = 30.0):
+    """Deterministic BATCH replay of the streaming sessionizer: the
+    SAME per-event gap fold as ``_session_func`` (shared
+    ``_fold_events``), run once per user via applyInPandas with empty
+    initial state; end-of-input closes the final open session (the
+    batch analog of a stream reaching its end). This is the
+    CORRECTNESS-gate twin of the applyInPandasWithState path — the
+    state store itself cannot run in batch, but the session semantics
+    it maintains are pinned against the DuckDB oracle through this
+    operator (round-4 VERDICT task 8).
+
+    Events sort by (ts, event_id) inside the kernel so tie-broken
+    iteration order is engine-independent; ts-ties cannot split a
+    session (gap 0) and the float value sum is rounded downstream, so
+    results match the pure-window batch form (``events_gap_sessions``)
+    exactly.
+
+    Scale shape: one hash exchange on user_id (the same partitioning
+    the streaming state store uses), then per-group pandas kernels —
+    no window over the global event stream, no driver collect."""
+    import pandas as pd
+
+    gap_seconds = gap_minutes * 60.0
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        user_id = pdf["user_id"].iloc[0]
+        events = pdf.sort_values(["ts", "event_id"])
+        closed, (start, last, n, total) = _fold_events(
+            user_id, events, None, gap_seconds
+        )
+        if start is not None:
+            closed.append((user_id, start, last, n, total))
+        out = pd.DataFrame(
+            closed,
+            columns=[
+                "user_id",
+                "session_start",
+                "session_end",
+                "n_events",
+                "total_value",
+            ],
+        )
+        out["session_no"] = range(1, len(out) + 1)
+        return out
+
+    out_schema = T.StructType(
+        list(SESSION_SCHEMA.fields) + [T.StructField("session_no", T.IntegerType())]
+    )
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(kernel, out_schema)
+    )
 
 
 def sessionize_stream(
