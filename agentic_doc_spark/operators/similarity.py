@@ -545,6 +545,7 @@ def semantic_dedup(
     train_per_cell: int = 256,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_cell_rows: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     public method): cluster embeddings with the IVF centroid trainer
@@ -563,7 +564,21 @@ def semantic_dedup(
     within-cell pair join — the same candidate-bounding tradeoff as the
     published method, tunable by ``n_cells`` (cells shrink as cells
     multiply; at 10^10 vectors use n_cells ~ 10^5 so cells hold ~10^5
-    vectors). The anti-join back is an equi-join on id."""
+    vectors). The anti-join back is an equi-join on id.
+
+    Skew guard: a degenerate corpus (all vectors in one tight cluster)
+    collapses every row into ONE cell and the pair join silently goes
+    O(n²). Before joining, the cell histogram (one bounded agg over the
+    already-materialized assignment) is checked against
+    ``max_cell_rows`` — default 8 × the expected n/n_cells population,
+    impossible to hit with a healthy clustering at n_cells ≤ 8 and hit
+    immediately by a single-cluster corpus — and the call raises with
+    the measured histogram instead of attempting the quadratic join
+    (remedies: raise ``n_cells``, or pass an explicit ``max_cell_rows``
+    budget). Raising — not silently re-splitting by a secondary hash —
+    keeps the published SemDeDup semantics (a re-split would stop
+    comparing true near-dups that land in different sub-cells) and the
+    cross-engine oracle exact."""
     proj = corpus.select(F.col(id_col), F.col(vec_col))
     train = _train_sample(proj, n_cells, train_per_cell, id_col).persist(
         StorageLevel.MEMORY_AND_DISK
@@ -582,6 +597,29 @@ def semantic_dedup(
     assigned = _truncate_lineage(
         assign_cells(proj, None, vec_col, id_col, cells=cents)
     )
+    # skew guard (docstring): bounded histogram over the materialized
+    # assignment — ≤ n_cells rows collected, one cheap scan of the
+    # checkpointed frame
+    hist = sorted(
+        ((int(r["cell"]), int(r["n"])) for r in
+         assigned.groupBy("cell").agg(F.count("*").alias("n")).collect()),
+        key=lambda t: -t[1],
+    )
+    n_total = sum(n for _, n in hist)
+    cap = (
+        int(max_cell_rows)
+        if max_cell_rows is not None
+        else 8 * max(1, n_total // max(1, n_cells))
+    )
+    if hist and hist[0][1] > cap:
+        raise ValueError(
+            "semantic_dedup skew guard: cell "
+            f"{hist[0][0]} holds {hist[0][1]} of {n_total} vectors "
+            f"(cap {cap}) — the within-cell pair join would be "
+            "quadratic. Increase n_cells (cells shrink as cells "
+            "multiply) or pass an explicit max_cell_rows budget. "
+            f"Top cells (cell, rows): {hist[:5]}"
+        )
     # Stage each vector's norm ONCE per row BEFORE the pair join: the
     # per-pair predicate then runs a single dot fold instead of
     # dot + 2 norms. (Measured gain at sf0.1 is ~10% — pair-row
