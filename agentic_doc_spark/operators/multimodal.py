@@ -177,7 +177,10 @@ def _safe_path_part(col) -> "F.Column":
 
 
 def grounding_crop_specs(
-    parsed: DataFrame, page_width: int = 816, page_height: int = 1056
+    parsed: DataFrame,
+    page_width: int = 816,
+    page_height: int = 1056,
+    include_text: bool = False,
 ) -> DataFrame:
     """S9: the grounding-image sink, minus the raster bytes.
 
@@ -205,6 +208,7 @@ def grounding_crop_specs(
         "doc_id",
         F.col("c.chunk_id").alias("chunk_id"),
         F.col("c.chunk_type").alias("chunk_type"),
+        *([F.col("c.text").alias("text")] if include_text else []),
         F.posexplode("c.grounding").alias("grounding_idx", "g"),
     )
     px = box_to_pixels(
@@ -217,6 +221,7 @@ def grounding_crop_specs(
             F.col("g.page").alias("page"),
             "chunk_id",
             "chunk_type",
+            *(["text"] if include_text else []),
             px.alias("px"),
             F.concat(
                 F.lit("page_"),
@@ -448,8 +453,13 @@ def rasterize_pages(
     renderer (reference page_to_image, agentic_doc/utils.py:110-124,
     rasterizes with pypdfium2; this container has no PDF renderer, so the
     page is SYNTHESIZED deterministically from the chunk geometry: each
-    grounding box draws a bordered block with ragged dark "text runs"
-    whose ink pattern derives from sha256(chunk_id)). Feeding these to
+    grounding box draws a tinted bordered block and the chunk's ACTUAL
+    TEXT renders inside it through the embedded 5×7 bitmap font
+    (functions/bitmapfont.py) — grounding crops of born-digital
+    documents therefore contain legible glyph pixels, the closest this
+    sandbox gets to the reference's pymupdf page render. Text-less
+    chunks (media/figure placeholders) keep the ragged
+    sha256(chunk_id)-seeded ink runs). Feeding these to
     render_grounding_crops closes the parse → crop-files loop with zero
     caller-supplied rasters; swap in real renderer output (same schema)
     when one is available.
@@ -460,12 +470,17 @@ def rasterize_pages(
     time per worker."""
     from pyspark.sql import functions as F
 
+    from agentic_doc_spark.functions.bitmapfont import render_wrapped
     from agentic_doc_spark.functions.png import encode_png
 
-    specs = grounding_crop_specs(parsed, page_width, page_height)
+    specs = grounding_crop_specs(
+        parsed, page_width, page_height, include_text=True
+    )
     per_page = specs.groupBy("doc_id", "page").agg(
         F.sort_array(
-            F.collect_list(F.struct("chunk_id", "chunk_type", "px"))
+            # chunk_id leads the struct, so sort order (and thus z-order
+            # of overlapping blocks) is unchanged by the text field
+            F.collect_list(F.struct("chunk_id", "chunk_type", "px", "text"))
         ).alias("cs")
     )
 
@@ -493,6 +508,13 @@ def rasterize_pages(
                     canvas[max(y1 - 2, y0) : y1, x0:x1] = 60
                     canvas[y0:y1, x0 : min(x0 + 2, x1)] = 60
                     canvas[y0:y1, max(x1 - 2, x0) : x1] = 60
+                    text = (c["text"] or "").strip()
+                    if text:
+                        # the chunk's real text in 5×7 glyphs, wrapped
+                        render_wrapped(
+                            canvas, x0 + 4, y0 + 4, x1 - 3, y1 - 2, text
+                        )
+                        continue
                     # ragged text runs: 2px dark lines, widths from the seed
                     for li, y in enumerate(range(y0 + 5, y1 - 4, 7)):
                         frac = 0.5 + (seed[(3 + li) % 32] % 115) / 256.0

@@ -372,6 +372,49 @@ def test_parse_with_caller_supplied_page_rasters(spark, tmp_path):
         assert (got == want).all()  # cut from the caller's raster
 
 
+def test_rasterize_pages_renders_legible_glyphs(spark):
+    # K1 last gap (round-4 VERDICT task 6): a born-digital chunk's TEXT
+    # must appear as exact 5×7 glyph bitmaps inside its grounding block
+    from agentic_doc_spark.functions.bitmapfont import CELL_W, glyph
+    from agentic_doc_spark.operators.multimodal import (
+        grounding_crop_specs,
+        rasterize_pages,
+    )
+    from agentic_doc_spark.schema import PARSED_DOCUMENT
+
+    row = {
+        "doc_id": "g1",
+        "markdown": "HELLO WORLD",
+        "chunks": [
+            {
+                "text": "HELLO WORLD",
+                "grounding": [
+                    {
+                        "page": 0,
+                        "box": {"l": 0.1, "t": 0.1, "r": 0.9, "b": 0.5},
+                        "image_path": None,
+                    }
+                ],
+                "chunk_type": "text",
+                "chunk_id": "c0",
+            }
+        ],
+        "spans": [],
+        "start_page_idx": 0,
+        "end_page_idx": 0,
+        "doc_type": "pdf",
+        "errors": [],
+    }
+    parsed = spark.createDataFrame([row], PARSED_DOCUMENT)
+    px = grounding_crop_specs(parsed).collect()[0]["px"]
+    arr = decode_png(bytes(rasterize_pages(parsed).collect()[0]["content"]))
+    x, y = px["x0"] + 4, px["y0"] + 4
+    for i, ch in enumerate("HELLO"):
+        region = arr[y : y + 7, x + i * CELL_W : x + i * CELL_W + 5]
+        ink = (region == 30).all(axis=2)
+        assert (ink == glyph(ch)).all(), f"glyph {ch!r} mismatch"
+
+
 def test_render_crops_decode_once_per_page(spark):
     # the post-join sortWithinPartitions pins the once-per-(doc,page)
     # decode property under every join strategy: total cache misses ==
