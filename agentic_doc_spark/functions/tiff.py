@@ -4,17 +4,18 @@ Scanned-document corpora are TIFF-heavy (fax/scanner output), so the
 decode ladder needs it. Implements the public TIFF 6.0 specification
 (Adobe 1992): II/MM byte orders, IFD chains (multi-PAGE files —
 exactly the scanned-document shape), strips, and the compressions a
-scanner actually emits short of CCITT: none (1), LZW (5, MSB-first
+scanner actually emits: CCITT G4/MMR (4) and MH (2) bilevel fax via
+functions/ccitt.py, plus none (1), LZW (5, MSB-first
 variable-width codes WITH early change, optional horizontal-
 differencing Predictor 2), and PackBits RLE (32773). Photometric
 0/1 (bilevel+gray, incl. WhiteIsZero inversion), 2 (RGB), 3
-(palette, 16-bit color map). CCITT G3/G4 (2-4) and JPEG-in-TIFF
-raise a surfaced ValueError — no way to validate T.4/T.6 tables in
-this container.
+(palette, 16-bit color map). CCITT G3-2D (3, EOL-framed T.4) and
+JPEG-in-TIFF raise a surfaced ValueError.
 
-The encoder builds fixtures (uncompressed / PackBits / LZW +
-predictor, single- or multi-page) so round-trips pin the decoder
-without third-party imagery.
+The encoders build fixtures (uncompressed / PackBits / LZW +
+predictor / bilevel G4, single- or multi-page) so round-trips pin the
+decoder without third-party imagery; the T.4/T.6 tables themselves are
+structurally pinned (prefix-freeness, counts) in test_tiff.py.
 """
 
 from __future__ import annotations
@@ -223,11 +224,11 @@ def _decode_page(data: bytes, tags: dict[int, list[int]]) -> np.ndarray:
     comp = tags.get(259, [1])[0]
     photo = tags.get(262, [1])[0]
     pred = tags.get(317, [1])[0]
-    if comp in (2, 3, 4):
-        raise ValueError("CCITT-compressed TIFF unsupported (surfaced)")
+    if comp == 3:
+        raise ValueError("CCITT G3-2D (T.4 with EOLs) unsupported (surfaced)")
     if comp in (6, 7):
         raise ValueError("JPEG-in-TIFF unsupported (surfaced)")
-    if comp not in (1, 5, 32773):
+    if comp not in (1, 2, 4, 5, 32773):
         raise ValueError(f"unsupported TIFF compression {comp}")
     if bits not in (1, 8):
         raise ValueError(f"unsupported TIFF bit depth {bits}")
@@ -238,6 +239,43 @@ def _decode_page(data: bytes, tags: dict[int, list[int]]) -> np.ndarray:
         raise ValueError("missing/mismatched strip tables")
     rows_per = tags.get(278, [h])[0] or h
     row_bytes = (w * bits * spp + 7) // 8
+
+    if comp in (2, 4):
+        # CCITT MH (2) / G4 MMR (4): bilevel fax — each strip is an
+        # independently coded block (G4 references an all-white first
+        # line per strip, per TIFF 6.0 §11). Decoders emit 1 = black.
+        from agentic_doc_spark.functions.ccitt import g3_1d_decode, g4_decode
+
+        if bits != 1 or spp != 1:
+            raise ValueError("CCITT TIFF must be 1-bit single-sample")
+        if tags.get(266, [1])[0] != 1:
+            raise ValueError("CCITT FillOrder=2 (LSB-first) unsupported")
+        if comp == 4 and tags.get(293, [0])[0] not in (0,):
+            raise ValueError("T6Options uncompressed mode unsupported")
+        blocks = []
+        for i, (o, c) in enumerate(zip(offsets, counts)):
+            strip = data[o : o + c]
+            if len(strip) < c:
+                raise ValueError("truncated TIFF strip")
+            nrows = min(rows_per, h - i * rows_per)
+            if nrows <= 0:
+                continue
+            dec = g4_decode if comp == 4 else g3_1d_decode
+            blocks.append(dec(strip, w, nrows))
+        black = np.concatenate(blocks, axis=0) if blocks else np.zeros(
+            (0, w), np.uint8
+        )
+        if black.shape[0] != h:
+            raise ValueError("CCITT strip rows short of declared height")
+        # a coded "white" run is SAMPLE 0 in both photometrics; the
+        # photometric then maps samples to display shades (same lut as
+        # the uncompressed 1-bit path below)
+        lut = (
+            np.array([[255, 255, 255], [0, 0, 0]], dtype=np.uint8)
+            if photo == 0  # WhiteIsZero: sample 1 = black ink
+            else np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+        )
+        return lut[black]
 
     raw = bytearray()
     for i, (o, c) in enumerate(zip(offsets, counts)):
@@ -371,6 +409,74 @@ def decode_tiff(data: bytes) -> np.ndarray:
 # ---------------------------------------------------------------------------
 # Fixture encoder
 # ---------------------------------------------------------------------------
+
+
+def encode_tiff_bilevel(
+    pages: list[np.ndarray],
+    compression: int = 1,
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """Bilevel pages (h, w) with nonzero = black ink → little-endian
+    1-bit TIFF, PhotometricInterpretation=0 (WhiteIsZero — the fax
+    convention: sample 1 = black), Compression 1 (packed bits) or 4
+    (CCITT Group 4). ``rows_per_strip`` splits G4 pages into
+    independently coded strips (TIFF 6.0 §11) — fixture-grade, used to
+    pin the G4 decoder against its uncompressed twin."""
+    if compression not in (1, 4):
+        raise ValueError("bilevel fixture encoder supports none/G4")
+    from agentic_doc_spark.functions.ccitt import g4_encode
+
+    out = bytearray(b"II*\x00" + b"\x00\x00\x00\x00")
+    ifd_patch = 4
+    for page in pages:
+        black = (np.asarray(page) != 0).astype(np.uint8)
+        h, w = black.shape
+        rps = min(rows_per_strip or h, h)
+        strips = []
+        for y0 in range(0, h, rps):
+            block = black[y0 : y0 + rps]
+            if compression == 4:
+                strips.append(g4_encode(block))
+            else:
+                strips.append(np.packbits(block, axis=1).tobytes())
+        strip_offs = []
+        for s in strips:
+            strip_offs.append(len(out))
+            out += s
+            if len(out) % 2:
+                out += b"\x00"
+        n = len(strips)
+        if n == 1:
+            off_val, cnt_val = strip_offs[0], len(strips[0])
+            extra = []
+        else:
+            offs_pos = len(out)
+            out += struct.pack(f"<{n}I", *strip_offs)
+            cnts_pos = len(out)
+            out += struct.pack(f"<{n}I", *(len(s) for s in strips))
+            off_val, cnt_val = offs_pos, cnts_pos
+            extra = []
+        entries = [
+            (256, 4, 1, w),
+            (257, 4, 1, h),
+            (258, 3, 1, 1),
+            (259, 3, 1, compression),
+            (262, 3, 1, 0),
+            (273, 4, n, off_val),
+            (277, 3, 1, 1),
+            (278, 4, 1, rps),
+            (279, 4, n, cnt_val),
+            *extra,
+        ]
+        entries.sort()
+        ifd_off = len(out)
+        struct.pack_into("<I", out, ifd_patch, ifd_off)
+        out += struct.pack("<H", len(entries))
+        for tag, typ, cnt, val in entries:
+            out += struct.pack("<HHII", tag, typ, cnt, val)
+        ifd_patch = len(out)
+        out += b"\x00\x00\x00\x00"  # next-IFD, patched by the next page
+    return bytes(out)
 
 
 def encode_tiff(

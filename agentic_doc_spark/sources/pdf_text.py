@@ -31,11 +31,12 @@ Also handled: PDF 1.5+ compressed object streams (``/ObjStm`` — where
 modern writers put page/font dictionaries), ``/LZWDecode`` streams (the
 TIFF-variant LZW older PDFs use, with EarlyChange), and embedded raster
 images (``extract_pdf_images``: DCTDecode = JPEG baseline/progressive,
-Flate/LZW/raw 8-bit Gray/RGB and 1-bit bilevel → PNG).
+Flate/LZW/raw 8-bit Gray/RGB and 1-bit bilevel → PNG, CCITTFaxDecode
+Group 4 fax → PNG via functions/ccitt.py).
 
 NOT a general PDF parser — no xref table parsing (objects are found by
 scanning, which also survives mild corruption), no encryption, no
-JPX/JBIG2/CCITT image codecs; anything it cannot read yields zero
+JPX/JBIG2/G3-CCITT image codecs; anything it cannot read yields zero
 blocks and the caller degrades to the documented stub path. This
 boundary is explicit on purpose: the goal is unstubbing the common
 text-PDF case, not silently mis-reading hard ones.
@@ -576,15 +577,48 @@ def _image_payload(
     ARE JPEG streams (baseline or progressive — both decode via
     functions/jpeg.py); Flate/LZW/unfiltered raw samples re-encode as
     PNG — 8-bit DeviceGray/DeviceRGB, plus 1-bit DeviceGray/ImageMask
-    (the classic bilevel scan; /Decode [1 0] inversion honored).
-    Anything else (JPX, JBIG2, CCITT) returns None — a surfaced gap,
-    not silent garbage."""
+    (the classic bilevel scan; /Decode [1 0] inversion honored);
+    CCITTFaxDecode K<0 streams decode as Group 4 fax (BlackIs1 and
+    /Decode honored). Anything else (JPX, JBIG2, G3 CCITT) returns
+    None — a surfaced gap, not silent garbage."""
     if payload is None:
         return None
     if b"/DCTDecode" in header:
         return payload if payload[:2] == b"\xff\xd8" else None
-    if any(k in header for k in (b"/JPXDecode", b"/JBIG2Decode",
-                                 b"/CCITTFaxDecode")):
+    if b"/CCITTFaxDecode" in header:
+        # Group 4 (K < 0) scanned-fax images decode for real via
+        # functions/ccitt.py (round-4 VERDICT task 5); G3 (K ≥ 0) and
+        # EncodedByteAlign remain surfaced gaps (None → error row).
+        km = re.search(rb"/K\s+(-?\d+)", header)
+        k = int(km.group(1)) if km else 0
+        if k >= 0 or b"/EncodedByteAlign true" in header:
+            return None
+        cm = re.search(rb"/Columns\s+(\d+)", header)
+        cols = int(cm.group(1)) if cm else 1728
+        rm = re.search(rb"/Rows\s+(\d+)", header)
+        hm2 = _HEIGHT_RE.search(header)
+        rows = int(rm.group(1)) if rm else (int(hm2.group(1)) if hm2 else 0)
+        if not (0 < cols * rows <= 64_000_000):
+            return None
+        import numpy as np  # lazy: keeps the text path stdlib-only
+
+        from agentic_doc_spark.functions.ccitt import g4_decode
+        from agentic_doc_spark.functions.png import encode_png
+
+        try:
+            black = g4_decode(payload, cols, rows)
+        except ValueError:
+            return None
+        if not transcode:
+            return b""  # probe: valid, encoding skipped
+        # BlackIs1 false (default): the filter emits SAMPLE 0 for black;
+        # DeviceGray 1-bit then maps sample 0 → black. /Decode [1 0]
+        # inverts samples, same as the uncompressed bilevel path below.
+        sample = black if b"/BlackIs1 true" in header else 1 - black
+        if b"/Decode [1 0]" in header or b"/Decode[1 0]" in header:
+            sample = 1 - sample
+        return encode_png((sample * 255).astype(np.uint8))
+    if any(k in header for k in (b"/JPXDecode", b"/JBIG2Decode")):
         return None
     wm, hm, bm = (
         _WIDTH_RE.search(header),

@@ -554,3 +554,56 @@ def test_extract_pdf_images_probe_matches_transcode():
     probe = extract_pdf_images(pdf, transcode=False)
     assert [p for p, _ in full] == [p for p, _ in probe]
     assert len(full) == len(probe) == 2
+
+
+def test_ccitt_g4_embedded_image():
+    # /CCITTFaxDecode with K < 0 (Group 4) decodes for real; BlackIs1
+    # default false → sample 0 = black ink (round-4 VERDICT task 5)
+    import numpy as np
+
+    from agentic_doc_spark.functions.ccitt import g4_encode
+    from agentic_doc_spark.functions.png import decode_png
+    from agentic_doc_spark.sources.pdf_text import extract_pdf_images
+
+    bits = np.zeros((6, 14), dtype=np.uint8)
+    bits[0, 0] = bits[2, 5] = bits[5, 13] = 1
+    bits[3, 2:11] = 1
+    payload = g4_encode(bits)
+    pdf = (
+        b"%PDF-1.4\n"
+        + _stream_obj(
+            10,
+            b"/Subtype /Image /Filter /CCITTFaxDecode "
+            b"/DecodeParms << /K -1 /Columns 14 /Rows 6 >> "
+            b"/Width 14 /Height 6 /BitsPerComponent 1 "
+            b"/ColorSpace /DeviceGray",
+            payload,
+        )
+        + _obj(
+            11,
+            b"<< /Type /Page /Resources << /XObject << /Im0 10 0 R >> >> >>",
+        )
+        # G3 (K = 0) stays a surfaced gap: page yields no image
+        + _stream_obj(
+            12,
+            b"/Subtype /Image /Filter /CCITTFaxDecode "
+            b"/DecodeParms << /K 0 /Columns 14 /Rows 6 >> "
+            b"/Width 14 /Height 6 /BitsPerComponent 1 "
+            b"/ColorSpace /DeviceGray",
+            payload,
+        )
+        + _obj(
+            13,
+            b"<< /Type /Page /Resources << /XObject << /Im0 12 0 R >> >> >>",
+        )
+        + b"%%EOF\n"
+    )
+    images = extract_pdf_images(pdf)
+    assert [p for p, _ in images] == [0]
+    out = decode_png(images[0][1])
+    assert out.shape[:2] == (6, 14)
+    # ink (bit 1) → black pixel (BlackIs1 false: sample 0 = black)
+    assert (out[:, :, 0] == (1 - bits) * 255).all()
+    # probe mode agrees on validity/order with empty payloads
+    probe = extract_pdf_images(pdf, transcode=False)
+    assert [p for p, _ in probe] == [0] and probe[0][1] == b""

@@ -305,3 +305,127 @@ def test_layout_parse_honors_custom_spans_per_page(spark, tmp_path):
     st = Settings(spans_per_page=8)
     row = extract(layout_parse(raw, st), st).collect()[0]
     assert row["end_page_idx"] == 2
+
+
+# -- CCITT Group 4 / MH fax (round-4 VERDICT task 5) -----------------------
+
+
+def _fax_page(seed: int = 0, shape: tuple[int, int] = (40, 90)) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    img = np.zeros(shape, np.uint8)
+    for _ in range(5):
+        y0 = int(rng.integers(0, shape[0]))
+        x0 = int(rng.integers(0, shape[1]))
+        img[y0 : y0 + int(rng.integers(1, 12)),
+            x0 : x0 + int(rng.integers(1, 30))] = 1
+    img ^= (rng.random(shape) < 0.05).astype(np.uint8)
+    return img
+
+
+def test_g4_fixture_matches_uncompressed_twin():
+    # the round-4 VERDICT "done" criterion: a G4-compressed fixture
+    # decodes to the same pixels as its uncompressed twin
+    from agentic_doc_spark.functions.tiff import encode_tiff_bilevel
+
+    img = _fax_page(1)
+    plain = decode_tiff(encode_tiff_bilevel([img], compression=1))
+    g4 = decode_tiff(encode_tiff_bilevel([img], compression=4))
+    assert np.array_equal(plain, g4)
+    # black ink where the page has ink (WhiteIsZero photometric)
+    assert (g4[img.astype(bool)] == 0).all()
+    assert (g4[~img.astype(bool)] == 255).all()
+    # multi-strip G4: every strip is an independently coded block
+    g4s = decode_tiff(
+        encode_tiff_bilevel([img], compression=4, rows_per_strip=7)
+    )
+    assert np.array_equal(plain, g4s)
+    # multi-page
+    pages = tiff_pages(encode_tiff_bilevel([img, 1 - img], compression=4))
+    assert len(pages) == 2 and np.array_equal(pages[0], plain)
+
+
+def test_g4_roundtrip_random_pages():
+    from agentic_doc_spark.functions.ccitt import g4_decode, g4_encode
+
+    for seed in range(8):
+        img = _fax_page(seed, shape=(25, 64 + seed * 13))
+        dec = g4_decode(g4_encode(img), img.shape[1], img.shape[0])
+        assert np.array_equal(dec, img), seed
+    # degenerate pages: all white, all black, 1×1
+    for img in (
+        np.zeros((5, 2000), np.uint8),
+        np.ones((4, 1729), np.uint8),
+        np.ones((1, 1), np.uint8),
+    ):
+        dec = g4_decode(g4_encode(img), img.shape[1], img.shape[0])
+        assert np.array_equal(dec, img)
+
+
+def test_mh_compression2_decodes():
+    from agentic_doc_spark.functions.ccitt import g3_1d_decode
+
+    # hand-code one 12-px row: white 4 (1011), black 2 (11), white 6
+    # (1110) → bits 1011 11 1110 padded to a byte boundary per row
+    row_bits = "1011" + "11" + "1110"
+    row_bits += "0" * (-len(row_bits) % 8)
+    data = bytes(
+        int(row_bits[i : i + 8], 2) for i in range(0, len(row_bits), 8)
+    )
+    out = g3_1d_decode(data * 3, 12, 3)
+    want = np.array([[0, 0, 0, 0, 1, 1, 0, 0, 0, 0, 0, 0]] * 3, np.uint8)
+    assert np.array_equal(out, want)
+
+
+def test_ccitt_tables_structurally_sound():
+    # the published T.4 tables must be prefix-free within each decode
+    # context and complete (64 terminating + 27 make-up per colour + 13
+    # shared extended make-ups) — catches transcription typos
+    from agentic_doc_spark.functions.ccitt import (
+        _BLACK_MAKEUP,
+        _BLACK_TERM,
+        _EXT_MAKEUP,
+        _WHITE_MAKEUP,
+        _WHITE_TERM,
+    )
+
+    def assert_prefix_free(codes):
+        codes = sorted(codes, key=len)
+        for i, a in enumerate(codes):
+            for b in codes[i + 1 :]:
+                assert not b.startswith(a), (a, b)
+
+    assert len(_WHITE_TERM) == 64 and len(_BLACK_TERM) == 64
+    assert len(_WHITE_MAKEUP) == 27 and len(_BLACK_MAKEUP) == 27
+    assert len(_EXT_MAKEUP) == 13
+    assert sorted(_WHITE_TERM) == list(range(64))
+    assert sorted(_WHITE_MAKEUP) == [64 * i for i in range(1, 28)]
+    assert sorted(_EXT_MAKEUP) == [1792 + 64 * i for i in range(13)]
+    white = list(_WHITE_TERM.values()) + list(_WHITE_MAKEUP.values()) + list(
+        _EXT_MAKEUP.values()
+    )
+    black = list(_BLACK_TERM.values()) + list(_BLACK_MAKEUP.values()) + list(
+        _EXT_MAKEUP.values()
+    )
+    assert len(set(white)) == len(white) and len(set(black)) == len(black)
+    assert_prefix_free(white)
+    assert_prefix_free(black)
+    assert all(len(c) <= 13 for c in white + black)
+
+
+def test_g4_fuzz_valueerror_only():
+    # corrupt G4 strips must raise ValueError (surfaced), never hang or
+    # crash with an internal error
+    from agentic_doc_spark.functions.ccitt import g4_decode, g4_encode
+
+    rng = np.random.default_rng(11)
+    img = _fax_page(3)
+    enc = bytearray(g4_encode(img))
+    for trial in range(40):
+        bad = bytearray(enc)
+        for _ in range(int(rng.integers(1, 6))):
+            bad[int(rng.integers(0, len(bad)))] = int(rng.integers(0, 256))
+        try:
+            out = g4_decode(bytes(bad), img.shape[1], img.shape[0])
+            assert out.shape == img.shape  # decoded to SOME bilevel page
+        except ValueError:
+            pass
