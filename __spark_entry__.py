@@ -1127,6 +1127,29 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(q, codes, cb, topk=3)
 
 
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ combined ANN (the billion-vector IVFADC shape): IVF cells
+    prune the corpus to 3 probed cells per query, PQ codes stand in for
+    the vectors inside them — one zero-exchange assignment+encode map,
+    broadcast probe tables, two-phase bounded top-k
+    (operators/similarity.py:ivfpq_topk). Same cell/codebook parameters
+    as ann_ivf and ann_pq, so the oracle composes their CTEs."""
+    from agentic_doc_spark.operators.similarity import ivfpq_topk
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return ivfpq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        k=3,
+        n_cells=8,
+        n_probe=3,
+        m=32,
+        pq_k=16,
+    )
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic deduplication: IVF-clustered embeddings, drop
     within-cluster near-duplicates (cos ≥ 0.3), keep the min-id
@@ -1421,7 +1444,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rep_ratio": q_rep_ratio,
         "scrub_pii": q_scrub_pii,
         "fingerprint": q_fingerprint,
-        "fingerprint_rolling": q_fingerprint_rolling,
         "dedup_exact": q_dedup_exact,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
@@ -1437,6 +1459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": q_ann_bruteforce,
         "ann_ivf": q_ann_ivf,
         "ann_pq": q_ann_pq,
+        "ann_ivfpq": q_ann_ivfpq,
         "semantic_dedup": q_semantic_dedup,
         "embedding_near_pairs": q_embedding_near_pairs,
         # newest: streaming-kernel batch replay (round-5)
@@ -1444,6 +1467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- tail: demo/aux queries (driver-unverified past 50; local
         # replay only — each shadows a front-50 operator) ----
         "events_gap_sessions": q_events_gap_sessions,
+        "fingerprint_rolling": q_fingerprint_rolling,
         "minhash_bands": q_minhash_bands,
         "lang_rollup": q_lang_rollup,
         "embedding_buckets": q_embedding_buckets,
@@ -2582,6 +2606,100 @@ def oracle_sql() -> dict[str, str]:
                        AS adist
               FROM codes c
               JOIN dtab d ON c.sub = d.sub AND c.code = d.code
+              WHERE d.query_id <> c.vec_id
+              GROUP BY 1, 2
+            ), ranked AS (
+              SELECT query_id, neighbor_id, adist,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY adist ASC, neighbor_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, adist, CAST(rank AS INT) AS rank
+            FROM ranked WHERE rank <= 3
+        """,
+        # IVF cells/probes (the ann_ivf CTEs, n_cells=8/n_probe=3) +
+        # the ann_pq codebook chain (m=32, k=16, renamed pq* to avoid
+        # CTE collisions) + ADC scoring restricted to probed cells
+        "ann_ivfpq": _SQL_IVF_ASSIGNED
+        + """, subs AS (
+              SELECT CAST(unnest(range(0, 32)) AS INT) AS sub
+            ), pqt AS (
+              SELECT vec_id, v FROM e
+              WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT
+                    % (SELECT GREATEST(1, COUNT(*) // 1024) FROM e) = 0
+            ), pqsv AS (
+              SELECT vec_id, sub,
+                     list_slice(v, sub * 2 + 1, sub * 2 + 2) AS subvec
+              FROM pqt, subs
+            ), pqseeds AS (
+              SELECT sub, CAST(vec_id % 16 AS INT) AS cell,
+                     arg_min(subvec, vec_id) AS centroid
+              FROM pqsv GROUP BY 1, 2
+            ), pqassigned AS (
+              SELECT sub, cell, subvec FROM (
+                SELECT pqsv.sub, s.cell, pqsv.subvec,
+                       row_number() OVER (PARTITION BY pqsv.vec_id, pqsv.sub
+                         ORDER BY list_sum(list_transform(range(1, 3), i ->
+                           (pqsv.subvec[i] - s.centroid[i])
+                           * (pqsv.subvec[i] - s.centroid[i]))) ASC,
+                           s.cell ASC) AS rn
+                FROM pqsv JOIN pqseeds s USING (sub)
+              ) WHERE rn = 1
+            ), pqdmeans AS (
+              SELECT sub, cell, pos, round(avg(x), 6) AS mval
+              FROM (
+                SELECT sub, cell, unnest(subvec) AS x,
+                       unnest(range(1, len(subvec) + 1)) AS pos
+                FROM pqassigned
+              ) GROUP BY 1, 2, 3
+            ), pqrefined AS (
+              SELECT sub, cell, list(mval ORDER BY pos) AS centroid
+              FROM pqdmeans GROUP BY 1, 2
+            ), cb AS (
+              SELECT s.sub, s.cell,
+                     COALESCE(r.centroid, s.centroid) AS centroid
+              FROM pqseeds s LEFT JOIN pqrefined r
+                ON s.sub = r.sub AND s.cell = r.cell
+            ), esv AS (
+              SELECT vec_id, sub,
+                     list_slice(v, sub * 2 + 1, sub * 2 + 2) AS subvec
+              FROM e, subs
+            ), codes AS (
+              SELECT vec_id, sub, cell AS code FROM (
+                SELECT esv.vec_id, esv.sub, cb.cell,
+                       row_number() OVER (PARTITION BY esv.vec_id, esv.sub
+                         ORDER BY list_sum(list_transform(range(1, 3), i ->
+                           (esv.subvec[i] - cb.centroid[i])
+                           * (esv.subvec[i] - cb.centroid[i]))) ASC,
+                           cb.cell ASC) AS rn
+                FROM esv JOIN cb USING (sub)
+              ) WHERE rn = 1
+            ), dtab AS (
+              SELECT q.vec_id AS query_id, cb.sub, cb.cell AS code,
+                     list_sum(list_transform(range(1, 3), i ->
+                       (list_slice(q.v, cb.sub * 2 + 1, cb.sub * 2 + 2)[i]
+                        - cb.centroid[i])
+                       * (list_slice(q.v, cb.sub * 2 + 1, cb.sub * 2 + 2)[i]
+                          - cb.centroid[i]))) AS dpart
+              FROM e q, cb WHERE q.vec_id < 5
+            ), probes AS (
+              SELECT query_id, cell FROM (
+                SELECT q.vec_id AS query_id, c.cell,
+                       row_number() OVER (PARTITION BY q.vec_id
+                         ORDER BY list_cosine_similarity(q.v, c.centroid) DESC,
+                                  c.cell ASC) AS rn
+                FROM e q, cents c WHERE q.vec_id < 5
+              ) WHERE rn <= 3
+            ), scored AS (
+              SELECT d.query_id, c.vec_id AS neighbor_id,
+                     CAST(round(list_aggregate(
+                       list(d.dpart ORDER BY d.sub), 'sum'), 6) AS DOUBLE)
+                       AS adist
+              FROM codes c
+              JOIN assigned a ON a.vec_id = c.vec_id
+              JOIN probes p ON p.cell = a.cell
+              JOIN dtab d ON d.query_id = p.query_id
+                         AND c.sub = d.sub AND c.code = d.code
               WHERE d.query_id <> c.vec_id
               GROUP BY 1, 2
             ), ranked AS (

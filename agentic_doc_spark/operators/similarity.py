@@ -830,16 +830,18 @@ def pq_encode(
     codebook: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode every vector as m one-byte-ish codes: per subspace, the
     nearest codebook centroid (squared L2, ties → lowest cell).
 
-    Output (id, codes: array<int>, sub order) — the 10^10-vector memory
-    story: m codes replace the full vector (dim=64, m=32, k=16 → 32
-    nibbles vs 512 bytes of doubles). Plan: the codebook (bounded
-    m × k × d_sub doubles) rides as LITERALS and the argmin folds run
-    inside the row, so encoding is one pure map over the scan — zero
-    exchanges at any corpus size."""
+    Output (id, [passthrough cols,] codes: array<int>, sub order) — the
+    10^10-vector memory story: m codes replace the full vector (dim=64,
+    m=32, k=16 → 32 nibbles vs 512 bytes of doubles). Plan: the
+    codebook (bounded m × k × d_sub doubles) rides as LITERALS and the
+    argmin folds run inside the row, so encoding is one pure map over
+    the scan — zero exchanges at any corpus size. ``passthrough``
+    columns (e.g. the IVF cell) ride along unchanged."""
     rows = codebook.collect()
     if not rows:
         raise ValueError("empty PQ codebook")
@@ -851,7 +853,67 @@ def pq_encode(
     }
     expr = _pq_codes_sql(vec_col, cb, m, d_sub)
     return corpus.selectExpr(
-        f"`{id_col}`", f"CAST({expr} AS array<int>) AS codes"
+        f"`{id_col}`",
+        *[f"`{c}`" for c in passthrough],
+        f"CAST({expr} AS array<int>) AS codes",
+    )
+
+
+def _adc_query_table(
+    queries: DataFrame,
+    cb: dict[tuple[int, int], list[float]],
+    m: int,
+    d_sub: int,
+    max_cell: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(query_id, dtab array<array<double>>): the per-query asymmetric-
+    distance table to every (sub, cell) centroid, computed DRIVER-SIDE
+    over the collected queries (bounded — the queries ≪ corpus contract
+    brute_force_topk's broadcast relies on). Each dpart is the
+    sequential ‖q_sub − c‖² fold ((x−y)·(x−y) accumulated in element
+    order): Python doubles ARE IEEE-754 doubles executing the same op
+    sequence, so the table is bit-identical to the relational _l2 form.
+    Holes (cells the sampled seeds skipped) stay +inf and are never
+    referenced — codes only ever name cells present in the codebook."""
+    qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    data = []
+    for qr in qrows:
+        qv = [float(x) for x in qr[1]]
+        dtab = []
+        for s in range(m):
+            drow = [float("inf")] * (max_cell + 1)
+            for c in range(max_cell + 1):
+                cent = cb.get((s, c))
+                if cent is None:
+                    continue
+                acc = 0.0
+                for i in range(d_sub):
+                    d = qv[s * d_sub + i] - cent[i]
+                    acc += d * d
+                drow[c] = acc
+            dtab.append(drow)
+        data.append((qr[0], dtab))
+    qschema = T.StructType(
+        [
+            T.StructField("query_id", queries.schema[id_col].dataType),
+            T.StructField(
+                "dtab", T.ArrayType(T.ArrayType(T.DoubleType()))
+            ),
+        ]
+    )
+    return queries.sparkSession.createDataFrame(data, qschema)
+
+
+def _adc_dist_sql(m: int) -> str:
+    """In-row ADC fold over the m codes in ascending sub order — the
+    exact double sequence the DuckDB twin's list(dpart ORDER BY sub)
+    sum sees."""
+    return (
+        f"round(aggregate(sequence(0, {m - 1}), 0.0D,"
+        " (acc, s) -> acc + element_at(element_at(dtab, s + 1),"
+        " element_at(codes, s + 1) + 1)), 6) AS adist"
     )
 
 
@@ -894,46 +956,80 @@ def pq_topk(
         (int(r["sub"]), int(r["cell"])): [float(x) for x in r["centroid"]]
         for r in rows
     }
-    qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
-    data = []
-    for qr in qrows:
-        qv = [float(x) for x in qr[1]]
-        dtab = []
-        for s in range(m):
-            # dense cell→dpart row; holes (cells the sampled seeds
-            # skipped) stay +inf and are never referenced — codes only
-            # ever name cells present in the codebook
-            drow = [float("inf")] * (max_cell + 1)
-            for c in range(max_cell + 1):
-                cent = cb.get((s, c))
-                if cent is None:
-                    continue
-                acc = 0.0
-                for i in range(d_sub):
-                    d = qv[s * d_sub + i] - cent[i]
-                    acc += d * d
-                drow[c] = acc
-            dtab.append(drow)
-        data.append((qr[0], dtab))
-    qschema = T.StructType(
-        [
-            T.StructField("query_id", queries.schema[id_col].dataType),
-            T.StructField(
-                "dtab", T.ArrayType(T.ArrayType(T.DoubleType()))
-            ),
-        ]
-    )
-    qdf = queries.sparkSession.createDataFrame(data, qschema)
+    qdf = _adc_query_table(queries, cb, m, d_sub, max_cell, vec_col, id_col)
     scored = (
         codes.select(F.col(id_col).alias("neighbor_id"), "codes")
         .crossJoin(F.broadcast(qdf))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .selectExpr(
-            "query_id",
-            "neighbor_id",
-            f"round(aggregate(sequence(0, {m - 1}), 0.0D,"
-            " (acc, s) -> acc + element_at(element_at(dtab, s + 1),"
-            " element_at(codes, s + 1) + 1)), 6) AS adist",
-        )
+        .selectExpr("query_id", "neighbor_id", _adc_dist_sql(m))
     )
     return _topk_per_group(scored, topk, "adist", ascending=True)
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    pq_k: int = 16,
+    refine: int = 1,
+    train_per_cell: int = 256,
+    pq_train_per_cell: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ (IVFADC, Jégou et al. 2011): the canonical billion-vector
+    ANN — an IVF coarse quantizer prunes the corpus to the ``n_probe``
+    nearest cells per query, and within the probed cells distances are
+    asymmetric-distance approximations over PQ codes: the corpus is
+    touched only through m small codes per row AND only the probed
+    fraction of it is scored. (Simplification vs the paper: codes encode
+    the raw vectors, not the cell residuals — the cross-engine
+    determinism contract favours one shared codebook, and the recall
+    cost at these cell counts is pinned by test, not hidden.)
+
+    Plan (the 10^10-vector shape): IVF training + PQ training are the
+    bounded sampled paths (one filtered scan each); assignment + encode
+    fuse into ONE zero-exchange map over the single corpus scan
+    (centroids and codebook ride as literals); the probe table
+    (queries × n_probe rows + per-query ADC tables) broadcasts into the
+    codes stream, so scoring shuffles NOTHING — followed by the
+    two-phase bounded top-k. Exchange budget: training only."""
+    proj = corpus.select(F.col(id_col), F.col(vec_col))
+    train = _train_sample(proj, n_cells, train_per_cell, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        cents = _train_centroids(train, n_cells, refine, vec_col, id_col)
+    finally:
+        train.unpersist(False)
+    codebook = pq_train_codebook(
+        proj, m=m, k=pq_k, train_per_cell=pq_train_per_cell,
+        vec_col=vec_col, id_col=id_col,
+    )
+    rows = codebook.collect()
+    mm = max(int(r["sub"]) for r in rows) + 1
+    d_sub = len(rows[0]["centroid"])
+    max_cell = max(int(r["cell"]) for r in rows)
+    cb = {
+        (int(r["sub"]), int(r["cell"])): [float(x) for x in r["centroid"]]
+        for r in rows
+    }
+    assigned = assign_cells(proj, None, vec_col, id_col, cells=cents)
+    codes = pq_encode(
+        assigned, codebook, vec_col, id_col, passthrough=("cell",)
+    )
+    probes = _probe_cells(
+        queries, None, n_probe, vec_col, id_col, cells=cents
+    ).select("query_id", "cell")
+    qdf = _adc_query_table(queries, cb, mm, d_sub, max_cell, vec_col, id_col)
+    probe_tab = probes.join(qdf, "query_id")  # ≤ queries × n_probe rows
+    scored = (
+        codes.select(F.col(id_col).alias("neighbor_id"), "cell", "codes")
+        .join(F.broadcast(probe_tab), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .selectExpr("query_id", "neighbor_id", _adc_dist_sql(mm))
+    )
+    return _topk_per_group(scored, k, "adist", ascending=True)

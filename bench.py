@@ -72,6 +72,9 @@ def main() -> None:
         "semantic_dedup",
         "bpe_tokens",
         "ann_pq",
+        # round-5 additions: combined IVF-PQ ANN, stateful-kernel replay
+        "ann_ivfpq",
+        "sessionize_batch",
     ]
     qs = entry.queries()
 

@@ -503,6 +503,50 @@ def test_pq_topk_recall_vs_exact_l2(spark):
     assert hits / total >= 0.5, f"recall {hits}/{total}"
 
 
+def test_ivfpq_topk_recall_and_pruning(spark):
+    # IVF-PQ: probed-cell pruning must still recover most of the exact
+    # L2 neighborhood, and full-probe IVF-PQ must equal plain PQ top-k
+    # (same codebook, pruning disabled ⇒ identical candidate set)
+    from pyspark.sql import functions as F
+
+    from agentic_doc_spark.operators.similarity import (
+        ivfpq_topk,
+        pq_encode,
+        pq_topk,
+        pq_train_codebook,
+    )
+
+    emb = _pq_emb(spark, n=150, dim=16)
+    q = emb.filter(F.col("vec_id") < 5)
+    full = ivfpq_topk(
+        emb, q, k=3, n_cells=4, n_probe=4, m=8, pq_k=8
+    ).collect()
+    cb = pq_train_codebook(emb, m=8, k=8)
+    plain = pq_topk(q, pq_encode(emb, cb), cb, topk=3).collect()
+    assert sorted(map(tuple, full)) == sorted(map(tuple, plain))
+
+    pruned = ivfpq_topk(emb, q, k=3, n_cells=4, n_probe=2, m=8, pq_k=8)
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+
+    def l2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    got: dict[int, set] = {}
+    for r in pruned.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = total = 0
+    for qid, nbrs in got.items():
+        exact = {
+            i
+            for _, i in sorted(
+                (l2(vecs[qid], v), i) for i, v in vecs.items() if i != qid
+            )[:10]
+        }
+        hits += len(nbrs & exact)
+        total += len(nbrs)
+    assert total == 15 and hits / total >= 0.4, f"recall {hits}/{total}"
+
+
 def test_pq_partition_invariant(spark):
     from agentic_doc_spark.operators.similarity import (
         pq_encode,

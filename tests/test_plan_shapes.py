@@ -68,7 +68,9 @@ def test_ann_pq_has_no_sort_merge_join(spark, entry):
     assert "SortMergeJoin" not in plan, plan
 
 
-@pytest.mark.parametrize("name", ["ann_bruteforce", "ann_ivf", "ann_pq"])
+@pytest.mark.parametrize(
+    "name", ["ann_bruteforce", "ann_ivf", "ann_pq", "ann_ivfpq"]
+)
 def test_ann_topk_has_no_single_partition_window(spark, entry, name):
     # per-query ranking must be the two-phase bounded top-k
     # (mapInArrow local top-k + bounded merge agg) — a
