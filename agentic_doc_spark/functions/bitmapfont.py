@@ -115,13 +115,23 @@ def glyph(ch: str) -> np.ndarray:
 
 
 def render_line(
-    canvas: np.ndarray, x: int, y: int, text: str, color: int = 30
+    canvas: np.ndarray,
+    x: int,
+    y: int,
+    text: str,
+    color: int = 30,
+    x_max: int | None = None,
+    y_max: int | None = None,
 ) -> int:
-    """Blit one line of text onto an HxWx3 uint8 canvas at (x, y) top-left,
-    clipping at the canvas edge. Returns the x just past the last glyph."""
+    """Blit one line of text onto an HxWx3 uint8 canvas at (x, y)
+    top-left, clipping at ``x_max``/``y_max`` (default: the canvas
+    edge) — a glyph never straddles the limit, so ink stays inside the
+    caller's rect. Returns the x just past the last glyph."""
     h, w = canvas.shape[:2]
+    x_lim = w if x_max is None else min(x_max, w)
+    y_lim = h if y_max is None else min(y_max, h)
     for ch in text:
-        if x + GLYPH_W > w or y + GLYPH_H > h:
+        if x + GLYPH_W > x_lim or y + GLYPH_H > y_lim:
             break
         canvas[y : y + GLYPH_H, x : x + GLYPH_W][glyph(ch)] = color
         x += CELL_W
@@ -138,8 +148,12 @@ def render_wrapped(
     color: int = 30,
 ) -> int:
     """Word-wrap ``text`` into the [x0,x1)×[y0,y1) rect, one 9-px line
-    pitch per row, truncating when the rect is full. Returns the number
-    of lines drawn. Deterministic: pure function of (rect, text)."""
+    pitch per row, truncating when the rect is full; a rect too narrow
+    or short for even one glyph draws NOTHING (ink never bleeds past
+    the rect into neighboring page area). Returns the number of lines
+    drawn. Deterministic: pure function of (rect, text)."""
+    if x1 - x0 < GLYPH_W or y1 - y0 < GLYPH_H:
+        return 0
     cols = max(1, (x1 - x0) // CELL_W)
     lines: list[str] = []
     cur = ""
@@ -164,7 +178,7 @@ def render_wrapped(
     for ln in lines:
         if y + GLYPH_H > y1:
             break
-        render_line(canvas, x0, y, ln, color)
+        render_line(canvas, x0, y, ln, color, x_max=x1, y_max=y1)
         y += CELL_H
         n += 1
     return n

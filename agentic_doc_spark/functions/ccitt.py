@@ -24,6 +24,8 @@ page, never a per-row Spark UDF.
 
 from __future__ import annotations
 
+from bisect import bisect_right
+
 import numpy as np
 
 # --- ITU-T T.4 run-length tables (run: MSB-first code bitstring) ----------
@@ -171,8 +173,6 @@ def _b1_b2(ref: list[int], a0: int, color: int, width: int) -> tuple[int, int]:
     """b1 = first changing element of the reference line right of a0 with
     opposite colour to a0's colour; b2 = the next one. ``ref`` holds the
     change positions of the reference line (even index = white→black)."""
-    from bisect import bisect_right
-
     i = bisect_right(ref, a0)
     if (i & 1) != color:
         i += 1
@@ -328,8 +328,6 @@ def g4_encode(page: np.ndarray, eofb: bool = True) -> bytes:
     """T.6 (MMR) encode of an (h, w) 0/1 array (1 = black). Greedy
     standard coder: pass when b2 < a1, vertical when |a1−b1| ≤ 3, else
     horizontal; EOFB appended unless ``eofb=False`` (TIFF strips)."""
-    from bisect import bisect_right
-
     page = (np.asarray(page) != 0).astype(np.uint8)
     h, width = page.shape
     w = _BitWriter()

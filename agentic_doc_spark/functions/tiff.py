@@ -448,14 +448,12 @@ def encode_tiff_bilevel(
         n = len(strips)
         if n == 1:
             off_val, cnt_val = strip_offs[0], len(strips[0])
-            extra = []
         else:
             offs_pos = len(out)
             out += struct.pack(f"<{n}I", *strip_offs)
             cnts_pos = len(out)
             out += struct.pack(f"<{n}I", *(len(s) for s in strips))
             off_val, cnt_val = offs_pos, cnts_pos
-            extra = []
         entries = [
             (256, 4, 1, w),
             (257, 4, 1, h),
@@ -466,7 +464,6 @@ def encode_tiff_bilevel(
             (277, 3, 1, 1),
             (278, 4, 1, rps),
             (279, 4, n, cnt_val),
-            *extra,
         ]
         entries.sort()
         ifd_off = len(out)

@@ -94,15 +94,21 @@ def _topk_per_group(
         def take(t):
             vals = t.column(vcol).to_numpy(zero_copy_only=False)
             vals = np.asarray(vals, dtype="float64")
-            if asc:
-                key = np.where(np.isnan(vals), np.inf, vals)
-            else:
-                key = np.where(np.isnan(vals), -np.inf, -vals)
-            t2 = t.append_column("__k", pa.array(key, type=pa.float64()))
+            # NaN ordering (greatest: last in ASC, first in DESC) rides
+            # a SEPARATE rank key — mapping NaN onto ±inf would collide
+            # with genuine infinite values (e.g. an overflowed adist)
+            # and break the total order phase 2 re-establishes
+            nan = np.isnan(vals)
+            nan_rank = nan.astype(np.int8) if asc else (~nan).astype(np.int8)
+            key = np.where(nan, 0.0, vals if asc else -vals)
+            t2 = t.append_column(
+                "__n", pa.array(nan_rank, type=pa.int8())
+            ).append_column("__k", pa.array(key, type=pa.float64()))
             idx = pc.sort_indices(
                 t2,
                 sort_keys=[
                     (gcol, "ascending"),
+                    ("__n", "ascending"),
                     ("__k", "ascending"),
                     (icol, "ascending"),
                 ],
@@ -571,8 +577,9 @@ def semantic_dedup(
     O(n²). Before joining, the cell histogram (one bounded agg over the
     already-materialized assignment) is checked against
     ``max_cell_rows`` — default 8 × the expected n/n_cells population,
-    impossible to hit with a healthy clustering at n_cells ≤ 8 and hit
-    immediately by a single-cluster corpus — and the call raises with
+    floored at 2048 rows (≤ ~4M pairs is trivial, so small corpora with
+    one dominant cluster never false-positive); a large single-cluster
+    corpus hits it immediately — and the call raises with
     the measured histogram instead of attempting the quadratic join
     (remedies: raise ``n_cells``, or pass an explicit ``max_cell_rows``
     budget). Raising — not silently re-splitting by a secondary hash —
@@ -606,10 +613,13 @@ def semantic_dedup(
         key=lambda t: -t[1],
     )
     n_total = sum(n for _, n in hist)
+    # auto cap: 8× the expected per-cell population, FLOORED at 2048
+    # rows — a ≤2048-row cell is ≤ ~4M pairs, trivial on any executor,
+    # so small corpora with one dominant cluster never false-positive
     cap = (
         int(max_cell_rows)
         if max_cell_rows is not None
-        else 8 * max(1, n_total // max(1, n_cells))
+        else max(8 * max(1, n_total // max(1, n_cells)), 2048)
     )
     if hist and hist[0][1] > cap:
         raise ValueError(
@@ -825,6 +835,25 @@ def _pq_codes_sql(vec_col: str, cb: dict[tuple[int, int], list[float]],
     )
 
 
+def _codebook_dict(
+    codebook: DataFrame,
+) -> tuple[dict[tuple[int, int], list[float]], int, int, int]:
+    """Collect the bounded PQ codebook to a driver dict:
+    ((sub, cell) → centroid, m, d_sub, max_cell). Shared by
+    encode/topk/ivfpq so the code/cell conventions live in one place."""
+    rows = codebook.collect()
+    if not rows:
+        raise ValueError("empty PQ codebook")
+    m = max(int(r["sub"]) for r in rows) + 1
+    d_sub = len(rows[0]["centroid"])
+    max_cell = max(int(r["cell"]) for r in rows)
+    cb = {
+        (int(r["sub"]), int(r["cell"])): [float(x) for x in r["centroid"]]
+        for r in rows
+    }
+    return cb, m, d_sub, max_cell
+
+
 def pq_encode(
     corpus: DataFrame,
     codebook: DataFrame,
@@ -842,15 +871,7 @@ def pq_encode(
     argmin folds run inside the row, so encoding is one pure map over
     the scan — zero exchanges at any corpus size. ``passthrough``
     columns (e.g. the IVF cell) ride along unchanged."""
-    rows = codebook.collect()
-    if not rows:
-        raise ValueError("empty PQ codebook")
-    m = max(int(r["sub"]) for r in rows) + 1
-    d_sub = len(rows[0]["centroid"])
-    cb = {
-        (int(r["sub"]), int(r["cell"])): [float(x) for x in r["centroid"]]
-        for r in rows
-    }
+    cb, m, d_sub, _ = _codebook_dict(codebook)
     expr = _pq_codes_sql(vec_col, cb, m, d_sub)
     return corpus.selectExpr(
         f"`{id_col}`",
@@ -946,16 +967,7 @@ def pq_topk(
     ((x−y)·(x−y) accumulated in element order). Python doubles ARE
     IEEE-754 doubles executing the same op sequence, so the collected
     table is bit-identical to the relational _l2 form it replaces."""
-    rows = codebook.collect()
-    if not rows:
-        raise ValueError("empty PQ codebook")
-    m = max(int(r["sub"]) for r in rows) + 1
-    d_sub = len(rows[0]["centroid"])
-    max_cell = max(int(r["cell"]) for r in rows)
-    cb = {
-        (int(r["sub"]), int(r["cell"])): [float(x) for x in r["centroid"]]
-        for r in rows
-    }
+    cb, m, d_sub, max_cell = _codebook_dict(codebook)
     qdf = _adc_query_table(queries, cb, m, d_sub, max_cell, vec_col, id_col)
     scored = (
         codes.select(F.col(id_col).alias("neighbor_id"), "codes")
@@ -1009,14 +1021,7 @@ def ivfpq_topk(
         proj, m=m, k=pq_k, train_per_cell=pq_train_per_cell,
         vec_col=vec_col, id_col=id_col,
     )
-    rows = codebook.collect()
-    mm = max(int(r["sub"]) for r in rows) + 1
-    d_sub = len(rows[0]["centroid"])
-    max_cell = max(int(r["cell"]) for r in rows)
-    cb = {
-        (int(r["sub"]), int(r["cell"])): [float(x) for x in r["centroid"]]
-        for r in rows
-    }
+    cb, mm, d_sub, max_cell = _codebook_dict(codebook)
     assigned = assign_cells(proj, None, vec_col, id_col, cells=cents)
     codes = pq_encode(
         assigned, codebook, vec_col, id_col, passthrough=("cell",)

@@ -425,17 +425,28 @@ def test_semantic_dedup_skew_guard_on_single_cluster(spark):
 
     from agentic_doc_spark.operators.similarity import semantic_dedup
 
-    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(256)]
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(4096)]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     with _pytest.raises(ValueError, match="skew guard.*Top cells"):
         semantic_dedup(emb, threshold=0.9, n_cells=16)
 
-    # an explicit budget overrides the auto cap and lets the join run:
-    # every vector is a dup of min-id 0, so exactly one survivor
-    kept = semantic_dedup(
-        emb, threshold=0.9, n_cells=16, max_cell_rows=256
-    ).count()
-    assert kept == 1
+    # small corpora sit under the 2048-row absolute floor: one dominant
+    # cluster must NOT false-positive (the pair join is trivial there),
+    # and every vector is a dup of min-id 0 → exactly one survivor
+    small = spark.createDataFrame(
+        rows[:256], "vec_id long, embedding array<double>"
+    )
+    assert semantic_dedup(small, threshold=0.9, n_cells=16).count() == 1
+
+    # an explicit max_cell_rows budget overrides the auto cap in BOTH
+    # directions: tighter (raises on the small corpus) ...
+    with _pytest.raises(ValueError, match="skew guard"):
+        semantic_dedup(small, threshold=0.9, n_cells=16, max_cell_rows=10)
+    # ... and looser (lets the degenerate join run)
+    big_kept = semantic_dedup(
+        emb, threshold=0.9, n_cells=16, max_cell_rows=4096
+    )
+    assert big_kept.count() == 1
 
 
 def _pq_emb(spark, n=200, dim=16):

@@ -414,6 +414,19 @@ def test_rasterize_pages_renders_legible_glyphs(spark):
         ink = (region == 30).all(axis=2)
         assert (ink == glyph(ch)).all(), f"glyph {ch!r} mismatch"
 
+    # a grounding box too narrow for one glyph must not bleed ink past
+    # its right edge into neighboring page area
+    import numpy as np
+
+    from agentic_doc_spark.functions.bitmapfont import render_wrapped
+
+    canvas = np.full((40, 40, 3), 255, np.uint8)
+    render_wrapped(canvas, 2, 2, 8, 38, "WWWW")  # 6 px wide < GLYPH_W+margin
+    assert (canvas[:, 8:] == 255).all()
+    canvas2 = np.full((40, 40, 3), 255, np.uint8)
+    render_wrapped(canvas2, 2, 2, 14, 38, "WWWW")  # fits exactly one col
+    assert (canvas2[:, 14:] == 255).all() and (canvas2 != 255).any()
+
 
 def test_render_crops_decode_once_per_page(spark):
     # the post-join sortWithinPartitions pins the once-per-(doc,page)
