@@ -68,6 +68,59 @@ def test_sessionize_stateful_across_batches(spark, tmp_path):
     s = rows[0]
     assert s["user_id"] == 1 and s["n_events"] == 2 and s["total_value"] == 20.0
     assert s["session_end"] == t0 + dt.timedelta(minutes=5)
+def test_sessionize_batch_equals_streaming_fold(spark):
+    # the vectorized batch operator must produce EXACTLY the sessions
+    # the streaming kernel's per-event fold yields when every user's
+    # events arrive in one stream that then ends (final session closes)
+    import random
+
+    import pandas as pd
+
+    from agentic_doc_spark.streaming.sessionize import (
+        _fold_events,
+        sessionize_batch,
+    )
+
+    rng = random.Random(5)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for uid in range(1, 8):
+        minutes = 0.0
+        for _ in range(rng.randint(1, 40)):
+            minutes += rng.choice([1, 5, 29, 31, 200])
+            rows.append(
+                (eid, uid, t0 + dt.timedelta(minutes=minutes),
+                 round(rng.uniform(0, 100), 2))
+            )
+            eid += 1
+    rng.shuffle(rows)
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    got = sorted(
+        (r["user_id"], r["session_no"], r["session_start"],
+         r["session_end"], r["n_events"], round(r["total_value"], 6))
+        for r in sessionize_batch(ev, gap_minutes=30.0).collect()
+    )
+    want = []
+    for uid in sorted({r[1] for r in rows}):
+        mine = sorted(
+            [r for r in rows if r[1] == uid], key=lambda r: (r[2], r[0])
+        )
+        pdf = pd.DataFrame(
+            {"ts": [r[2] for r in mine], "value": [r[3] for r in mine]}
+        )
+        closed, (start, last, n, total) = _fold_events(
+            uid, pdf, None, 1800.0
+        )
+        if start is not None:
+            closed.append((uid, start, last, n, total))
+        for sno, (u, s, e, n_, tot) in enumerate(closed, start=1):
+            want.append((u, sno, s, e, n_, round(tot, 6)))
+    assert got == sorted(want)
+
+
 from agentic_doc_spark.streaming.stream import stream_extract
 from agentic_doc_spark.synth import corpus_df, expected_corpus
 
