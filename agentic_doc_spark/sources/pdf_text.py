@@ -32,11 +32,13 @@ modern writers put page/font dictionaries), ``/LZWDecode`` streams (the
 TIFF-variant LZW older PDFs use, with EarlyChange), and embedded raster
 images (``extract_pdf_images``: DCTDecode = JPEG baseline/progressive,
 Flate/LZW/raw 8-bit Gray/RGB and 1-bit bilevel → PNG, CCITTFaxDecode
-Group 4 fax → PNG via functions/ccitt.py).
+Group 4 fax → PNG via functions/ccitt.py, JBIG2Decode generic-region
+streams → PNG via functions/jbig2.py).
 
 NOT a general PDF parser — no xref table parsing (objects are found by
 scanning, which also survives mild corruption), no encryption, no
-JPX/JBIG2/G3-CCITT image codecs; anything it cannot read yields zero
+JPX, no symbol/text-region JBIG2, no G3 CCITT; anything it cannot
+read yields zero
 blocks and the caller degrades to the documented stub path. This
 boundary is explicit on purpose: the goal is unstubbing the common
 text-PDF case, not silently mis-reading hard ones.
@@ -45,6 +47,7 @@ text-PDF case, not silently mis-reading hard ones.
 from __future__ import annotations
 
 import re
+import struct
 import zlib
 
 _STREAM_RE = re.compile(rb"<<(.*?)>>\s*stream\r?\n", re.DOTALL)
@@ -579,8 +582,10 @@ def _image_payload(
     PNG — 8-bit DeviceGray/DeviceRGB, plus 1-bit DeviceGray/ImageMask
     (the classic bilevel scan; /Decode [1 0] inversion honored);
     CCITTFaxDecode K<0 streams decode as Group 4 fax (BlackIs1 and
-    /Decode honored). Anything else (JPX, JBIG2, G3 CCITT) returns
-    None — a surfaced gap, not silent garbage."""
+    /Decode honored); JBIG2Decode arithmetic generic-region streams
+    decode via the T.88 MQ coder. Anything else (JPX, symbol-region
+    JBIG2, G3 CCITT) returns None — a surfaced gap, not silent
+    garbage."""
     if payload is None:
         return None
     if b"/DCTDecode" in header:
@@ -618,7 +623,30 @@ def _image_payload(
         if b"/Decode [1 0]" in header or b"/Decode[1 0]" in header:
             sample = 1 - sample
         return encode_png((sample * 255).astype(np.uint8))
-    if any(k in header for k in (b"/JPXDecode", b"/JBIG2Decode")):
+    if b"/JBIG2Decode" in header:
+        # embedded generic-region JBIG2 (arithmetic, template 0) decodes
+        # via functions/jbig2.py; symbol/text/halftone regions and
+        # /JBIG2Globals-referencing streams stay surfaced gaps
+        if b"/JBIG2Globals" in header:
+            return None
+        import numpy as np  # lazy: keeps the text path stdlib-only
+
+        from agentic_doc_spark.functions.jbig2 import decode_embedded
+        from agentic_doc_spark.functions.png import encode_png
+
+        try:
+            black = decode_embedded(payload)
+        except (ValueError, struct.error):
+            return None
+        if not transcode:
+            return b""  # probe: valid, encoding skipped
+        # the JBIG2Decode filter delivers DeviceGray samples with 0 =
+        # black (decoders invert the coder's black=1 convention)
+        sample = 1 - black
+        if b"/Decode [1 0]" in header or b"/Decode[1 0]" in header:
+            sample = 1 - sample
+        return encode_png((sample * 255).astype(np.uint8))
+    if b"/JPXDecode" in header:
         return None
     wm, hm, bm = (
         _WIDTH_RE.search(header),

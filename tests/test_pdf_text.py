@@ -607,3 +607,88 @@ def test_ccitt_g4_embedded_image():
     # probe mode agrees on validity/order with empty payloads
     probe = extract_pdf_images(pdf, transcode=False)
     assert [p for p, _ in probe] == [0] and probe[0][1] == b""
+
+
+def test_jbig2_mq_and_generic_region_roundtrip():
+    # MQ coder fuzz + generic-region round-trips in both TPGDON modes;
+    # the encoder and decoder are independent walks of the two T.88
+    # procedures, so agreement pins both against transcription slips
+    import numpy as np
+
+    from agentic_doc_spark.functions.jbig2 import (
+        MQDecoder,
+        MQEncoder,
+        decode_generic_region,
+        encode_generic_region,
+    )
+
+    rng = np.random.default_rng(9)
+    for _ in range(10):
+        nbits = int(rng.integers(1, 1500))
+        bits = rng.integers(0, 2, nbits).tolist()
+        ncx = int(rng.integers(1, 6))
+        sel = rng.integers(0, ncx, nbits).tolist()
+        enc = MQEncoder()
+        ecx = [[0, 0] for _ in range(ncx)]
+        for b, s in zip(bits, sel):
+            enc.encode(ecx[s], b)
+        dec = MQDecoder(enc.flush())
+        dcx = [[0, 0] for _ in range(ncx)]
+        assert [dec.decode(dcx[s]) for s in sel] == bits
+
+    for tp in (False, True):
+        img = np.zeros((25, 60), np.uint8)
+        img[4:12, 5:40] = 1
+        img[20, :] = 1
+        img ^= (rng.random(img.shape) < 0.08).astype(np.uint8)
+        out = decode_generic_region(
+            encode_generic_region(img, tpgdon=tp), 60, 25, tpgdon=tp
+        )
+        assert np.array_equal(out, img), tp
+
+
+def test_jbig2_embedded_image():
+    # /JBIG2Decode generic-region stream decodes end to end; filter
+    # output is DeviceGray with sample 0 = black
+    import numpy as np
+
+    from agentic_doc_spark.functions.jbig2 import encode_embedded
+    from agentic_doc_spark.functions.png import decode_png
+    from agentic_doc_spark.sources.pdf_text import extract_pdf_images
+
+    bits = np.zeros((10, 22), dtype=np.uint8)
+    bits[2:5, 3:18] = 1
+    bits[8, ::2] = 1
+    pdf = (
+        b"%PDF-1.5\n"
+        + _stream_obj(
+            10,
+            b"/Subtype /Image /Filter /JBIG2Decode "
+            b"/Width 22 /Height 10 /BitsPerComponent 1 "
+            b"/ColorSpace /DeviceGray",
+            encode_embedded(bits, tpgdon=True),
+        )
+        + _obj(
+            11,
+            b"<< /Type /Page /Resources << /XObject << /Im0 10 0 R >> >> >>",
+        )
+        # a globals-referencing stream stays a surfaced gap
+        + _stream_obj(
+            12,
+            b"/Subtype /Image /Filter /JBIG2Decode "
+            b"/DecodeParms << /JBIG2Globals 99 0 R >> "
+            b"/Width 22 /Height 10 /BitsPerComponent 1 "
+            b"/ColorSpace /DeviceGray",
+            encode_embedded(bits),
+        )
+        + _obj(
+            13,
+            b"<< /Type /Page /Resources << /XObject << /Im0 12 0 R >> >> >>",
+        )
+        + b"%%EOF\n"
+    )
+    images = extract_pdf_images(pdf)
+    assert [p for p, _ in images] == [0]
+    out = decode_png(images[0][1])
+    assert out.shape[:2] == (10, 22)
+    assert (out[:, :, 0] == (1 - bits) * 255).all()
