@@ -1127,6 +1127,43 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(q, codes, cb, topk=3)
 
 
+def q_media_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved-corpus image-boilerplate removal
+    (operators/multimodal.py:strip_media_boilerplate): media spans whose
+    content key repeats across > 60% of documents are dropped in-row
+    (hot keys as a bounded literal — zero rewrite exchanges), text spans
+    and surviving order/offsets untouched. The demo key is the media
+    INDEX within its document (``m{j}`` of the synthetic ref — early
+    indexes appear in nearly every doc, the boilerplate shape; late
+    indexes only in long docs and survive); production pipelines key on
+    a content hash of the media bytes. Output: per-doc span census +
+    surviving keys."""
+    from agentic_doc_spark.operators.multimodal import strip_media_boilerplate
+    from agentic_doc_spark.synth import documents_raw_interleaved
+
+    raw = documents_raw_interleaved(spark, sf_dir, TOKENS_PER_SPAN, 3)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    key = lambda s: F.regexp_extract(  # noqa: E731
+        s["media_ref"], "m([0-9]+)$", 1
+    )
+    stripped = strip_media_boilerplate(
+        raw, max_doc_freq=int(0.6 * n_docs), key=key
+    )
+    is_media = lambda s: s["media_ref"].isNotNull()  # noqa: E731
+    return stripped.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.size(F.filter("spans", lambda s: ~is_media(s)))
+        .cast("bigint")
+        .alias("n_text"),
+        F.size(F.filter("spans", is_media)).cast("bigint").alias(
+            "n_media_kept"
+        ),
+        F.array_join(
+            F.transform(F.filter("spans", is_media), key), ","
+        ).alias("kept_keys"),
+    )
+
+
 def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ combined ANN (the billion-vector IVFADC shape): IVF cells
     prune the corpus to 3 probed cells per query, PQ codes stand in for
@@ -1430,6 +1467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_bins": q_pack_bins,
         "pack_texts": q_pack_texts,
         "pack_interleaved": q_pack_interleaved,
+        "media_boilerplate_strip": q_media_boilerplate_strip,
         "stratified_sample": q_stratified_sample,
         "dsir_select": q_dsir_select,
         "domain_mix": q_domain_mix,
@@ -1450,7 +1488,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "near_dup_clusters": q_near_dup_clusters,
         "near_dup_survivors": q_near_dup_survivors,
-        "jaccard_pairs": q_jaccard_pairs,
         "lsh_jaccard_pairs": q_lsh_jaccard_pairs,
         "c4_clean": q_c4_clean,
         "unigram_lm": q_unigram_lm,
@@ -1467,6 +1504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- tail: demo/aux queries (driver-unverified past 50; local
         # replay only — each shadows a front-50 operator) ----
         "events_gap_sessions": q_events_gap_sessions,
+        "jaccard_pairs": q_jaccard_pairs,
         "fingerprint_rolling": q_fingerprint_rolling,
         "minhash_bands": q_minhash_bands,
         "lang_rollup": q_lang_rollup,
@@ -1846,6 +1884,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(m) AS BIGINT) AS n_media,
                    string_agg(sig, '|' ORDER BY doc_id) AS sig
             FROM r GROUP BY 1
+        """,
+        # interleaved synth (same layout CTE family as
+        # pack_interleaved): media index j exists in a doc iff
+        # floor(ns/3) > j; drop keys with doc-freq > 60% of docs
+        "media_boilerplate_strip": f"""
+            WITH c AS (
+              SELECT doc_id,
+                     CAST(ceil(len(string_split(text, ' '))
+                          / {TOKENS_PER_SPAN}.0) AS BIGINT) AS ns
+              FROM documents
+            ), d AS (
+              SELECT doc_id, ns, CAST(floor(ns / 3.0) AS BIGINT) AS m
+              FROM c
+            ), mr AS (
+              SELECT doc_id, CAST(unnest(range(0, m)) AS BIGINT) AS j
+              FROM d
+            ), f AS (
+              SELECT j, COUNT(DISTINCT doc_id) AS df FROM mr GROUP BY 1
+            ), hot AS (
+              SELECT j FROM f
+              WHERE df > CAST(0.6 * (SELECT COUNT(*) FROM documents)
+                              AS BIGINT)
+            ), kept AS (
+              SELECT doc_id, j FROM mr
+              WHERE j NOT IN (SELECT j FROM hot)
+            ), agg AS (
+              SELECT doc_id, COUNT(*) AS n,
+                     string_agg(CAST(j AS VARCHAR), ',' ORDER BY j)
+                       AS keys
+              FROM kept GROUP BY 1
+            )
+            SELECT d.doc_id, d.ns AS n_text,
+                   COALESCE(a.n, 0) AS n_media_kept,
+                   COALESCE(a.keys, '') AS kept_keys
+            FROM d LEFT JOIN agg a USING (doc_id)
         """,
         "stratified_sample": """
             SELECT doc_id, lang FROM documents

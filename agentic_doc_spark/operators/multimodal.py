@@ -776,3 +776,65 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, _AUDIO_SCHEMA)
+
+
+def strip_media_boilerplate(
+    docs: DataFrame,
+    max_doc_freq: int,
+    key=None,
+    spans_col: str = "spans",
+    id_col: str = "doc_id",
+    max_hot_keys: int = 100_000,
+) -> DataFrame:
+    """Image-boilerplate removal for INTERLEAVED text+media corpora:
+    drop media spans whose content key appears in MORE than
+    ``max_doc_freq`` distinct documents — the multimodal analog of text
+    boilerplate stripping (logos, nav icons, tracking pixels repeated
+    across a crawl; the cleanup step interleaved-pretraining corpora
+    like OBELICS apply, public method). Text spans are untouched;
+    surviving spans keep their original array order and offsets, so the
+    interleaved T/M layout every downstream consumer orders by is
+    preserved.
+
+    ``key`` maps a span struct Column to its content key (default: the
+    ``media_ref`` itself; a production pipeline passes a bytes-hash —
+    e.g. ``lambda s: F.xxhash64(s["content"])`` after joining the media
+    table, or a perceptual hash column).
+
+    Plan shape: ONE map-side-combinable count-distinct aggregation over
+    media spans (keys × docs), then the hot set — bounded above by
+    total_media_spans / max_doc_freq keys, i.e. small for any sane
+    threshold — collects to an array LITERAL and the span rewrite is a
+    pure in-row ``filter``: zero exchanges over the corpus at rewrite
+    time, no join, no re-collect of span arrays. ``max_hot_keys`` guards
+    a misconfigured threshold (hot set no longer "boilerplate-sized")
+    with a clear error instead of a silent giant literal."""
+    from pyspark.sql import functions as F
+
+    def is_media(s):
+        return s["media_ref"].isNotNull() & (s["media_ref"] != "")
+
+    if key is None:
+        key = lambda s: s["media_ref"]  # noqa: E731
+
+    ex = docs.select(F.col(id_col), F.explode(spans_col).alias("s"))
+    freq = (
+        ex.filter(is_media(F.col("s")))
+        .groupBy(key(F.col("s")).alias("k"))
+        .agg(F.countDistinct(id_col).alias("df"))
+    )
+    hot_rows = freq.filter(F.col("df") > int(max_doc_freq)).collect()
+    if len(hot_rows) > max_hot_keys:
+        raise ValueError(
+            f"strip_media_boilerplate: {len(hot_rows)} keys exceed "
+            f"doc-frequency {max_doc_freq} (cap {max_hot_keys}) — the "
+            "threshold matches far more than boilerplate; raise "
+            "max_doc_freq or pre-bucket the keys"
+        )
+    hot = sorted(str(r["k"]) for r in hot_rows if r["k"] is not None)
+    if not hot:
+        return docs
+    keep = lambda s: ~(  # noqa: E731
+        is_media(s) & F.array_contains(F.lit(hot), key(s).cast("string"))
+    )
+    return docs.withColumn(spans_col, F.filter(F.col(spans_col), keep))

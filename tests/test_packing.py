@@ -220,3 +220,47 @@ def test_pack_interleaved_matches_python_reference(spark):
         assert r["n_tokens"] == ref["n_tokens"]
         assert r["n_media"] == ref["n_media"]
         assert r["sig"] == "|".join(ref["sigs"])
+
+
+def test_strip_media_boilerplate(spark):
+    from pyspark.sql import functions as F
+
+    from agentic_doc_spark.operators.multimodal import (
+        strip_media_boilerplate,
+    )
+
+    span = "kind string, text string, media_ref string, offset int"
+    rows = [
+        ("a", [("raw", "t0", None, 0), ("raw", "", "logo.png", 1),
+               ("raw", "t1", None, 2), ("raw", "", "fig-a.png", 3)]),
+        ("b", [("raw", "u0", None, 0), ("raw", "", "logo.png", 1)]),
+        ("c", [("raw", "v0", None, 0), ("raw", "", "logo.png", 1),
+               ("raw", "", "fig-c.png", 2)]),
+    ]
+    docs = spark.createDataFrame(
+        rows, f"doc_id string, spans array<struct<{span}>>"
+    )
+    # logo.png appears in 3 docs > max_doc_freq=2 → dropped everywhere;
+    # per-doc figures survive with order and offsets untouched
+    out = {
+        r["doc_id"]: [tuple(s) for s in r["spans"]]
+        for r in strip_media_boilerplate(docs, max_doc_freq=2).collect()
+    }
+    assert out["a"] == [("raw", "t0", None, 0), ("raw", "t1", None, 2),
+                        ("raw", "", "fig-a.png", 3)]
+    assert out["b"] == [("raw", "u0", None, 0)]
+    assert out["c"] == [("raw", "v0", None, 0), ("raw", "", "fig-c.png", 2)]
+
+    # nothing hot → frame returned unchanged (no rewrite at all)
+    same = strip_media_boilerplate(docs, max_doc_freq=3)
+    assert same is docs
+
+    # a threshold that matches far more than boilerplate raises
+    import pytest as _pytest
+
+    many = spark.createDataFrame(
+        [(str(i), [("raw", "", f"m{i}.png", 0)]) for i in range(30)],
+        f"doc_id string, spans array<struct<{span}>>",
+    )
+    with _pytest.raises(ValueError, match="max_doc_freq"):
+        strip_media_boilerplate(many, max_doc_freq=0, max_hot_keys=10)
