@@ -391,6 +391,7 @@ def _train_sample(
     n_cells: int,
     train_per_cell: int,
     id_col: str,
+    n: int | None = None,
 ) -> DataFrame:
     """Deterministic hash-sample of the corpus for centroid training,
     sized to ≈ train_per_cell × n_cells vectors (standard sampled-k-means
@@ -398,8 +399,11 @@ def _train_sample(
     explode per round for no recall gain). The sample key is an md5 fold
     of the id — portable bit-for-bit to the DuckDB oracle twin
     (``('0x'||substr(md5(id),1,15))::BIGINT``); when the corpus already
-    fits the budget the frame passes through untouched."""
-    n = corpus.count()
+    fits the budget the frame passes through untouched. ``n`` lets a
+    caller that already counted the corpus skip the count job (the
+    modulus is a pure function of n, so values are unchanged)."""
+    if n is None:
+        n = corpus.count()
     m = max(1, n // max(1, train_per_cell * n_cells))
     if m <= 1:
         return corpus
@@ -701,6 +705,7 @@ def pq_train_codebook(
     train_per_cell: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n: int | None = None,
 ) -> DataFrame:
     """Train per-subspace codebooks (Jégou et al. 2011 product
     quantization, public method): split the vector into ``m``
@@ -734,7 +739,7 @@ def pq_train_codebook(
     d_sub = dim // m
     train = _train_sample(
         corpus.select(F.col(id_col), F.col(vec_col)), k, train_per_cell,
-        id_col,
+        id_col, n=n,
     ).persist(StorageLevel.MEMORY_AND_DISK)
     try:
         sv = _pq_subvectors(train, m, d_sub, vec_col, id_col)
@@ -1010,16 +1015,17 @@ def ivfpq_topk(
     codes stream, so scoring shuffles NOTHING — followed by the
     two-phase bounded top-k. Exchange budget: training only."""
     proj = corpus.select(F.col(id_col), F.col(vec_col))
-    train = _train_sample(proj, n_cells, train_per_cell, id_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    n = proj.count()  # shared by both training samples: one count job
+    train = _train_sample(
+        proj, n_cells, train_per_cell, id_col, n=n
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     try:
         cents = _train_centroids(train, n_cells, refine, vec_col, id_col)
     finally:
         train.unpersist(False)
     codebook = pq_train_codebook(
         proj, m=m, k=pq_k, train_per_cell=pq_train_per_cell,
-        vec_col=vec_col, id_col=id_col,
+        vec_col=vec_col, id_col=id_col, n=n,
     )
     cb, mm, d_sub, max_cell = _codebook_dict(codebook)
     assigned = assign_cells(proj, None, vec_col, id_col, cells=cents)
