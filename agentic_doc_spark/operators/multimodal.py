@@ -3,7 +3,7 @@
 Images/audio/video ride as opaque BINARY columns with typed metadata
 (schema.MEDIA_REFS). Image decode is REAL for PNG and for baseline AND
 progressive JPEG, GIF (incl. animation), and BMP via the pure-stdlib
-codecs in functions/{png,jpeg,gif,bmp}.py (PIL slots in ahead of them
+codecs in functions/{png,jpeg,gif,bmp,tiff,jpx}.py (PIL slots in ahead of them
 when installed) — see ``_decode_array``'s decode ladder. Payloads
 outside that ladder (arithmetic/12-bit JPEG, other formats)
 fall back to a deterministic fake derived from the bytes,
@@ -83,6 +83,14 @@ def _decode_array(data: bytes) -> np.ndarray | None:
     if tiff.is_tiff(data):
         try:
             return tiff.decode_tiff(data)
+        except Exception:
+            return None
+    from agentic_doc_spark.functions import jpx
+
+    if jpx.is_jpx(data):
+        try:
+            arr = jpx.decode_jpx(data)
+            return arr[:, :, None] if arr.ndim == 2 else arr
         except Exception:
             return None
     return None

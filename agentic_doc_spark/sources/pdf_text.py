@@ -33,13 +33,13 @@ TIFF-variant LZW older PDFs use, with EarlyChange), and embedded raster
 images (``extract_pdf_images``: DCTDecode = JPEG baseline/progressive,
 Flate/LZW/raw 8-bit Gray/RGB and 1-bit bilevel → PNG, CCITTFaxDecode
 Group 4 fax → PNG via functions/ccitt.py, JBIG2Decode generic-region
-streams → PNG via functions/jbig2.py).
+streams → PNG via functions/jbig2.py, JPXDecode lossless JPEG 2000 →
+PNG via functions/jpx.py).
 
 NOT a general PDF parser — no xref table parsing (objects are found by
 scanning, which also survives mild corruption), no encryption, no
-JPX, no symbol/text-region JBIG2, no G3 CCITT; anything it cannot
-read yields zero
-blocks and the caller degrades to the documented stub path. This
+irreversible-9/7 or multi-tile JPX, no symbol/text-region JBIG2, no G3
+CCITT; anything it cannot read yields zero blocks and the caller degrades to the documented stub path. This
 boundary is explicit on purpose: the goal is unstubbing the common
 text-PDF case, not silently mis-reading hard ones.
 """
@@ -647,7 +647,20 @@ def _image_payload(
             sample = 1 - sample
         return encode_png((sample * 255).astype(np.uint8))
     if b"/JPXDecode" in header:
-        return None
+        # restricted-profile lossless JPEG 2000 (functions/jpx.py);
+        # irreversible 9/7 / multi-tile / multi-layer streams surface
+        import numpy as np  # lazy: keeps the text path stdlib-only
+
+        from agentic_doc_spark.functions.jpx import decode_jpx
+        from agentic_doc_spark.functions.png import encode_png
+
+        try:
+            arr = decode_jpx(payload)
+        except (ValueError, struct.error, IndexError):
+            return None
+        if not transcode:
+            return b""  # probe: valid, encoding skipped
+        return encode_png(arr.astype(np.uint8))
     wm, hm, bm = (
         _WIDTH_RE.search(header),
         _HEIGHT_RE.search(header),

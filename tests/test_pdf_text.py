@@ -692,3 +692,76 @@ def test_jbig2_embedded_image():
     out = decode_png(images[0][1])
     assert out.shape[:2] == (10, 22)
     assert (out[:, :, 0] == (1 - bits) * 255).all()
+
+
+def test_jpx_roundtrip_and_embedded_image():
+    # restricted-profile lossless JPEG 2000: gray + RGB round-trips and
+    # a /JPXDecode image extracting end to end
+    import numpy as np
+
+    from agentic_doc_spark.functions.jpx import decode_jpx, encode_jpx
+    from agentic_doc_spark.functions.png import decode_png
+    from agentic_doc_spark.sources.pdf_text import extract_pdf_images
+
+    rng = np.random.default_rng(13)
+    gray = rng.integers(0, 256, (21, 34)).astype(np.uint8)
+    assert np.array_equal(decode_jpx(encode_jpx(gray, levels=2)), gray)
+    rgb = rng.integers(0, 256, (18, 25, 3)).astype(np.uint8)
+    assert np.array_equal(decode_jpx(encode_jpx(rgb, levels=3)), rgb)
+    # document-shaped image compresses losslessly
+    doc = np.full((64, 96, 3), 255, np.uint8)
+    doc[10:20, 5:90] = 40
+    payload = encode_jpx(doc, levels=2)
+    assert len(payload) < doc.size // 4
+    assert np.array_equal(decode_jpx(payload), doc)
+
+    pdf = (
+        b"%PDF-1.6\n"
+        + _stream_obj(
+            10,
+            b"/Subtype /Image /Filter /JPXDecode "
+            b"/Width 96 /Height 64 /BitsPerComponent 8",
+            payload,
+        )
+        + _obj(
+            11,
+            b"<< /Type /Page /Resources << /XObject << /Im0 10 0 R >> >> >>",
+        )
+        + b"%%EOF\n"
+    )
+    images = extract_pdf_images(pdf)
+    assert [p for p, _ in images] == [0]
+    assert np.array_equal(decode_png(images[0][1]), doc)
+
+
+def test_jpx_and_jbig2_fuzz_valueerror_only():
+    # corrupt JPX codestreams / JBIG2 segment streams must raise
+    # ValueError (surfaced), never hang or crash with internal errors
+    import struct
+
+    import numpy as np
+
+    from agentic_doc_spark.functions.jbig2 import (
+        decode_embedded,
+        encode_embedded,
+    )
+    from agentic_doc_spark.functions.jpx import decode_jpx, encode_jpx
+
+    rng = np.random.default_rng(17)
+    img = (rng.random((20, 30)) < 0.3).astype(np.uint8)
+    for enc, dec in (
+        (encode_jpx((img * 255).astype(np.uint8), 2), decode_jpx),
+        (encode_embedded(img), decode_embedded),
+    ):
+        base = bytearray(enc)
+        for _ in range(25):
+            bad = bytearray(base)
+            for _ in range(int(rng.integers(1, 5))):
+                bad[int(rng.integers(0, len(bad)))] = int(
+                    rng.integers(0, 256)
+                )
+            try:
+                out = dec(bytes(bad))
+                assert out.shape[0] > 0
+            except (ValueError, struct.error, IndexError):
+                pass
