@@ -103,6 +103,14 @@ def op_semantic_dedup():
     # stay bounded; 32 cells over ~32k vectors ~ 1k-vector cells
     return semantic_dedup(emb(), threshold=0.3, n_cells=32)
 
+def op_ann_ivf():
+    # round-5 two-phase bounded top-k: ranking must scale with
+    # partitions, not funnel through one reducer per query
+    from agentic_doc_spark.operators.similarity import ivf_topk
+    e = emb()
+    return ivf_topk(e, e.filter(F.col("vec_id") < 5), k=3,
+                    n_cells=32, n_probe=8)
+
 def op_bpe_tokens():
     from agentic_doc_spark.operators.bpe import apply_bpe, train_bpe
     d = docs().select("doc_id", "text")
@@ -115,6 +123,7 @@ OPS = {{
     "dsir_select": op_dsir_select,
     "domain_mix": op_domain_mix,
     "semantic_dedup": op_semantic_dedup,
+    "ann_ivf": op_ann_ivf,
     "bpe_tokens": op_bpe_tokens,
 }}
 
