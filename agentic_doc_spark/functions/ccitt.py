@@ -190,6 +190,81 @@ def _row_from_changes(changes: list[int], width: int) -> np.ndarray:
     return row
 
 
+def _decode_line_2d(r: _BitReader, ref: list[int], width: int) -> list[int]:
+    """One 2-D coded line (shared by T.6/G4 and T.4 2-D rows): mode
+    codes against the reference line's changing elements → change
+    positions of the current line."""
+    cur: list[int] = []
+    a0, color = -1, 0
+    while a0 < width:
+        # mode code: walk the prefix tree bit by bit
+        if r.eod():
+            raise ValueError("CCITT stream ended mid-picture")
+        if r.read_bit():
+            mode = ("V", 0)
+        else:
+            if r.read_bit():
+                mode = ("V", 1) if r.read_bit() else ("V", -1)
+            elif r.read_bit():
+                mode = ("H", 0)
+            elif r.read_bit():
+                mode = ("P", 0)
+            elif r.read_bit():
+                mode = ("V", 2) if r.read_bit() else ("V", -2)
+            else:
+                if r.read_bit():
+                    mode = ("V", 3) if r.read_bit() else ("V", -3)
+                else:
+                    # 0000000...: EOL/EOFB inside a line (a valid
+                    # stream never has one mid-line) or garbage
+                    raise ValueError("invalid CCITT mode code")
+        b1, b2 = _b1_b2(ref, a0, color, width)
+        kind, d = mode
+        if kind == "P":
+            if b2 <= a0 and a0 >= 0:
+                raise ValueError("CCITT pass mode does not advance")
+            a0 = b2
+        elif kind == "H":
+            start = a0 if a0 > 0 else 0
+            r1 = _read_run(r, black=bool(color))
+            r2 = _read_run(r, black=not bool(color))
+            a1 = start + r1
+            a2 = a1 + r2
+            if a2 <= a0 and a0 >= 0:
+                raise ValueError("CCITT horizontal mode does not advance")
+            # cur's alternation invariant (even index = white→black)
+            # holds in both colours: appended changes always flip
+            cur.extend((a1, a2))
+            a0 = a2
+        else:  # vertical
+            a1 = b1 + d
+            if a1 < 0 or a1 > width or (a1 <= a0 and a0 >= 0):
+                raise ValueError("CCITT vertical move out of range")
+            cur.append(a1)
+            a0 = a1
+            color ^= 1
+    return cur
+
+
+def _decode_line_1d(r: _BitReader, width: int) -> list[int]:
+    """One Modified-Huffman 1-D line → change positions."""
+    x, black = 0, False
+    changes: list[int] = []
+    while x < width:
+        run = _read_run(r, black)
+        x += run
+        changes.append(min(x, width))
+        black = not black
+    return changes
+
+
+def _ref_of(cur: list[int], width: int) -> list[int]:
+    ref = [c for c in cur if c < width]
+    if len(ref) % 2:
+        ref.append(width)
+    return ref
+
+
 def g4_decode(data: bytes, width: int, height: int) -> np.ndarray:
     """T.6 (MMR) decode → (height, width) uint8, 1 = black. Decodes
     exactly ``height`` rows; a trailing EOFB is accepted but not
@@ -200,60 +275,9 @@ def g4_decode(data: bytes, width: int, height: int) -> np.ndarray:
     out = np.zeros((height, width), dtype=np.uint8)
     ref: list[int] = []  # imaginary all-white line above the first row
     for y in range(height):
-        cur: list[int] = []
-        a0, color = -1, 0
-        while a0 < width:
-            # mode code: walk the prefix tree bit by bit
-            if r.eod():
-                raise ValueError("CCITT stream ended mid-picture")
-            if r.read_bit():
-                mode = ("V", 0)
-            else:
-                if r.read_bit():
-                    mode = ("V", 1) if r.read_bit() else ("V", -1)
-                elif r.read_bit():
-                    mode = ("H", 0)
-                elif r.read_bit():
-                    mode = ("P", 0)
-                elif r.read_bit():
-                    mode = ("V", 2) if r.read_bit() else ("V", -2)
-                else:
-                    if r.read_bit():
-                        mode = ("V", 3) if r.read_bit() else ("V", -3)
-                    else:
-                        # 0000000...: EOL/EOFB inside the picture (a
-                        # valid T.6 stream never has one mid-picture —
-                        # we decode exactly `height` rows) or garbage
-                        raise ValueError("invalid CCITT mode code")
-            b1, b2 = _b1_b2(ref, a0, color, width)
-            kind, d = mode
-            if kind == "P":
-                if b2 <= a0 and a0 >= 0:
-                    raise ValueError("CCITT pass mode does not advance")
-                a0 = b2
-            elif kind == "H":
-                start = a0 if a0 > 0 else 0
-                r1 = _read_run(r, black=bool(color))
-                r2 = _read_run(r, black=not bool(color))
-                a1 = start + r1
-                a2 = a1 + r2
-                if a2 <= a0 and a0 >= 0:
-                    raise ValueError("CCITT horizontal mode does not advance")
-                # cur's alternation invariant (even index = white→black)
-                # holds in both colours: appended changes always flip
-                cur.extend((a1, a2))
-                a0 = a2
-            else:  # vertical
-                a1 = b1 + d
-                if a1 < 0 or a1 > width or (a1 <= a0 and a0 >= 0):
-                    raise ValueError("CCITT vertical move out of range")
-                cur.append(a1)
-                a0 = a1
-                color ^= 1
+        cur = _decode_line_2d(r, ref, width)
         out[y] = _row_from_changes(cur, width)
-        ref = [c for c in cur if c < width]
-        if len(ref) % 2:
-            ref.append(width)
+        ref = _ref_of(cur, width)
     return out
 
 
@@ -267,15 +291,55 @@ def g3_1d_decode(data: bytes, width: int, height: int) -> np.ndarray:
     for y in range(height):
         if r.pos & 7:
             r.pos += 8 - (r.pos & 7)  # rows are byte-aligned
-        x, black = 0, False
-        changes: list[int] = []
-        while x < width:
-            run = _read_run(r, black)
-            x += run
-            changes.append(min(x, width))
-            black = not black
-        # first run is white: changes alternate starting white→black
-        out[y] = _row_from_changes(changes, width)
+        out[y] = _row_from_changes(_decode_line_1d(r, width), width)
+    return out
+
+
+def _skip_to_eol(r: _BitReader) -> None:
+    """Consume (fill) zeros until the terminating 1 of an EOL. T.4 EOLs
+    are ≥ 11 zeros + 1; encoders may pad with extra zero fill bits."""
+    zeros = 0
+    while True:
+        b = r.read_bit()
+        if b:
+            if zeros < 11:
+                raise ValueError("CCITT G3: expected EOL")
+            return
+        zeros += 1
+        if zeros > 4096:
+            raise ValueError("CCITT G3: runaway EOL fill")
+
+
+def g3_decode(
+    data: bytes,
+    width: int,
+    height: int,
+    two_d: bool = True,
+    eol: bool = True,
+) -> np.ndarray:
+    """T.4 Group 3 decode (TIFF Compression=3, PDF /CCITTFaxDecode
+    K ≥ 0): with ``eol`` every line is preceded by an EOL (fill bits
+    tolerated); in 2-D mode (T4Options bit 0 / K>0) a 1-bit tag after
+    the EOL — or at bare line start when PDF /EndOfLine is false —
+    selects 1-D (1) or 2-D (0) coding for that line, the 2-D rows
+    referencing the previous line through the same mode coder as G4.
+    ``two_d=False, eol=False`` is the PDF K=0 unaligned MH shape."""
+    if width <= 0 or height <= 0:
+        raise ValueError("bad CCITT dimensions")
+    r = _BitReader(data)
+    out = np.zeros((height, width), dtype=np.uint8)
+    ref: list[int] = []
+    for y in range(height):
+        if eol:
+            _skip_to_eol(r)
+        if two_d and r.read_bit():
+            cur = _decode_line_1d(r, width)
+        elif two_d:
+            cur = _decode_line_2d(r, ref, width)
+        else:
+            cur = _decode_line_1d(r, width)
+        out[y] = _row_from_changes(cur, width)
+        ref = _ref_of(cur, width)
     return out
 
 
@@ -324,46 +388,91 @@ def _changes_of_row(row: np.ndarray) -> list[int]:
     return changes
 
 
+def _encode_line_2d(
+    w: _BitWriter, cur: list[int], ref: list[int], width: int
+) -> None:
+    """One 2-D coded line (shared by G4 and G3 2-D rows): pass when
+    b2 < a1, vertical when |a1−b1| ≤ 3, else horizontal."""
+    a0, color = -1, 0
+    while a0 < width:
+        i = bisect_right(cur, a0)
+        if (i & 1) != color:
+            i += 1
+        a1 = cur[i] if i < len(cur) else width
+        b1, b2 = _b1_b2(ref, a0, color, width)
+        if b2 < a1:
+            w.write(_MODE_P)
+            a0 = b2
+        elif abs(a1 - b1) <= 3:
+            d = a1 - b1
+            w.write(
+                _MODE_V0 if d == 0
+                else (_MODE_VR[d] if d > 0 else _MODE_VL[-d])
+            )
+            a0 = a1
+            color ^= 1
+        else:
+            j = bisect_right(cur, a1)
+            if (j & 1) == color:
+                j += 1
+            a2 = cur[j] if j < len(cur) else width
+            w.write(_MODE_H)
+            start = a0 if a0 > 0 else 0
+            _emit_run(w, a1 - start, black=bool(color))
+            _emit_run(w, a2 - a1, black=not bool(color))
+            a0 = a2
+
+
+def _encode_line_1d(w: _BitWriter, cur: list[int], width: int) -> None:
+    # the decoder stops once x reaches width, so never emit a run past it
+    x, black = 0, False
+    for c in cur + [width]:
+        if x >= width:
+            break
+        _emit_run(w, c - x, black)
+        x = c
+        black = not black
+
+
 def g4_encode(page: np.ndarray, eofb: bool = True) -> bytes:
     """T.6 (MMR) encode of an (h, w) 0/1 array (1 = black). Greedy
-    standard coder: pass when b2 < a1, vertical when |a1−b1| ≤ 3, else
-    horizontal; EOFB appended unless ``eofb=False`` (TIFF strips)."""
+    standard coder; EOFB appended unless ``eofb=False`` (TIFF strips)."""
     page = (np.asarray(page) != 0).astype(np.uint8)
     h, width = page.shape
     w = _BitWriter()
     ref: list[int] = []
     for y in range(h):
         cur = _changes_of_row(page[y])
-        a0, color = -1, 0
-        while a0 < width:
-            i = bisect_right(cur, a0)
-            if (i & 1) != color:
-                i += 1
-            a1 = cur[i] if i < len(cur) else width
-            b1, b2 = _b1_b2(ref, a0, color, width)
-            if b2 < a1:
-                w.write(_MODE_P)
-                a0 = b2
-            elif abs(a1 - b1) <= 3:
-                d = a1 - b1
-                w.write(
-                    _MODE_V0 if d == 0
-                    else (_MODE_VR[d] if d > 0 else _MODE_VL[-d])
-                )
-                a0 = a1
-                color ^= 1
-            else:
-                j = bisect_right(cur, a1)
-                if (j & 1) == color:
-                    j += 1
-                a2 = cur[j] if j < len(cur) else width
-                w.write(_MODE_H)
-                start = a0 if a0 > 0 else 0
-                _emit_run(w, a1 - start, black=bool(color))
-                _emit_run(w, a2 - a1, black=not bool(color))
-                a0 = a2
+        _encode_line_2d(w, cur, ref, width)
         ref = cur
     if eofb:
         w.write(_EOL)
         w.write(_EOL)
+    return w.tobytes()
+
+
+def g3_encode(
+    page: np.ndarray, two_d: bool = True, k: int = 2, eol: bool = True
+) -> bytes:
+    """T.4 Group 3 fixture encoder: every ``k``-th line is coded 1-D
+    (tag 1), the rest 2-D against the previous line (tag 0); pure 1-D
+    when ``two_d=False`` (no tags); ``eol=False`` drops the EOL framing
+    (the PDF /EndOfLine-false shape)."""
+    page = (np.asarray(page) != 0).astype(np.uint8)
+    h, width = page.shape
+    w = _BitWriter()
+    ref: list[int] = []
+    for y in range(h):
+        if eol:
+            w.write(_EOL)
+        cur = _changes_of_row(page[y])
+        if not two_d:
+            _encode_line_1d(w, cur, width)
+        elif y % max(k, 1) == 0:
+            w.write("1")
+            _encode_line_1d(w, cur, width)
+        else:
+            w.write("0")
+            _encode_line_2d(w, cur, ref, width)
+        ref = cur
     return w.tobytes()

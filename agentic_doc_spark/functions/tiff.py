@@ -4,13 +4,14 @@ Scanned-document corpora are TIFF-heavy (fax/scanner output), so the
 decode ladder needs it. Implements the public TIFF 6.0 specification
 (Adobe 1992): II/MM byte orders, IFD chains (multi-PAGE files —
 exactly the scanned-document shape), strips, and the compressions a
-scanner actually emits: CCITT G4/MMR (4) and MH (2) bilevel fax via
+scanner actually emits: CCITT G4/MMR (4), G3/T.4 (3, EOL-framed
+1-D or mixed 2-D) and MH (2) bilevel fax via
 functions/ccitt.py, plus none (1), LZW (5, MSB-first
 variable-width codes WITH early change, optional horizontal-
 differencing Predictor 2), and PackBits RLE (32773). Photometric
 0/1 (bilevel+gray, incl. WhiteIsZero inversion), 2 (RGB), 3
-(palette, 16-bit color map). CCITT G3-2D (3, EOL-framed T.4) and
-JPEG-in-TIFF raise a surfaced ValueError.
+(palette, 16-bit color map). CCITT uncompressed-mode (T4Options
+bit 1) and JPEG-in-TIFF raise a surfaced ValueError.
 
 The encoders build fixtures (uncompressed / PackBits / LZW +
 predictor / bilevel G4, single- or multi-page) so round-trips pin the
@@ -224,11 +225,12 @@ def _decode_page(data: bytes, tags: dict[int, list[int]]) -> np.ndarray:
     comp = tags.get(259, [1])[0]
     photo = tags.get(262, [1])[0]
     pred = tags.get(317, [1])[0]
-    if comp == 3:
-        raise ValueError("CCITT G3-2D (T.4 with EOLs) unsupported (surfaced)")
+    t4opts = tags.get(292, [0])[0]
+    if comp == 3 and (t4opts & 0x02):
+        raise ValueError("CCITT G3 uncompressed mode unsupported")
     if comp in (6, 7):
         raise ValueError("JPEG-in-TIFF unsupported (surfaced)")
-    if comp not in (1, 2, 4, 5, 32773):
+    if comp not in (1, 2, 3, 4, 5, 32773):
         raise ValueError(f"unsupported TIFF compression {comp}")
     if bits not in (1, 8):
         raise ValueError(f"unsupported TIFF bit depth {bits}")
@@ -240,11 +242,16 @@ def _decode_page(data: bytes, tags: dict[int, list[int]]) -> np.ndarray:
     rows_per = tags.get(278, [h])[0] or h
     row_bytes = (w * bits * spp + 7) // 8
 
-    if comp in (2, 4):
-        # CCITT MH (2) / G4 MMR (4): bilevel fax — each strip is an
+    if comp in (2, 3, 4):
+        # CCITT MH (2) / G3 T.4 (3, EOL-framed, 1-D or mixed 2-D per
+        # T4Options bit 0) / G4 MMR (4): bilevel fax — each strip is an
         # independently coded block (G4 references an all-white first
         # line per strip, per TIFF 6.0 §11). Decoders emit 1 = black.
-        from agentic_doc_spark.functions.ccitt import g3_1d_decode, g4_decode
+        from agentic_doc_spark.functions.ccitt import (
+            g3_1d_decode,
+            g3_decode,
+            g4_decode,
+        )
 
         if bits != 1 or spp != 1:
             raise ValueError("CCITT TIFF must be 1-bit single-sample")
@@ -260,8 +267,14 @@ def _decode_page(data: bytes, tags: dict[int, list[int]]) -> np.ndarray:
             nrows = min(rows_per, h - i * rows_per)
             if nrows <= 0:
                 continue
-            dec = g4_decode if comp == 4 else g3_1d_decode
-            blocks.append(dec(strip, w, nrows))
+            if comp == 4:
+                blocks.append(g4_decode(strip, w, nrows))
+            elif comp == 3:
+                blocks.append(
+                    g3_decode(strip, w, nrows, two_d=bool(t4opts & 0x01))
+                )
+            else:
+                blocks.append(g3_1d_decode(strip, w, nrows))
         black = np.concatenate(blocks, axis=0) if blocks else np.zeros(
             (0, w), np.uint8
         )
@@ -418,13 +431,14 @@ def encode_tiff_bilevel(
 ) -> bytes:
     """Bilevel pages (h, w) with nonzero = black ink → little-endian
     1-bit TIFF, PhotometricInterpretation=0 (WhiteIsZero — the fax
-    convention: sample 1 = black), Compression 1 (packed bits) or 4
-    (CCITT Group 4). ``rows_per_strip`` splits G4 pages into
-    independently coded strips (TIFF 6.0 §11) — fixture-grade, used to
-    pin the G4 decoder against its uncompressed twin."""
-    if compression not in (1, 4):
-        raise ValueError("bilevel fixture encoder supports none/G4")
-    from agentic_doc_spark.functions.ccitt import g4_encode
+    convention: sample 1 = black), Compression 1 (packed bits), 3
+    (CCITT G3 mixed 2-D, EOL-framed) or 4 (CCITT Group 4).
+    ``rows_per_strip`` splits fax pages into independently coded strips
+    (TIFF 6.0 §11) — fixture-grade, used to pin the decoders against
+    their uncompressed twins."""
+    if compression not in (1, 3, 4):
+        raise ValueError("bilevel fixture encoder supports none/G3/G4")
+    from agentic_doc_spark.functions.ccitt import g3_encode, g4_encode
 
     out = bytearray(b"II*\x00" + b"\x00\x00\x00\x00")
     ifd_patch = 4
@@ -437,6 +451,8 @@ def encode_tiff_bilevel(
             block = black[y0 : y0 + rps]
             if compression == 4:
                 strips.append(g4_encode(block))
+            elif compression == 3:
+                strips.append(g3_encode(block, two_d=True))
             else:
                 strips.append(np.packbits(block, axis=1).tobytes())
         strip_offs = []
@@ -465,6 +481,8 @@ def encode_tiff_bilevel(
             (278, 4, 1, rps),
             (279, 4, n, cnt_val),
         ]
+        if compression == 3:
+            entries.append((292, 4, 1, 1))  # T4Options: 2-D coding
         entries.sort()
         ifd_off = len(out)
         struct.pack_into("<I", out, ifd_patch, ifd_off)

@@ -38,8 +38,8 @@ PNG via functions/jpx.py).
 
 NOT a general PDF parser — no xref table parsing (objects are found by
 scanning, which also survives mild corruption), no encryption, no
-irreversible-9/7 or multi-tile JPX, no symbol/text-region JBIG2, no G3
-CCITT; anything it cannot read yields zero blocks and the caller degrades to the documented stub path. This
+irreversible-9/7 or multi-tile JPX, no symbol/text-region JBIG2, no
+byte-aligned CCITT; anything it cannot read yields zero blocks and the caller degrades to the documented stub path. This
 boundary is explicit on purpose: the goal is unstubbing the common
 text-PDF case, not silently mis-reading hard ones.
 """
@@ -581,8 +581,9 @@ def _image_payload(
     functions/jpeg.py); Flate/LZW/unfiltered raw samples re-encode as
     PNG — 8-bit DeviceGray/DeviceRGB, plus 1-bit DeviceGray/ImageMask
     (the classic bilevel scan; /Decode [1 0] inversion honored);
-    CCITTFaxDecode K<0 streams decode as Group 4 fax (BlackIs1 and
-    /Decode honored); JBIG2Decode arithmetic generic-region streams
+    CCITTFaxDecode streams decode as Group 4 (K<0) or Group 3
+    1-D/mixed-2-D fax (K≥0; BlackIs1, /EndOfLine and /Decode
+    honored); JBIG2Decode arithmetic generic-region streams
     decode via the T.88 MQ coder. Anything else (JPX, symbol-region
     JBIG2, G3 CCITT) returns None — a surfaced gap, not silent
     garbage."""
@@ -591,12 +592,13 @@ def _image_payload(
     if b"/DCTDecode" in header:
         return payload if payload[:2] == b"\xff\xd8" else None
     if b"/CCITTFaxDecode" in header:
-        # Group 4 (K < 0) scanned-fax images decode for real via
-        # functions/ccitt.py (round-4 VERDICT task 5); G3 (K ≥ 0) and
-        # EncodedByteAlign remain surfaced gaps (None → error row).
+        # CCITT fax images decode for real via functions/ccitt.py:
+        # K < 0 = Group 4, K = 0 = G3 1-D (MH), K > 0 = G3 mixed 2-D
+        # (/EndOfLine honored); EncodedByteAlign remains a surfaced
+        # gap (None → error row).
         km = re.search(rb"/K\s+(-?\d+)", header)
         k = int(km.group(1)) if km else 0
-        if k >= 0 or b"/EncodedByteAlign true" in header:
+        if b"/EncodedByteAlign true" in header:
             return None
         cm = re.search(rb"/Columns\s+(\d+)", header)
         cols = int(cm.group(1)) if cm else 1728
@@ -610,8 +612,16 @@ def _image_payload(
         from agentic_doc_spark.functions.ccitt import g4_decode
         from agentic_doc_spark.functions.png import encode_png
 
+        eol = b"/EndOfLine true" in header
         try:
-            black = g4_decode(payload, cols, rows)
+            if k < 0:
+                black = g4_decode(payload, cols, rows)
+            else:
+                from agentic_doc_spark.functions.ccitt import g3_decode
+
+                black = g3_decode(
+                    payload, cols, rows, two_d=k > 0, eol=eol
+                )
         except ValueError:
             return None
         if not transcode:

@@ -583,11 +583,12 @@ def test_ccitt_g4_embedded_image():
             11,
             b"<< /Type /Page /Resources << /XObject << /Im0 10 0 R >> >> >>",
         )
-        # G3 (K = 0) stays a surfaced gap: page yields no image
+        # EncodedByteAlign stays a surfaced gap: page yields no image
         + _stream_obj(
             12,
             b"/Subtype /Image /Filter /CCITTFaxDecode "
-            b"/DecodeParms << /K 0 /Columns 14 /Rows 6 >> "
+            b"/DecodeParms << /K -1 /EncodedByteAlign true "
+            b"/Columns 14 /Rows 6 >> "
             b"/Width 14 /Height 6 /BitsPerComponent 1 "
             b"/ColorSpace /DeviceGray",
             payload,
@@ -765,3 +766,44 @@ def test_jpx_and_jbig2_fuzz_valueerror_only():
                 assert out.shape[0] > 0
             except (ValueError, struct.error, IndexError):
                 pass
+
+
+def test_ccitt_g3_embedded_images():
+    # K > 0 (mixed 2-D) and K = 0 (pure MH) G3 streams decode; the
+    # /EndOfLine default (false) means bare tag bits / bare runs
+    import numpy as np
+
+    from agentic_doc_spark.functions.ccitt import g3_encode
+    from agentic_doc_spark.functions.png import decode_png
+    from agentic_doc_spark.sources.pdf_text import extract_pdf_images
+
+    bits = np.zeros((7, 19), dtype=np.uint8)
+    bits[1, 2:16] = 1
+    bits[4:6, 5:9] = 1
+    cases = [
+        (b"/K 2 /EndOfLine true", g3_encode(bits, two_d=True, eol=True)),
+        (b"/K 2", g3_encode(bits, two_d=True, eol=False)),
+        (b"/K 0", g3_encode(bits, two_d=False, eol=False)),
+    ]
+    for i, (params, payload) in enumerate(cases):
+        pdf = (
+            b"%PDF-1.4\n"
+            + _stream_obj(
+                10,
+                b"/Subtype /Image /Filter /CCITTFaxDecode "
+                b"/DecodeParms << " + params + b" /Columns 19 /Rows 7 >> "
+                b"/Width 19 /Height 7 /BitsPerComponent 1 "
+                b"/ColorSpace /DeviceGray",
+                payload,
+            )
+            + _obj(
+                11,
+                b"<< /Type /Page /Resources "
+                b"<< /XObject << /Im0 10 0 R >> >> >>",
+            )
+            + b"%%EOF\n"
+        )
+        images = extract_pdf_images(pdf)
+        assert [p for p, _ in images] == [0], (i, params)
+        out = decode_png(images[0][1])
+        assert (out[:, :, 0] == (1 - bits) * 255).all(), (i, params)

@@ -429,3 +429,18 @@ def test_g4_fuzz_valueerror_only():
             assert out.shape == img.shape  # decoded to SOME bilevel page
         except ValueError:
             pass
+
+
+def test_g3_fixture_matches_uncompressed_twin():
+    # Compression=3 (T.4 EOL-framed, mixed 1-D/2-D rows) decodes to the
+    # same pixels as its uncompressed twin, incl. multi-strip
+    from agentic_doc_spark.functions.tiff import encode_tiff_bilevel
+
+    img = _fax_page(7)
+    plain = decode_tiff(encode_tiff_bilevel([img], compression=1))
+    g3 = decode_tiff(encode_tiff_bilevel([img], compression=3))
+    assert np.array_equal(plain, g3)
+    g3s = decode_tiff(
+        encode_tiff_bilevel([img], compression=3, rows_per_strip=9)
+    )
+    assert np.array_equal(plain, g3s)
