@@ -1,6 +1,7 @@
 """Pure-stdlib baseline JPEG codec (numpy + huffman, no imaging libs).
 
-Implements the baseline sequential DCT process (SOF0) AND the
+Implements the baseline sequential DCT process (SOF0), 12-bit extended
+sequential (SOF1 — level shift 2048, output scaled to 8-bit) AND the
 progressive DCT process (SOF2, Annex G — spectral selection and
 successive approximation, Huffman coding) of the public JPEG spec
 (ITU-T T.81 / ISO 10918-1): 8-bit samples, grayscale or YCbCr with
@@ -247,11 +248,11 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             break
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM/RSTn: no payload
             continue
-        if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        if marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                       0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"jpeg: unsupported frame type 0x{marker:02x} "
-                "(baseline sequential and progressive huffman only)"
+                "(sequential and progressive huffman only)"
             )
         if i + 2 > len(data):
             raise ValueError("jpeg: truncated segment header")
@@ -274,10 +275,15 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                         seg[j : j + 128], dtype=">u2"
                     ).astype(np.int64)
                     j += 128
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2):
+            # SOF0 baseline / SOF1 extended sequential (8- or 12-bit) /
+            # SOF2 progressive
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
-            if prec != 8:
-                raise ValueError("jpeg: only 8-bit precision supported")
+            if prec not in (8, 12) or (prec == 12 and marker != 0xC1):
+                raise ValueError(
+                    "jpeg: precision supported only as 8-bit or 12-bit "
+                    "extended sequential (SOF1)"
+                )
             if nc not in (1, 3):
                 # 4-component (Adobe CMYK/YCCK) would silently decode to
                 # garbage RGB — surface the boundary instead
@@ -294,7 +300,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 if not (1 <= hf <= 4 and 1 <= vf <= 4):
                     raise ValueError("jpeg: invalid sampling factors")
                 comps.append({"id": cid, "h": hf, "v": vf, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps,
+            frame = {"h": h, "w": w, "comps": comps, "prec": prec,
                      "progressive": marker == 0xC2}
         elif marker == 0xC4:  # DHT
             j = 0
@@ -350,6 +356,7 @@ def _decode_scan(data, start, frame, scan, qt, huff, restart_interval):
     br = _BitReader(data, start)
     preds = [0] * len(comps)
     idct_t = _BASIS.T
+    center = float(1 << (frame.get("prec", 8) - 1))
 
     def decode_block(ci):
         c = comps[ci]
@@ -374,7 +381,7 @@ def _decode_scan(data, start, frame, scan, qt, huff, restart_interval):
             if k > 63:
                 raise ValueError("jpeg: AC index overrun")
             coef[_ZIGZAG[k]] = _extend(br.read_bits(s), s) * q[k]
-        block = idct_t @ coef.reshape(8, 8) @ _BASIS + 128.0
+        block = idct_t @ coef.reshape(8, 8) @ _BASIS + center
         return block
 
     mcus_done = 0
@@ -413,14 +420,23 @@ def _assemble(frame, planes) -> np.ndarray:
                 np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1
             )
         full.append(p[:h, :w])
+    prec = frame.get("prec", 8)
+    maxv = (1 << prec) - 1
+    shift = prec - 8
+
+    def to8(a):
+        q = np.clip(a + 0.5, 0, maxv).astype(np.int32)
+        return (q >> shift).astype(np.uint8) if shift else q.astype(np.uint8)
+
     if len(full) == 1:
-        return np.clip(full[0] + 0.5, 0, 255).astype(np.uint8)
-    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+        return to8(full[0])
+    half = float(1 << (prec - 1))
+    y, cb, cr = full[0], full[1] - half, full[2] - half
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=-1)
-    return np.clip(rgb + 0.5, 0, 255).astype(np.uint8)
+    return to8(rgb)
 
 
 # ---------------------------------------------------------------------------
@@ -1168,5 +1184,109 @@ def encode_progressive_jpeg(
         run_scan(kind, members, ss, se, ah, al, emit_sym, emit_bits)
         bw.flush()
         out.extend(bw.out)
+    out.extend(b"\xff\xd9")
+    return bytes(out)
+
+
+def encode_jpeg12(arr: np.ndarray, quality: int = 95) -> bytes:
+    """uint16 (h, w) with samples 0..4095 → 12-bit EXTENDED SEQUENTIAL
+    JPEG (SOF1) — grayscale fixture encoder for the medical/scanner
+    shape. Flat fixture Huffman tables over the used symbol set
+    (``_flat_table``: the standard Annex K sample tables stop at the
+    8-bit magnitude categories, which 12-bit DC differences exceed)."""
+    arr = np.asarray(arr)
+    if arr.ndim != 2:
+        raise ValueError("12-bit fixture encoder is grayscale-only")
+    if arr.max(initial=0) > 4095 or arr.min(initial=0) < 0:
+        raise ValueError("12-bit samples must be 0..4095")
+    h, w = arr.shape
+    q = _quality_scale(_QT_LUM, quality)[_ZIGZAG].astype(np.int64)
+    plane = arr.astype(np.float64)
+    by_n, bx_n = -(-h // 8), -(-w // 8)
+
+    # pass 1: quantized coefficients per block
+    blocks = []
+    for by in range(by_n):
+        for bx in range(bx_n):
+            ys = np.clip(np.arange(by * 8, by * 8 + 8), 0, h - 1)
+            xs = np.clip(np.arange(bx * 8, bx * 8 + 8), 0, w - 1)
+            block = plane[np.ix_(ys, xs)] - 2048.0
+            zz = (_BASIS @ block @ _BASIS.T).reshape(-1)[_ZIGZAG]
+            blocks.append(np.round(zz / q).astype(np.int64))
+
+    # collect symbols for the fixture tables
+    dc_syms, ac_syms = set(), set()
+    pred = 0
+    for qz in blocks:
+        sz, _ = _magnitude(int(qz[0]) - pred)
+        pred = int(qz[0])
+        dc_syms.add(sz)
+        run = 0
+        nz = np.nonzero(qz[1:])[0]
+        last = int(nz[-1]) + 1 if len(nz) else 0
+        for k in range(1, last + 1):
+            v = int(qz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ac_syms.add(0xF0)
+                run -= 16
+            sz, _ = _magnitude(v)
+            ac_syms.add((run << 4) | sz)
+            run = 0
+        if last < 63:
+            ac_syms.add(0x00)
+    dc_bits, dc_vals = _flat_table(dc_syms)
+    ac_bits, ac_vals = _flat_table(ac_syms)
+    dc_enc = _encode_codes(dc_bits, dc_vals)
+    ac_enc = _encode_codes(ac_bits, ac_vals)
+
+    out = bytearray(b"\xff\xd8")
+
+    def segment(marker: int, payload: bytes) -> None:
+        out.extend(b"\xff" + bytes([marker]))
+        out.extend(struct.pack(">H", len(payload) + 2))
+        out.extend(payload)
+
+    segment(0xDB, bytes([0]) + bytes(int(x) for x in q))
+    segment(0xC1, struct.pack(">BHHB", 12, h, w, 1) + bytes([1, 0x11, 0]))
+    segment(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+    segment(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    segment(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+
+    bw = _BitWriter()
+    pred = 0
+    for qz in blocks:
+        diff = int(qz[0]) - pred
+        pred = int(qz[0])
+        sz, bits = _magnitude(diff)
+        code, ln = dc_enc[sz]
+        bw.write(code, ln)
+        if sz:
+            bw.write(bits, sz)
+        run = 0
+        nz = np.nonzero(qz[1:])[0]
+        last = int(nz[-1]) + 1 if len(nz) else 0
+        for k in range(1, last + 1):
+            v = int(qz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_enc[0xF0]
+                bw.write(code, ln)
+                run -= 16
+            sz, bits = _magnitude(v)
+            code, ln = ac_enc[(run << 4) | sz]
+            bw.write(code, ln)
+            if sz:
+                bw.write(bits, sz)
+            run = 0
+        if last < 63:
+            code, ln = ac_enc[0x00]
+            bw.write(code, ln)
+    bw.flush()
+    out.extend(bw.out)
     out.extend(b"\xff\xd9")
     return bytes(out)
