@@ -1903,8 +1903,10 @@ def oracle_sql() -> dict[str, str]:
             ), f AS (
               SELECT j, COUNT(DISTINCT doc_id) AS df FROM mr GROUP BY 1
             ), hot AS (
+              -- FLOOR matches the Spark side's int() truncation (a bare
+              -- CAST rounds in DuckDB: CAST(6.6 AS BIGINT) = 7)
               SELECT j FROM f
-              WHERE df > CAST(0.6 * (SELECT COUNT(*) FROM documents)
+              WHERE df > CAST(FLOOR(0.6 * (SELECT COUNT(*) FROM documents))
                               AS BIGINT)
             ), kept AS (
               SELECT doc_id, j FROM mr

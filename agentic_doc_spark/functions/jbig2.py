@@ -215,9 +215,13 @@ _SLTP_CX = 0x9B25  # TPGDON context value for template 0
 
 
 def _gb0_context(page: np.ndarray, x: int, y: int, w: int) -> int:
-    """16-bit template-0 context at (x, y): 5 pixels two rows up
-    (x-1..x+1 plus A3/A4), 7 one row up (x-2..x+2 plus A1/A2), 4 to the
-    left — assembled in the spec's bit order."""
+    """16-bit template-0 context at (x, y), assembled in the T.88
+    raster bit order (as in the reference decoders): bits 15..11 = row
+    y−2 left-to-right x−2..x+2 (the ±2 positions are nominal A4/A3),
+    bits 10..4 = row y−1 x−3..x+3 (±3 are nominal A2/A1), bits 3..0 =
+    row y, x−4..x−1. The TPGDON pseudo-pixel context 0x9B25 is defined
+    against THIS ordering — a permuted assembly round-trips against
+    itself but garbles third-party TPGDON streams."""
     def px(dx: int, dy: int) -> int:
         xx, yy = x + dx, y + dy
         if yy < 0 or xx < 0 or xx >= w:
@@ -225,11 +229,11 @@ def _gb0_context(page: np.ndarray, x: int, y: int, w: int) -> int:
         return int(page[yy, xx])
 
     return (
-        (px(-1, -2) << 15) | (px(0, -2) << 14) | (px(1, -2) << 13)
-        | (px(2, -2) << 12) | (px(-2, -2) << 11)
-        | (px(-2, -1) << 10) | (px(-1, -1) << 9) | (px(0, -1) << 8)
-        | (px(1, -1) << 7) | (px(2, -1) << 6) | (px(3, -1) << 5)
-        | (px(-3, -1) << 4)
+        (px(-2, -2) << 15) | (px(-1, -2) << 14) | (px(0, -2) << 13)
+        | (px(1, -2) << 12) | (px(2, -2) << 11)
+        | (px(-3, -1) << 10) | (px(-2, -1) << 9) | (px(-1, -1) << 8)
+        | (px(0, -1) << 7) | (px(1, -1) << 6) | (px(2, -1) << 5)
+        | (px(3, -1) << 4)
         | (px(-4, 0) << 3) | (px(-3, 0) << 2) | (px(-2, 0) << 1)
         | px(-1, 0)
     )
@@ -310,8 +314,9 @@ def encode_embedded(page: np.ndarray, tpgdon: bool = False) -> bytes:
     page = (np.asarray(page) != 0).astype(np.uint8)
     h, w = page.shape
     segs = bytearray()
-    # page info (type 48): number 0, no referred, page 1
-    pinfo = struct.pack(">IIIII", w, h, 0, 0, 0) + b"\x00"
+    # page info (type 48, T.88 7.4.8): width, height, xres, yres,
+    # flags byte, 2-byte striping — 19 bytes
+    pinfo = struct.pack(">IIII", w, h, 0, 0) + b"\x00" + b"\x00\x00"
     segs += struct.pack(">IBB", 0, 48, 0) + b"\x01" + struct.pack(
         ">I", len(pinfo)
     ) + pinfo
@@ -328,11 +333,18 @@ def encode_embedded(page: np.ndarray, tpgdon: bool = False) -> bytes:
     return bytes(segs)
 
 
-def decode_embedded(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
+def decode_embedded(
+    data: bytes,
+    max_pixels: int = 64_000_000,
+    expect: tuple[int, int] | None = None,
+) -> np.ndarray:
     """Scan a PDF-embedded JBIG2 segment stream and decode the FIRST
     immediate generic region (types 36/38/39, MMR=0, template 0,
     nominal ATs). Raises ValueError for anything outside that scope —
-    the caller surfaces the gap."""
+    the caller surfaces the gap. ``expect=(w, h)`` cross-checks the
+    region dimensions against the container's declared size, so a
+    corrupt header claiming a huge region fails fast instead of
+    spinning the per-pixel decode loop for minutes."""
     pos = 0
     n = len(data)
     while pos + 11 <= n:
@@ -346,9 +358,10 @@ def decode_embedded(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
         if count == 7:
             raise ValueError("JBIG2 long referred-to form unsupported")
         pos += 1
-        # referred segment numbers: 1/2/4 bytes by current number size —
-        # our streams use segment numbers ≤ 256 → 1 byte each
-        pos += count
+        # referred segment numbers: 1/2/4 bytes by the REFERRING
+        # segment's number (T.88 7.2.5)
+        ref_size = 1 if _num <= 256 else (2 if _num <= 65536 else 4)
+        pos += count * ref_size
         pos += 4 if page_assoc_4 else 1
         (dlen,) = struct.unpack_from(">I", data, pos)
         pos += 4
@@ -362,6 +375,11 @@ def decode_embedded(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
             w, h, _x, _y = struct.unpack_from(">IIII", body, 0)
             if w * h > max_pixels or w <= 0 or h <= 0:
                 raise ValueError("implausible JBIG2 region dimensions")
+            if expect is not None and (w, h) != expect:
+                raise ValueError(
+                    f"JBIG2 region {w}x{h} does not match the "
+                    f"container's declared {expect[0]}x{expect[1]}"
+                )
             gflags = body[17]
             if gflags & 0x01:
                 raise ValueError("JBIG2 MMR generic region unsupported")

@@ -862,6 +862,8 @@ def decode_jpx(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
             )
             if scod & 1:
                 raise ValueError("jpx: explicit precincts unsupported")
+            if scod & 0x06:
+                raise ValueError("jpx: SOP/EPH markers unsupported")
             if nlayers != 1:
                 raise ValueError("jpx: multi-layer streams unsupported")
             if prog not in (0, 1, 2):
@@ -883,6 +885,10 @@ def decode_jpx(data: bytes, max_pixels: int = 64_000_000) -> np.ndarray:
             for b in seg[1:]:
                 if (b >> 3) != eps:
                     raise ValueError("jpx: per-band exponents unsupported")
+        elif marker in (b"\xff\x53", b"\xff\x5d", b"\xff\x5f"):
+            # COC / QCC / POC override the global COD/QCD per
+            # component or reorder progression — outside the profile
+            raise ValueError("jpx: COC/QCC/POC marker segments unsupported")
         elif marker == b"\xff\x90":  # SOT
             (tile, _psot, tpsot, tnsot) = struct.unpack_from(">HIBB", seg, 0)
             if tile != 0 or tpsot != 0 or tnsot not in (0, 1):

@@ -842,7 +842,11 @@ def strip_media_boilerplate(
     hot = sorted(str(r["k"]) for r in hot_rows if r["k"] is not None)
     if not hot:
         return docs
-    keep = lambda s: ~(  # noqa: E731
-        is_media(s) & F.array_contains(F.lit(hot), key(s).cast("string"))
+    # NULL keys (e.g. an undecodable image's hash) must KEEP the span:
+    # array_contains(..., NULL) is NULL and a bare ~NULL predicate would
+    # silently drop exactly the spans that are NOT boilerplate
+    keep = lambda s: ~F.coalesce(  # noqa: E731
+        is_media(s) & F.array_contains(F.lit(hot), key(s).cast("string")),
+        F.lit(False),
     )
     return docs.withColumn(spans_col, F.filter(F.col(spans_col), keep))

@@ -644,8 +644,12 @@ def _image_payload(
         from agentic_doc_spark.functions.jbig2 import decode_embedded
         from agentic_doc_spark.functions.png import encode_png
 
+        wj, hj = _WIDTH_RE.search(header), _HEIGHT_RE.search(header)
+        expect = (
+            (int(wj.group(1)), int(hj.group(1))) if wj and hj else None
+        )
         try:
-            black = decode_embedded(payload)
+            black = decode_embedded(payload, expect=expect)
         except (ValueError, struct.error):
             return None
         if not transcode:

@@ -264,3 +264,32 @@ def test_strip_media_boilerplate(spark):
     )
     with _pytest.raises(ValueError, match="max_doc_freq"):
         strip_media_boilerplate(many, max_doc_freq=0, max_hot_keys=10)
+
+
+def test_strip_media_boilerplate_null_key_keeps_span(spark):
+    # a NULL content key (e.g. an undecodable image's hash) must KEEP
+    # the span — the three-valued-logic trap would drop exactly the
+    # non-boilerplate spans
+    from pyspark.sql import functions as F
+
+    from agentic_doc_spark.operators.multimodal import (
+        strip_media_boilerplate,
+    )
+
+    span = "kind string, text string, media_ref string, offset int"
+    rows = [
+        ("a", [("raw", "", "logo", 0)]),
+        ("b", [("raw", "", "logo", 0), ("raw", "", "odd", 1)]),
+    ]
+    docs = spark.createDataFrame(
+        rows, f"doc_id string, spans array<struct<{span}>>"
+    )
+    # key maps 'odd' to NULL; 'logo' (2 docs > 1) is hot
+    key = lambda s: F.when(  # noqa: E731
+        s["media_ref"] != "odd", s["media_ref"]
+    )
+    out = {
+        r["doc_id"]: [s["media_ref"] for s in r["spans"]]
+        for r in strip_media_boilerplate(docs, 1, key=key).collect()
+    }
+    assert out["a"] == [] and out["b"] == ["odd"]
