@@ -444,3 +444,32 @@ def test_g3_fixture_matches_uncompressed_twin():
         encode_tiff_bilevel([img], compression=3, rows_per_strip=9)
     )
     assert np.array_equal(plain, g3s)
+
+
+def test_g4_fax_tiff_ingests_end_to_end(spark, tmp_path):
+    # the fax shape: a multi-page G4-compressed bilevel TIFF through
+    # parse() becomes per-page media spans with decodable PNG bytes
+    from agentic_doc_spark.functions.png import decode_png
+    from agentic_doc_spark.functions.tiff import encode_tiff_bilevel
+    from agentic_doc_spark.pipeline import extract
+    from agentic_doc_spark.sources.layout import (
+        image_media_table,
+        layout_parse,
+    )
+    from agentic_doc_spark.sources.resolve import read_binary_dir
+
+    pages = [_fax_page(seed=s, shape=(22, 40)) for s in range(2)]
+    (tmp_path / "fax.tiff").write_bytes(
+        encode_tiff_bilevel(pages, compression=4)
+    )
+    raw = read_binary_dir(spark, str(tmp_path))
+    row = extract(layout_parse(raw)).collect()[0]
+    assert [s["kind"] for s in row["spans"]] == ["media"] * 2
+    assert row["errors"] == [] and row["end_page_idx"] == 1
+
+    media = {r["page"]: r for r in image_media_table(raw).collect()}
+    for i in range(2):
+        arr = decode_png(bytes(media[i]["content"]))
+        # WhiteIsZero photometric: ink = black pixels
+        assert (arr[pages[i].astype(bool)] == 0).all()
+        assert (arr[~pages[i].astype(bool)] == 255).all()
