@@ -6,13 +6,20 @@ published 47-state Qe table) and GENERIC REGION segments coded with
 template 0 at the nominal AT positions, with or without typical-
 prediction (TPGDON). That covers JBIG2 streams whose pages are plain
 arithmetic-coded bitmaps — the "better fax" mode — plus this module's
-own fixture encoder. Symbol dictionaries / text / halftone regions and
-MMR-coded regions return None at the PDF boundary (surfaced, the caller
-degrades to an error row), as does anything referencing /JBIG2Globals.
+own fixture encoder — PLUS arithmetic SYMBOL DICTIONARIES and TEXT
+REGIONS (SDHUFF=SBHUFF=0, no refinement/aggregation, untransposed,
+OR-composed), the shape real scanned PDFs overwhelmingly use: the IAx
+integer coders (T.88 Annex A 512-node context trees) decode delta
+heights/widths/positions and symbol IDs, symbol bitmaps share one MQ
+coder + generic context state, and instances OR onto the region.
+Halftone/refinement regions, Huffman-coded variants and MMR return None
+at the PDF boundary (surfaced, the caller degrades to an error row), as
+does anything referencing /JBIG2Globals.
 
 The PDF embedding (PDF 32000 §7.4.7) carries JBIG2 segments WITHOUT the
-file header; ``decode_embedded`` scans segment headers and decodes the
-first immediate generic region.
+file header; ``decode_embedded`` scans segment headers, accumulates
+symbol dictionaries, and decodes the first region segment — generic or
+symbol-coded text.
 
 Self-checks in tests/test_pdf_text.py: MQ encode↔decode round-trip fuzz,
 generic-region round-trips against raw bitmaps (both TPGDON modes), and
@@ -239,28 +246,29 @@ def _gb0_context(page: np.ndarray, x: int, y: int, w: int) -> int:
     )
 
 
-def decode_generic_region(
-    data: bytes, width: int, height: int, tpgdon: bool = False
+def _cx_for(cxs: dict[int, list[int]], val: int) -> list[int]:
+    st = cxs.get(val)
+    if st is None:
+        st = [0, 0]
+        cxs[val] = st
+    return st
+
+
+def _decode_generic_bitmap(
+    dec: MQDecoder,
+    cxs: dict[int, list[int]],
+    width: int,
+    height: int,
+    tpgdon: bool = False,
 ) -> np.ndarray:
-    """Arithmetic generic region decode, template 0, nominal ATs →
-    (h, w) uint8 with 1 = black."""
-    if width <= 0 or height <= 0 or width * height > 64_000_000:
-        raise ValueError("bad JBIG2 region dimensions")
-    dec = MQDecoder(data)
-    cxs: dict[int, list[int]] = {}
-
-    def cx_for(val: int) -> list[int]:
-        st = cxs.get(val)
-        if st is None:
-            st = [0, 0]
-            cxs[val] = st
-        return st
-
+    """Generic-region core against an EXTERNAL coder + context state —
+    symbol dictionaries decode every symbol bitmap through one shared
+    MQ decoder and one shared generic context set (T.88 6.5.5)."""
     page = np.zeros((height, width), dtype=np.uint8)
     ltp = 0
     for y in range(height):
         if tpgdon:
-            if dec.decode(cx_for(_SLTP_CX)):
+            if dec.decode(_cx_for(cxs, _SLTP_CX)):
                 ltp ^= 1
             if ltp:
                 if y > 0:
@@ -269,8 +277,42 @@ def decode_generic_region(
         row = page[y]
         for x in range(width):
             ctx = _gb0_context(page, x, y, width)
-            row[x] = dec.decode(cx_for(ctx))
+            row[x] = dec.decode(_cx_for(cxs, ctx))
     return page
+
+
+def _encode_generic_bitmap(
+    enc: MQEncoder,
+    cxs: dict[int, list[int]],
+    page: np.ndarray,
+    tpgdon: bool = False,
+) -> None:
+    height, width = page.shape
+    ltp = 0
+    for y in range(height):
+        if tpgdon:
+            same = y > 0 and bool((page[y] == page[y - 1]).all())
+            sltp = 1 if (same != bool(ltp)) else 0
+            enc.encode(_cx_for(cxs, _SLTP_CX), sltp)
+            if sltp:
+                ltp ^= 1
+            if ltp:
+                continue
+        for x in range(width):
+            ctx = _gb0_context(page, x, y, width)
+            enc.encode(_cx_for(cxs, ctx), int(page[y, x]))
+
+
+def decode_generic_region(
+    data: bytes, width: int, height: int, tpgdon: bool = False
+) -> np.ndarray:
+    """Arithmetic generic region decode, template 0, nominal ATs →
+    (h, w) uint8 with 1 = black."""
+    if width <= 0 or height <= 0 or width * height > 64_000_000:
+        raise ValueError("bad JBIG2 region dimensions")
+    return _decode_generic_bitmap(
+        MQDecoder(data), {}, width, height, tpgdon
+    )
 
 
 def encode_generic_region(
@@ -278,31 +320,100 @@ def encode_generic_region(
 ) -> bytes:
     """Fixture encoder: the exact mirror of ``decode_generic_region``."""
     page = (np.asarray(page) != 0).astype(np.uint8)
-    height, width = page.shape
     enc = MQEncoder()
-    cxs: dict[int, list[int]] = {}
-
-    def cx_for(val: int) -> list[int]:
-        st = cxs.get(val)
-        if st is None:
-            st = [0, 0]
-            cxs[val] = st
-        return st
-
-    ltp = 0
-    for y in range(height):
-        if tpgdon:
-            same = y > 0 and bool((page[y] == page[y - 1]).all())
-            sltp = 1 if (same != bool(ltp)) else 0
-            enc.encode(cx_for(_SLTP_CX), sltp)
-            if sltp:
-                ltp ^= 1
-            if ltp:
-                continue
-        for x in range(width):
-            ctx = _gb0_context(page, x, y, width)
-            enc.encode(cx_for(ctx), int(page[y, x]))
+    _encode_generic_bitmap(enc, {}, page, tpgdon)
     return enc.flush()
+
+
+# --- arithmetic integer / symbol-ID decoding (T.88 Annex A) ----------------
+
+
+class _ArithInt:
+    """One IAx integer coder: a 512-node MQ context tree walked by the
+    PREV register (T.88 A.2/A.3). ``OOB`` is the out-of-band marker
+    (encoded as sign=1, value=0 — "negative zero")."""
+
+    OOB = object()
+
+    def __init__(self):
+        self.cx = [[0, 0] for _ in range(512)]
+
+    # shared PREV walk ----------------------------------------------------
+    def _dec_bit(self, mq: MQDecoder, state: list[int]) -> int:
+        d = mq.decode(self.cx[state[0]])
+        p = state[0]
+        state[0] = (
+            ((p << 1) | d) if p < 256 else ((((p << 1) | d) & 511) | 256)
+        )
+        return d
+
+    def _enc_bit(self, mq: MQEncoder, state: list[int], d: int) -> None:
+        mq.encode(self.cx[state[0]], d)
+        p = state[0]
+        state[0] = (
+            ((p << 1) | d) if p < 256 else ((((p << 1) | d) & 511) | 256)
+        )
+
+    _BUCKETS = ((2, 0), (4, 4), (6, 20), (8, 84), (12, 340), (32, 4436))
+
+    def decode(self, mq: MQDecoder):
+        st = [1]
+        s = self._dec_bit(mq, st)
+        for i, (nbits, offset) in enumerate(self._BUCKETS):
+            last = i == len(self._BUCKETS) - 1
+            if last or not self._dec_bit(mq, st):
+                v = 0
+                for _ in range(nbits):
+                    v = (v << 1) | self._dec_bit(mq, st)
+                v += offset
+                break
+        if s and v == 0:
+            return self.OOB
+        return -v if s else v
+
+    def encode(self, mq: MQEncoder, value) -> None:
+        if value is self.OOB:
+            s, v = 1, 0
+        else:
+            s, v = (1, -value) if value < 0 else (0, value)
+        st = [1]
+        self._enc_bit(mq, st, s)
+        for i, (nbits, offset) in enumerate(self._BUCKETS):
+            last = i == len(self._BUCKETS) - 1
+            nxt_off = (
+                self._BUCKETS[i + 1][1] if not last else float("inf")
+            )
+            if v < nxt_off:
+                if not last:
+                    self._enc_bit(mq, st, 0)
+                rel = v - offset
+                for b in range(nbits - 1, -1, -1):
+                    self._enc_bit(mq, st, (rel >> b) & 1)
+                return
+            if not last:
+                self._enc_bit(mq, st, 1)
+        raise ValueError("jbig2: integer out of IAx range")
+
+
+class _ArithID:
+    """IAID symbol-ID coder: a flat (1 << codelen)-leaf MQ tree."""
+
+    def __init__(self, codelen: int):
+        self.codelen = codelen
+        self.cx = [[0, 0] for _ in range(1 << (codelen + 1))]
+
+    def decode(self, mq: MQDecoder) -> int:
+        prev = 1
+        for _ in range(self.codelen):
+            prev = (prev << 1) | mq.decode(self.cx[prev])
+        return prev - (1 << self.codelen)
+
+    def encode(self, mq: MQEncoder, value: int) -> None:
+        prev = 1
+        for b in range(self.codelen - 1, -1, -1):
+            d = (value >> b) & 1
+            mq.encode(self.cx[prev], d)
+            prev = (prev << 1) | d
 
 
 # --- PDF-embedded segment stream ------------------------------------------
@@ -339,14 +450,17 @@ def decode_embedded(
     expect: tuple[int, int] | None = None,
 ) -> np.ndarray:
     """Scan a PDF-embedded JBIG2 segment stream and decode the FIRST
-    immediate generic region (types 36/38/39, MMR=0, template 0,
-    nominal ATs). Raises ValueError for anything outside that scope —
+    region segment: generic (types 36/38/39, MMR=0, template 0,
+    nominal ATs) or symbol-coded text (types 4/6/7, fed by the
+    accumulated type-0 symbol dictionaries it refers to). Raises
+    ValueError for anything outside that scope —
     the caller surfaces the gap. ``expect=(w, h)`` cross-checks the
     region dimensions against the container's declared size, so a
     corrupt header claiming a huge region fails fast instead of
     spinning the per-pixel decode loop for minutes."""
     pos = 0
     n = len(data)
+    dicts: dict[int, list[np.ndarray]] = {}
     while pos + 11 <= n:
         _num, flags = struct.unpack_from(">IB", data, pos)
         stype = flags & 0x3F
@@ -361,7 +475,15 @@ def decode_embedded(
         # referred segment numbers: 1/2/4 bytes by the REFERRING
         # segment's number (T.88 7.2.5)
         ref_size = 1 if _num <= 256 else (2 if _num <= 65536 else 4)
-        pos += count * ref_size
+        refs = []
+        for _ in range(count):
+            if ref_size == 1:
+                refs.append(data[pos])
+            elif ref_size == 2:
+                refs.append(struct.unpack_from(">H", data, pos)[0])
+            else:
+                refs.append(struct.unpack_from(">I", data, pos)[0])
+            pos += ref_size
         pos += 4 if page_assoc_4 else 1
         (dlen,) = struct.unpack_from(">I", data, pos)
         pos += 4
@@ -369,6 +491,22 @@ def decode_embedded(
             raise ValueError("JBIG2 unknown-length segment unsupported")
         body = data[pos : pos + dlen]
         pos += dlen
+        if stype == 0:  # symbol dictionary
+            dicts[_num] = _decode_symbol_dict(body)
+            continue
+        if stype in (4, 6, 7):  # (intermediate/immediate) text region
+            syms: list[np.ndarray] = []
+            for rn in refs:
+                if rn in dicts:
+                    syms.extend(dicts[rn])
+            out = _decode_text_region(body, syms)
+            if expect is not None and out.shape[::-1] != expect:
+                raise ValueError(
+                    f"JBIG2 region {out.shape[1]}x{out.shape[0]} does "
+                    "not match the container's declared "
+                    f"{expect[0]}x{expect[1]}"
+                )
+            return out
         if stype in (36, 38, 39):
             if len(body) < 18:
                 raise ValueError("JBIG2 region segment too short")
@@ -393,9 +531,279 @@ def decode_embedded(
             ):
                 raise ValueError("JBIG2 non-nominal AT pixels unsupported")
             return decode_generic_region(body[26:], w, h, tpgdon)
-        if stype in (0, 4, 6, 7, 16, 20, 22, 23, 40, 42, 43):
+        if stype in (16, 20, 22, 23, 40, 42, 43):
             raise ValueError(
-                f"JBIG2 segment type {stype} (symbol/text/halftone/"
+                f"JBIG2 segment type {stype} (pattern/halftone/"
                 "refinement) unsupported"
             )
-    raise ValueError("no generic region segment found in JBIG2 stream")
+    raise ValueError("no region segment found in JBIG2 stream")
+
+
+# --- symbol dictionary + text region (T.88 6.4/6.5, arithmetic only) -------
+
+
+def _symcodelen(nsyms: int) -> int:
+    return max(1, (max(nsyms - 1, 1)).bit_length())
+
+
+def _decode_symbol_dict(body: bytes) -> list[np.ndarray]:
+    """Arithmetic symbol dictionary (SDHUFF=0, REFAGG=0, template 0,
+    nominal ATs) → exported symbol bitmaps in export order."""
+    if len(body) < 2:
+        raise ValueError("jbig2: symbol dictionary too short")
+    flags = struct.unpack_from(">H", body, 0)[0]
+    if flags & 0x0001:
+        raise ValueError("jbig2: Huffman symbol dictionaries unsupported")
+    if flags & 0x0002:
+        raise ValueError("jbig2: refinement/aggregate coding unsupported")
+    template = (flags >> 10) & 0x03
+    if template != 0:
+        raise ValueError("jbig2: symbol dict template != 0 unsupported")
+    if flags & 0x0100 or flags & 0x0200:
+        raise ValueError("jbig2: context retention/import unsupported")
+    pos = 2
+    ats = struct.unpack_from("bbbbbbbb", body, pos)
+    pos += 8
+    if tuple(ats) != tuple(v for pair in _AT_NOMINAL for v in pair):
+        raise ValueError("jbig2: non-nominal AT pixels unsupported")
+    n_ex, n_new = struct.unpack_from(">II", body, pos)
+    pos += 8
+    if n_new > 10_000 or n_ex > 10_000:
+        raise ValueError("jbig2: implausible symbol counts")
+
+    mq = MQDecoder(body[pos:])
+    iadh, iadw, iaex = _ArithInt(), _ArithInt(), _ArithInt()
+    gcx: dict[int, list[int]] = {}
+    syms: list[np.ndarray] = []
+    hc_height = 0
+    while len(syms) < n_new:
+        dh = iadh.decode(mq)
+        if dh is _ArithInt.OOB:
+            raise ValueError("jbig2: OOB delta-height")
+        hc_height += dh
+        if hc_height <= 0 or hc_height > 10_000:
+            raise ValueError("jbig2: bad symbol height")
+        sym_w = 0
+        while True:
+            dw = iadw.decode(mq)
+            if dw is _ArithInt.OOB:
+                break
+            sym_w += dw
+            if sym_w <= 0 or sym_w > 10_000 or len(syms) >= n_new:
+                raise ValueError("jbig2: bad symbol width/count")
+            if sym_w * hc_height > 4_000_000:
+                raise ValueError("jbig2: implausible symbol size")
+            syms.append(
+                _decode_generic_bitmap(mq, gcx, sym_w, hc_height)
+            )
+    # export flags: alternating exclude/include run lengths over the
+    # (input + new) symbol list — no input symbols here
+    exported: list[np.ndarray] = []
+    i = 0
+    cur = 0
+    while i < len(syms) and len(exported) < n_ex:
+        run = iaex.decode(mq)
+        if run is _ArithInt.OOB or run < 0:
+            raise ValueError("jbig2: bad export run")
+        if cur:
+            exported.extend(syms[i : i + run])
+        i += run
+        cur ^= 1
+    if len(exported) != n_ex:
+        raise ValueError("jbig2: export count mismatch")
+    return exported
+
+
+def _decode_text_region(body: bytes, syms: list[np.ndarray]) -> np.ndarray:
+    """Arithmetic text region (SBHUFF=0, no refinement) → (h, w) uint8
+    with 1 = black, symbols OR-composed at their decoded positions."""
+    if len(body) < 17 + 2 + 4:
+        raise ValueError("jbig2: text region too short")
+    w, h, _x, _y = struct.unpack_from(">IIII", body, 0)
+    if w <= 0 or h <= 0 or w * h > 64_000_000:
+        raise ValueError("implausible JBIG2 region dimensions")
+    flags = struct.unpack_from(">H", body, 17)[0]
+    if flags & 0x0001:
+        raise ValueError("jbig2: Huffman text regions unsupported")
+    if flags & 0x0002:
+        raise ValueError("jbig2: refinement text regions unsupported")
+    log_strips = (flags >> 2) & 0x03
+    strips = 1 << log_strips
+    refcorner = (flags >> 4) & 0x03
+    transposed = (flags >> 6) & 0x01
+    comb_op = (flags >> 7) & 0x03
+    defpix = (flags >> 9) & 0x01
+    ds_offset = (flags >> 10) & 0x1F
+    if ds_offset > 15:
+        ds_offset -= 32  # signed 5-bit
+    if transposed:
+        raise ValueError("jbig2: transposed text regions unsupported")
+    if comb_op != 0 or defpix != 0:
+        raise ValueError("jbig2: non-OR text composition unsupported")
+    n_inst = struct.unpack_from(">I", body, 19)[0]
+    if n_inst > 1_000_000:
+        raise ValueError("jbig2: implausible instance count")
+    if not syms:
+        raise ValueError("jbig2: text region without symbols")
+
+    mq = MQDecoder(body[23:])
+    iadt, iafs, iads, iait = (
+        _ArithInt(), _ArithInt(), _ArithInt(), _ArithInt(),
+    )
+    iaid = _ArithID(_symcodelen(len(syms)))
+    page = np.zeros((h, w), dtype=np.uint8)
+
+    dt = iadt.decode(mq)
+    if dt is _ArithInt.OOB:
+        raise ValueError("jbig2: OOB strip T")
+    strip_t = -dt * strips
+    first_s = 0
+    placed = 0
+    while placed < n_inst:
+        dt = iadt.decode(mq)
+        if dt is _ArithInt.OOB:
+            raise ValueError("jbig2: OOB strip T")
+        strip_t += dt * strips
+        dfs = iafs.decode(mq)
+        if dfs is _ArithInt.OOB:
+            raise ValueError("jbig2: OOB first S")
+        first_s += dfs
+        cur_s = first_s
+        first = True
+        while True:
+            if not first:
+                ds = iads.decode(mq)
+                if ds is _ArithInt.OOB:
+                    break  # end of strip
+                cur_s += ds + ds_offset
+            first = False
+            if strips == 1:
+                cur_t = strip_t
+            else:
+                it = iait.decode(mq)
+                if it is _ArithInt.OOB:
+                    raise ValueError("jbig2: OOB in-strip T")
+                cur_t = strip_t + it
+            sid = iaid.decode(mq)
+            if sid >= len(syms):
+                raise ValueError("jbig2: symbol id out of range")
+            sym = syms[sid]
+            sh, sw = sym.shape
+            # placement by reference corner (untransposed: S = x, T = y)
+            xx = cur_s
+            if refcorner in (0, 1):  # BOTTOMLEFT / TOPLEFT
+                yy = cur_t - (sh - 1) if refcorner == 0 else cur_t
+            else:  # BOTTOMRIGHT / TOPRIGHT
+                yy = cur_t - (sh - 1) if refcorner == 2 else cur_t
+            y0, x0 = max(yy, 0), max(xx, 0)
+            y1, x1 = min(yy + sh, h), min(xx + sw, w)
+            if y1 > y0 and x1 > x0:
+                page[y0:y1, x0:x1] |= sym[
+                    y0 - yy : y1 - yy, x0 - xx : x1 - xx
+                ]
+            cur_s += sw - 1
+            placed += 1
+            if placed >= n_inst:
+                break
+    return page
+
+
+def encode_embedded_text(
+    page_w: int,
+    page_h: int,
+    symbols: list[np.ndarray],
+    placements: list[tuple[int, int, int]],
+) -> bytes:
+    """Fixture encoder for the SYMBOL-CODED shape real scanned PDFs use:
+    page-info + arithmetic symbol dictionary + one immediate text region
+    (type 6) referring to it. ``placements`` are (sym_idx, x, y) with
+    (x, y) the TOP-LEFT corner of each instance; the composed page is
+    the OR of all placed symbols."""
+    symbols = [(np.asarray(s) != 0).astype(np.uint8) for s in symbols]
+    if not symbols or not placements:
+        raise ValueError("jbig2: need symbols and placements")
+    # dictionary decode order: height classes ascending, widths in
+    # caller order within a class
+    order = sorted(
+        range(len(symbols)), key=lambda i: (symbols[i].shape[0], i)
+    )
+    remap = {orig: new for new, orig in enumerate(order)}
+    dsyms = [symbols[i] for i in order]
+
+    # --- symbol dictionary segment body
+    mq = MQEncoder()
+    iadh, iadw, iaex = _ArithInt(), _ArithInt(), _ArithInt()
+    gcx: dict[int, list[int]] = {}
+    hc = 0
+    i = 0
+    while i < len(dsyms):
+        hgt = dsyms[i].shape[0]
+        iadh.encode(mq, hgt - hc)
+        hc = hgt
+        sw = 0
+        while i < len(dsyms) and dsyms[i].shape[0] == hc:
+            iadw.encode(mq, dsyms[i].shape[1] - sw)
+            sw = dsyms[i].shape[1]
+            _encode_generic_bitmap(mq, gcx, dsyms[i])
+            i += 1
+        iadw.encode(mq, _ArithInt.OOB)
+    iaex.encode(mq, 0)  # exclude run: none
+    iaex.encode(mq, len(dsyms))  # export run: all
+    sd_flags = 0x0000  # arithmetic, no refinement, template 0
+    sd_body = struct.pack(">H", sd_flags)
+    for dx, dy in _AT_NOMINAL:
+        sd_body += struct.pack("bb", dx, dy)
+    sd_body += struct.pack(">II", len(dsyms), len(dsyms))
+    sd_body += mq.flush()
+
+    # --- text region segment body (refers to the dictionary)
+    mq = MQEncoder()
+    iadt, iafs, iads = _ArithInt(), _ArithInt(), _ArithInt()
+    iaid = _ArithID(_symcodelen(len(dsyms)))
+    # strips of height 1 (LOGSBSTRIPS=0): group instances by y
+    inst = sorted(
+        (y, x, remap[si]) for si, x, y in placements
+    )
+    iadt.encode(mq, 0)  # STRIPT init (negated by decoder): start at 0
+    prev_t = 0
+    first_s = None
+    k = 0
+    while k < len(inst):
+        t = inst[k][0]
+        iadt.encode(mq, t - prev_t)
+        prev_t = t
+        row = [p for p in inst if p[0] == t]
+        if first_s is None:
+            iafs.encode(mq, row[0][1])
+            first_s = row[0][1]
+        else:
+            iafs.encode(mq, row[0][1] - first_s)
+            first_s = row[0][1]
+        cur_s = first_s
+        for j, (_t, x, sid) in enumerate(row):
+            if j > 0:
+                iads.encode(mq, x - cur_s)
+                cur_s = x
+            iaid.encode(mq, sid)
+            cur_s += dsyms[sid].shape[1] - 1
+        iads.encode(mq, _ArithInt.OOB)
+        k += len(row)
+    tr_flags = 0x0000 | (1 << 4)  # SBHUFF=0, REFCORNER=TOPLEFT, strips=1
+    tr_body = struct.pack(">IIII", page_w, page_h, 0, 0) + b"\x00"
+    tr_body += struct.pack(">H", tr_flags)
+    tr_body += struct.pack(">I", len(inst))
+    tr_body += mq.flush()
+
+    # --- segments: page info (0), symbol dict (1), text region (2)
+    segs = bytearray()
+    pinfo = struct.pack(">IIII", page_w, page_h, 0, 0) + b"\x00" + b"\x00\x00"
+    segs += struct.pack(">IBB", 0, 48, 0) + b"\x01" + struct.pack(
+        ">I", len(pinfo)
+    ) + pinfo
+    segs += struct.pack(">IBB", 1, 0, 0) + b"\x01" + struct.pack(
+        ">I", len(sd_body)
+    ) + sd_body
+    # text region header: 1 referred segment (number 1), 1-byte numbers
+    segs += struct.pack(">IB", 2, 6) + bytes([0x20]) + bytes([1]) + b"\x01"
+    segs += struct.pack(">I", len(tr_body)) + tr_body
+    return bytes(segs)

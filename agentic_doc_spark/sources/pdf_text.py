@@ -38,7 +38,7 @@ PNG via functions/jpx.py).
 
 NOT a general PDF parser — no xref table parsing (objects are found by
 scanning, which also survives mild corruption), no encryption, no
-irreversible-9/7 or multi-tile JPX, no symbol/text-region JBIG2, no
+irreversible-9/7 or multi-tile JPX, no halftone/refinement JBIG2, no
 byte-aligned CCITT; anything it cannot read yields zero blocks and the caller degrades to the documented stub path. This
 boundary is explicit on purpose: the goal is unstubbing the common
 text-PDF case, not silently mis-reading hard ones.
@@ -634,9 +634,10 @@ def _image_payload(
             sample = 1 - sample
         return encode_png((sample * 255).astype(np.uint8))
     if b"/JBIG2Decode" in header:
-        # embedded generic-region JBIG2 (arithmetic, template 0) decodes
-        # via functions/jbig2.py; symbol/text/halftone regions and
-        # /JBIG2Globals-referencing streams stay surfaced gaps
+        # embedded JBIG2 (arithmetic generic regions AND symbol-coded
+        # text regions) decodes via functions/jbig2.py; halftone/
+        # refinement regions, Huffman variants and /JBIG2Globals-
+        # referencing streams stay surfaced gaps
         if b"/JBIG2Globals" in header:
             return None
         import numpy as np  # lazy: keeps the text path stdlib-only

@@ -807,3 +807,49 @@ def test_ccitt_g3_embedded_images():
         assert [p for p, _ in images] == [0], (i, params)
         out = decode_png(images[0][1])
         assert (out[:, :, 0] == (1 - bits) * 255).all(), (i, params)
+
+
+def test_jbig2_symbol_text_region_embedded():
+    # the symbol-coded shape real scanned PDFs use: arithmetic symbol
+    # dictionary + text region placing glyph instances; IAx integer and
+    # IAID coders round-trip through independent encode/decode walks
+    import numpy as np
+
+    from agentic_doc_spark.functions.bitmapfont import glyph
+    from agentic_doc_spark.functions.jbig2 import encode_embedded_text
+    from agentic_doc_spark.functions.png import decode_png
+    from agentic_doc_spark.sources.pdf_text import extract_pdf_images
+
+    syms = [glyph(c).astype(np.uint8) for c in "FAX"]
+    placements = []
+    x = 1
+    for i, ch in enumerate("FAXFAX"):
+        placements.append(("FAX".index(ch), x, 2 + (i % 3) * 9))
+        x += 6
+    w, h = x + 5, 30
+    payload = encode_embedded_text(w, h, syms, placements)
+    want = np.zeros((h, w), np.uint8)
+    for si, px, py in placements:
+        s = syms[si]
+        want[py : py + s.shape[0], px : px + s.shape[1]] |= s
+
+    pdf = (
+        b"%PDF-1.5\n"
+        + _stream_obj(
+            10,
+            b"/Subtype /Image /Filter /JBIG2Decode "
+            + b"/Width %d /Height %d /BitsPerComponent 1 "
+            % (w, h)
+            + b"/ColorSpace /DeviceGray",
+            payload,
+        )
+        + _obj(
+            11,
+            b"<< /Type /Page /Resources << /XObject << /Im0 10 0 R >> >> >>",
+        )
+        + b"%%EOF\n"
+    )
+    images = extract_pdf_images(pdf)
+    assert [p for p, _ in images] == [0]
+    out = decode_png(images[0][1])
+    assert (out[:, :, 0] == (1 - want) * 255).all()
