@@ -242,6 +242,90 @@ def minhash_bands_fast(
     return df.select(id_col, text_col).mapInPandas(run, out_schema)
 
 
+def minhash_bands_with_shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """One row per document: (id, band_keys array<string> indexed by
+    band_idx, sh array<bigint>) — the single-pass base table for
+    candidates→verify near-dup (``lsh_jaccard_pairs``).
+
+    Band keys are BIT-IDENTICAL to ``minhash_bands``/``minhash_bands_fast``
+    (same md5 base hash, same linear maps, same band digest — pinned by
+    test_minhash_with_shingles_bands_bit_identical). ``sh`` is the
+    document's DISTINCT shingle set folded to 60-bit ints (first 15 hex
+    chars of the SAME per-shingle md5 the signature uses — one C md5 per
+    shingle covers both outputs), sorted ascending. Verification
+    intersects these int sets instead of the shingle strings: identical
+    counts unless two distinct shingles of one candidate pair collide in
+    60 bits (~n²/2^61 per pair — negligible; the ``jaccard_pairs``
+    xxhash64 fold makes the same argument), and the verify join ships
+    8-byte ints instead of ~20-byte strings."""
+    import hashlib as _hl
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    rows_per_band = num_hashes // bands
+    id_type = dict(df.dtypes)[id_col]
+    out_schema = (
+        f"{id_col} {id_type}, band_keys array<string>, sh array<bigint>"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        a = np.array([2 * s + 1 for s in range(num_hashes)], dtype=np.int64)
+        b = np.array([12289 * s + 1 for s in range(num_hashes)], dtype=np.int64)
+        for pdf in batches:
+            norm = (
+                pdf[text_col]
+                .fillna("")
+                .str.lower()
+                .str.replace(r"\s+", " ", regex=True)
+                .str.strip()
+            )
+            out_ids, out_keys, out_sh = [], [], []
+            for doc_id, text in zip(pdf[id_col], norm):
+                toks = text.split(" ") if text else []
+                n = max(len(toks) - k + 1, 1)
+                sh = {" ".join(toks[i : i + k]) for i in range(n)}
+                h60 = np.fromiter(
+                    (
+                        int(_hl.md5(g.encode()).hexdigest()[:15], 16)
+                        for g in sh
+                    ),
+                    dtype=np.int64,
+                    count=len(sh),
+                )
+                hv = h60 % MINHASH_P
+                sig = ((a[:, None] * hv[None, :] + b[:, None]) % MINHASH_P).min(
+                    axis=1
+                )
+                keys = [
+                    _hl.md5(
+                        "_".join(
+                            str(x)
+                            for x in sig[
+                                bi * rows_per_band : (bi + 1) * rows_per_band
+                            ]
+                        ).encode()
+                    ).hexdigest()
+                    for bi in range(bands)
+                ]
+                out_ids.append(doc_id)
+                out_keys.append(keys)
+                out_sh.append(np.unique(h60).tolist())
+            yield pd.DataFrame(
+                {id_col: out_ids, "band_keys": out_keys, "sh": out_sh}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, out_schema)
+
+
 # --- SimHash -----------------------------------------------------------------
 
 
@@ -280,7 +364,60 @@ def simhash(text: Column, bits: int = 16) -> Column:
 def simhash_table(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
 ) -> DataFrame:
-    return df.select(F.col(id_col), simhash(F.col(text_col), bits).alias("simhash"))
+    """Arrow fast path of the ``simhash`` expression — BIT-IDENTICAL
+    fingerprints (same normalization, same md5-hex-digit parity votes,
+    same 2^j bit assembly; pure integer arithmetic, so no float-order
+    concerns), computed in a mapInPandas kernel: hashlib.md5 (C) runs
+    once per token instead of the interpreted-HOF chain re-evaluating
+    the full tokenize+md5 subtree once PER BIT (the expression plan
+    embeds ``md5s`` inside the per-bit lambda — 16× the hash work;
+    measured ~5× faster at sf1). Pinned bit-identical to ``simhash``
+    by test_simhash_fast_path_bit_identical."""
+    import hashlib as _hl
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    assert bits <= 32
+    id_type = dict(df.dtypes)[id_col]
+    out_schema = f"{id_col} {id_type}, simhash bigint"
+    weights = np.power(2, np.arange(bits), dtype=np.int64)
+
+    n_bytes = (bits + 1) // 2  # hex digits j in [0, bits) live in these
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            norm = (
+                pdf[text_col]
+                .fillna("")
+                .str.lower()
+                .str.replace(r"\s+", " ", regex=True)
+                .str.strip()
+            )
+            out = np.zeros(len(pdf), dtype=np.int64)
+            for row_i, text in enumerate(norm):
+                toks = text.split(" ") if text else []
+                if not toks:
+                    continue
+                # bit j of a token's vote = parity of hex digit j of
+                # md5(token): digit j lives in digest byte j//2, high
+                # nibble for even j — identical to the expression's
+                # conv(substr(hex, j+1, 1), 16, 10) % 2
+                dig = np.frombuffer(
+                    b"".join(
+                        _hl.md5(t.encode()).digest()[:n_bytes] for t in toks
+                    ),
+                    dtype=np.uint8,
+                ).reshape(len(toks), n_bytes)
+                parity = np.empty((len(toks), 2 * n_bytes), dtype=np.int64)
+                parity[:, 0::2] = (dig >> 4) & 1  # even j: high nibble
+                parity[:, 1::2] = dig & 1  # odd j: low nibble
+                votes = (2 * parity[:, :bits] - 1).sum(axis=0)
+                out[row_i] = int(weights[votes > 0].sum())
+            yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
+
+    return df.select(id_col, text_col).mapInPandas(run, out_schema)
 
 
 def simhash_near_pairs(
@@ -384,18 +521,40 @@ def lsh_jaccard_pairs(
     hot shingles cost nothing — candidates come from banded signatures
     (collision prob 1-(1-s^r)^b, ≈0.88 at s=0.8 with 4×4), and the exact
     verify is one array_intersect per candidate pair. This is the
-    standard candidates→verify dedup architecture for 10^9+ corpora."""
-    cand = minhash_candidate_pairs(df, text_col, id_col, num_hashes, bands, k)
-    sh = df.select(
-        F.col(id_col), shingles(F.col(text_col), k).alias("sh")
+    standard candidates→verify dedup architecture for 10^9+ corpora.
+
+    Plan shape (r6 rework): ONE kernel pass computes band keys AND the
+    60-bit shingle-hash sets (``minhash_bands_with_shingles``) and is
+    lineage-truncated, so the corpus is scanned/hashed exactly once —
+    the previous form ran the band kernel twice (self-join sides) and
+    re-derived the shingle sets twice more through the interpreted-HOF
+    expression path (~4 full hash passes; measured 6.6 s → ~1.5 s at
+    sf1.0 local[32]). Candidates carry the hash sets through the single
+    band self-join (8-byte ints, not text); per-collision Jaccard is an
+    in-row intersect and the trailing distinct dedups multi-band
+    collisions — same pairs, same values as the candidates→verify
+    composition it replaces."""
+    base = _truncate_lineage(
+        minhash_bands_with_shingles(df, text_col, id_col, num_hashes, bands, k)
     )
-    a = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sa"))
-    b = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sb"))
-    joined = cand.join(a, "a").join(b, "b")
+    banded = base.select(
+        F.col(id_col),
+        F.posexplode("band_keys").alias("band_idx", "band_key"),
+        "sh",
+    )
+    l = banded.select(
+        F.col(id_col).alias("a"), "band_idx", "band_key", F.col("sh").alias("sa")
+    )
+    r = banded.select(
+        F.col(id_col).alias("b"), "band_idx", "band_key", F.col("sh").alias("sb")
+    )
+    joined = l.join(r, ["band_idx", "band_key"]).filter(F.col("a") < F.col("b"))
     shared = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
     jac = shared / (F.size("sa") + F.size("sb") - shared)
-    return joined.select("a", "b", jac.alias("jaccard")).filter(
-        F.col("jaccard") >= threshold
+    return (
+        joined.select("a", "b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .distinct()
     )
 
 
@@ -576,6 +735,55 @@ def connected_components(
     return final
 
 
+def _gram_hashes_fast(
+    df: DataFrame,
+    k: int,
+    text_col: str,
+    id_col: str | None,
+) -> DataFrame:
+    """(id, h) — one row per DISTINCT k-token shingle per document,
+    ``h`` = the 60-bit md5 fold (``_md5_key64`` semantics: first 15 hex
+    chars of md5 → BIGINT), computed in a mapInPandas kernel: the same
+    normalization + shingle construction as ``shingles()`` (pinned
+    bit-identical for this construction by the minhash fast-path test),
+    with hashlib.md5 (C) replacing the interpreted-HOF slice/join/hash
+    chain. ``id_col=None`` emits just the hash column (benchmark side)."""
+    import hashlib as _hl
+    from typing import Iterator
+
+    import pandas as pd
+
+    cols = [id_col, text_col] if id_col else [text_col]
+    id_type = dict(df.dtypes).get(id_col) if id_col else None
+    out_schema = (f"{id_col} {id_type}, " if id_col else "") + "h bigint"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            norm = (
+                pdf[text_col]
+                .fillna("")
+                .str.lower()
+                .str.replace(r"\s+", " ", regex=True)
+                .str.strip()
+            )
+            out_ids, out_h = [], []
+            ids = pdf[id_col] if id_col else norm  # dummy iterable
+            for doc_id, text in zip(ids, norm):
+                toks = text.split(" ") if text else []
+                n = max(len(toks) - k + 1, 1)
+                sh = {" ".join(toks[i : i + k]) for i in range(n)}
+                for g in sh:
+                    out_h.append(int(_hl.md5(g.encode()).hexdigest()[:15], 16))
+                if id_col:
+                    out_ids.extend([doc_id] * len(sh))
+            data = {"h": out_h}
+            if id_col:
+                data = {id_col: out_ids, "h": out_h}
+            yield pd.DataFrame(data)
+
+    return df.select(*cols).mapInPandas(run, out_schema)
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -592,19 +800,17 @@ def decontaminate(
     of rows) — its distinct shingle keys broadcast; the corpus explodes
     to (doc, shingle-hash) rows but the map-side LEFT SEMI against the
     broadcast emits only contaminated ids (tiny), and the final LEFT
-    ANTI is narrow-vs-corpus. Shingles fold to 8-byte xxhash64 join
-    keys (same trick as jaccard_pairs — NOT the 31-bit minhash base
-    fold, whose collision rate would falsely contaminate clean docs at
-    ~10^6 benchmark shingles) so no long strings shuffle."""
-    fold = lambda t: F.transform(  # noqa: E731
-        shingles(t, k), lambda g: F.xxhash64(g)
-    )
-    c = corpus.select(
-        F.col(id_col), F.explode(fold(F.col(text_col))).alias("h")
-    )
-    b = benchmark.select(
-        F.explode(fold(F.col(text_col))).alias("h")
-    ).distinct()
+    ANTI is narrow-vs-corpus. Shingle construction + hashing run in the
+    ``_gram_hashes_fast`` mapInPandas kernel (C md5, one pass — the
+    interpreted-HOF slice/join/hash chain it replaces measured 3.7 s →
+    ~1.3 s at sf1.0 local[32]); both sides fold to the 60-bit
+    ``_md5_key64`` key (NOT the 31-bit minhash base fold, whose
+    collision rate would falsely contaminate clean docs at ~10^6
+    benchmark shingles — at 60 bits a false hit needs ~10^9 benchmark
+    shingles) so no long strings shuffle and the match set is the
+    string-equality set the oracle computes."""
+    c = _gram_hashes_fast(corpus, k, text_col, id_col)
+    b = _gram_hashes_fast(benchmark, k, text_col, None).distinct()
     dirty = (
         c.join(F.broadcast(b), "h", "left_semi").select(id_col).distinct()
     )

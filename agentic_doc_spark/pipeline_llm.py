@@ -129,7 +129,20 @@ def _dedup_stage(
     dedup, LSH near-dedup. This is the natural durable-checkpoint
     boundary for the resumable builder: everything before it is the bulk
     of the compute (iterative CC included), everything after is cheap
-    filters + one packing exchange."""
+    filters + one packing exchange.
+
+    Lineage is TRUNCATED (reliable checkpoint on clusters,
+    localCheckpoint locally — dedup._truncate_lineage) after the
+    profile+gates projection and again after the exact-dedup semi-join:
+    every downstream stage references its input from BOTH sides of a
+    join/anti-join (dedup's canon agg + semi-join left, decontaminate's
+    shingle explode + anti-join left), so without the cuts Catalyst
+    re-evaluates the interpreted-HOF profile subtree once per branch —
+    the composed plan paid the profile ~4× and the fingerprint pass
+    2× (measured: training_set 18.7 s → ~7 s at sf1.0 local[32]).
+    Values are untouched — materialization only."""
+    from agentic_doc_spark.operators.dedup import _truncate_lineage
+
     out = text_profile(
         df.select(F.col(id_col), F.col(text_col)), text_col
     )
@@ -139,12 +152,13 @@ def _dedup_stage(
         out = out.filter(repetition_ratio(F.col(text_col)) <= max_rep_ratio)
     if max_top_ngram is not None:
         out = out.filter(top_ngram_fraction(F.col(text_col)) <= max_top_ngram)
+    out = _truncate_lineage(out)
 
     # exact dedup: keep each fingerprint's canonical (min-id) row
     canon = dedup_exact(out, text_col, id_col).filter(
         F.col("is_canonical")
     ).select(id_col)
-    out = out.join(canon, id_col, "left_semi")
+    out = _truncate_lineage(out.join(canon, id_col, "left_semi"))
 
     if near_dup_threshold is not None:
         pairs = lsh_jaccard_pairs(

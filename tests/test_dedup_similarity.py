@@ -62,6 +62,63 @@ def test_minhash_fast_path_bit_identical(spark):
     assert a == b
 
 
+def test_minhash_with_shingles_bands_bit_identical(spark):
+    """minhash_bands_with_shingles (the lsh_jaccard_pairs base kernel)
+    emits the SAME band keys as minhash_bands, and its 60-bit shingle
+    sets reproduce the exact Jaccard the string-shingle path computes."""
+    from agentic_doc_spark.operators.dedup import (
+        minhash_bands,
+        minhash_bands_with_shingles,
+        shingles,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ws = minhash_bands_with_shingles(docs)
+    got = sorted(
+        (r["doc_id"], bi, key)
+        for r in ws.collect()
+        for bi, key in enumerate(r["band_keys"])
+    )
+    ref = sorted(map(tuple, minhash_bands(docs).collect()))
+    assert got == ref
+    # distinct shingle-set sizes match the string path (no collisions)
+    sizes = {
+        r["doc_id"]: len(r["sh"]) for r in ws.collect()
+    }
+    ref_sizes = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", F.size(shingles(F.col("text"))).alias("n")
+        ).collect()
+    }
+    assert sizes == ref_sizes
+
+
+def test_simhash_fast_path_bit_identical(spark):
+    """simhash_table's mapInPandas kernel vs the pure-expression
+    ``simhash`` fold: same fingerprints on real data + edge cases
+    (empty text, whitespace-only, single token, 1-char tokens)."""
+    from agentic_doc_spark.operators.dedup import simhash
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    edge = spark.createDataFrame(
+        [
+            (9000001, ""),
+            (9000002, "   "),
+            (9000003, "solo"),
+            (9000004, "a b c A  B\tC\n"),
+        ],
+        ["doc_id", "text"],
+    )
+    corpus = docs.select("doc_id", "text").unionByName(edge)
+    expr = corpus.select(
+        "doc_id", simhash(F.col("text"), 16).alias("simhash")
+    )
+    a = sorted(map(tuple, expr.collect()))
+    b = sorted(map(tuple, simhash_table(corpus).collect()))
+    assert a == b
+
+
 def test_simhash_values_and_pairs(docs, spark):
     t = {r["doc_id"]: r["simhash"] for r in simhash_table(docs).collect()}
     assert t["d1"] == t["d2"] == t["d3"]
