@@ -132,19 +132,23 @@ def _dedup_stage(
     filters + one packing exchange.
 
     Lineage is TRUNCATED (reliable checkpoint on clusters,
-    localCheckpoint locally — dedup._truncate_lineage) after the
-    profile+gates projection and again after the exact-dedup semi-join:
-    every downstream stage references its input from BOTH sides of a
-    join/anti-join (dedup's canon agg + semi-join left, decontaminate's
-    shingle explode + anti-join left), so without the cuts Catalyst
-    re-evaluates the interpreted-HOF profile subtree once per branch —
-    the composed plan paid the profile ~4× and the fingerprint pass
-    2× (measured: training_set 18.7 s → ~7 s at sf1.0 local[32]).
-    Values are untouched — materialization only."""
+    localCheckpoint locally — dedup._truncate_lineage) right after the
+    profile projection — BEFORE the quality gate — and again after the
+    exact-dedup semi-join. Two distinct wins, values untouched:
+    (1) a filter on the computed ``quality`` column would otherwise be
+    pushed BELOW text_profile's staged projections, inlining the whole
+    marker-ratio subtree into the predicate and resurrecting the ~8×
+    re-evaluation the staging exists to prevent (measured: the
+    profile+filter stage alone was ~7.7 s at sf1.0 local[32], vs
+    0.85 s for the unfiltered profile); (2) every downstream stage
+    references its input from BOTH sides of a join/anti-join (dedup's
+    canon agg + semi-join left, decontaminate's shingle explode +
+    anti-join left), so without the cuts the composed plan paid the
+    profile ~4× more (training_set 18.7 s → ~4 s total)."""
     from agentic_doc_spark.operators.dedup import _truncate_lineage
 
-    out = text_profile(
-        df.select(F.col(id_col), F.col(text_col)), text_col
+    out = _truncate_lineage(
+        text_profile(df.select(F.col(id_col), F.col(text_col)), text_col)
     )
     if min_quality is not None:
         out = out.filter(F.col("quality") >= min_quality)
@@ -152,7 +156,6 @@ def _dedup_stage(
         out = out.filter(repetition_ratio(F.col(text_col)) <= max_rep_ratio)
     if max_top_ngram is not None:
         out = out.filter(top_ngram_fraction(F.col(text_col)) <= max_top_ngram)
-    out = _truncate_lineage(out)
 
     # exact dedup: keep each fingerprint's canonical (min-id) row
     canon = dedup_exact(out, text_col, id_col).filter(
