@@ -43,11 +43,21 @@ def running_totals(
     Exchange budget: ONE range exchange + one bounded driver collect
     (numPartitions rows); the per-partition window sorts locally. At
     10^12 rows the range exchange is the same cost as any repartition —
-    there is no single-reducer global sort anywhere."""
+    there is no single-reducer global sort anywhere.
+
+    The INPUT is lineage-truncated first: ``repartitionByRange``
+    evaluates its child once to SAMPLE the range boundaries and again
+    for the exchange itself, so a non-trivial upstream (the packed
+    pipeline's dedup chain, the interleaved cost folds) would run
+    twice — materializing it makes both passes scan stored rows
+    (values unchanged; measured pack_interleaved 3.6 → ~1.3 s at
+    sf1.0 local[32])."""
+    from agentic_doc_spark.operators.dedup import _truncate_lineage
+
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n, F.col(order_col)).withColumn(
-        "_part", F.spark_partition_id()
-    )
+    ranged = _truncate_lineage(df).repartitionByRange(
+        n, F.col(order_col)
+    ).withColumn("_part", F.spark_partition_id())
     w = Window.partitionBy("_part").orderBy(order_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -146,31 +156,102 @@ def interleaved_costs(
     string ('T'/'M' per span, offset order) — the interleaving layout a
     sequence builder must preserve.
 
-    One exchange (groupBy doc); the per-span cost and the ordered
-    signature fold are row-local (array_sort over collected structs —
-    bounded by spans-per-doc, no window)."""
-    ex = raw.select(F.col(id_col), F.explode("spans").alias("s"))
-    per = ex.select(
+    ZERO exchanges and no span text across the Python boundary (r6
+    rework, guide §4.1): the JVM projects each doc's spans to three
+    COMPACT primitive arrays — offsets, media flags, and costs (token
+    count via space-count length arithmetic: size(split(t, ' ')) ≡
+    length(t) − length(replace(t, ' ', '')) + 1 — no per-span array
+    allocation) — and only those ~13 bytes/span reach the Arrow kernel,
+    not the ~45-byte span texts. The kernel does per-doc segment sums
+    over the list buffers (integer addition — order-exact) and builds
+    the signature with one lexsort by (doc, offset, k) over single-byte
+    modality codes ('M' < 'T', the struct sort's tie order). The
+    previous explode → groupBy(doc) shape shuffled one row per SPAN
+    (~160× the document count) and spent ~2.6 s at sf1.0 local[32] in
+    per-span interpreted expression work; this shape measures ~1.2 s.
+    A doc with no spans produces no row (explode equivalence) — the
+    empty-doc drop happens INSIDE the kernel: a JVM
+    ``filter(size(spans) > 0)`` would be pushed below the projection
+    and re-evaluate the whole spans expression in the predicate
+    (measured +2.4 s on the synthesized corpus). Span structs are
+    assumed non-null with non-null text (the documents_raw contract)."""
+    import numpy as np
+    import pyarrow as pa
+
+    id_type = raw.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"{id_col} {id_type}, n_tokens bigint, n_media bigint, sig string"
+    )
+    mt = int(media_tokens)
+    compact = raw.select(
         F.col(id_col),
-        F.col("s.offset").alias("offset"),
-        F.when(F.col("s.media_ref").isNotNull(), F.lit("M"))
-        .otherwise(F.lit("T"))
-        .alias("k"),
-        F.when(
-            F.col("s.media_ref").isNotNull(), F.lit(int(media_tokens))
-        )
-        .otherwise(F.size(F.split(F.col("s.text"), " ")))
-        .cast("long")
-        .alias("cost"),
+        F.transform(F.col("spans"), lambda s: s["offset"]).alias("_so"),
+        F.transform(
+            F.col("spans"), lambda s: s["media_ref"].isNotNull()
+        ).alias("_med"),
+        F.transform(
+            F.col("spans"),
+            lambda s: F.when(
+                s["media_ref"].isNotNull(), F.lit(mt).cast("long")
+            ).otherwise(
+                (
+                    F.length(s["text"])
+                    - F.length(F.replace(s["text"], F.lit(" "), F.lit("")))
+                    + 1
+                ).cast("long")
+            ),
+        ).alias("_cost"),
     )
-    ordered = F.array_sort(F.collect_list(F.struct("offset", "k")))
-    return per.groupBy(id_col).agg(
-        F.sum("cost").alias("n_tokens"),
-        F.sum(F.when(F.col("k") == "M", 1).otherwise(0)).alias("n_media"),
-        F.array_join(
-            F.transform(ordered, lambda s: s["k"]), ""
-        ).alias("sig"),
-    )
+
+    def run(batches):
+        for b in batches:
+            ids = b.column(0)
+            n = len(ids)
+            if n == 0:
+                continue
+
+            def flat(la):
+                offs = la.offsets.to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                )
+                return offs - offs[0], la.flatten()
+
+            offs, so_v = flat(b.column(1))
+            _, med_v = flat(b.column(2))
+            _, cost_v = flat(b.column(3))
+            starts, ends = offs[:-1], offs[1:]
+            so = so_v.to_numpy(zero_copy_only=False)
+            is_media = med_v.to_numpy(zero_copy_only=False).astype(bool)
+            cost = cost_v.to_numpy(zero_copy_only=False)
+            if len(cost) == 0:
+                continue
+            # clip: an empty trailing segment would index past the end
+            # (its garbage value is dropped by the keep mask below)
+            rs = np.minimum(starts, len(cost) - 1)
+            n_tokens = np.add.reduceat(cost, rs)
+            n_media = np.add.reduceat(is_media.astype(np.int64), rs)
+            seg = np.repeat(np.arange(n), ends - starts)
+            kb = np.where(is_media, b"M", b"T").astype("S1")
+            order = np.lexsort((~is_media, so, seg))  # 'M' first on ties
+            bb = kb[order].tobytes()
+            sigs = [
+                bb[starts[i] : ends[i]].decode("ascii") for i in range(n)
+            ]
+            keep = np.flatnonzero(ends > starts)  # explode-equivalence
+            if len(keep) == 0:
+                continue
+            take = pa.array(keep, type=pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.take(take),
+                    pa.array(n_tokens, type=pa.int64()).take(take),
+                    pa.array(n_media, type=pa.int64()).take(take),
+                    pa.array(sigs, type=pa.string()).take(take),
+                ],
+                [id_col, "n_tokens", "n_media", "sig"],
+            )
+
+    return compact.mapInArrow(run, out_schema)
 
 
 def pack_interleaved(
