@@ -597,13 +597,12 @@ def q_resume_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from agentic_doc_spark.functions.textstats import token_count_bpe, token_count_ws
+    # Arrow fast path — bit-identical counts to the token_count_ws /
+    # token_count_bpe expressions (pinned by
+    # test_token_counts_fast_matches_expressions)
+    from agentic_doc_spark.functions.textstats import token_counts_fast
 
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        token_count_ws(F.col("text")).alias("n_ws"),
-        token_count_bpe(F.col("text")).alias("n_bpe"),
-    )
+    return token_counts_fast(_docs(spark, sf_dir))
 
 
 def q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:

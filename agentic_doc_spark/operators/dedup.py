@@ -879,29 +879,63 @@ def duplicate_gram_spans(
     covered exactly (its k-windows chain into one merged interval);
     shorter overlaps are not flagged.
 
-    Plan: posexplode token windows → ONE count-distinct aggregation on
-    the 60-bit gram fold (map-side partial agg; hot stop-phrase grams
-    cost a combine, not a skewed reduce) → LEFT SEMI join back (AQE
-    broadcasts the hot-gram set when small) → per-doc interval merge
-    via running-max windows PARTITIONED by doc (no global sort)."""
-    toks = docs.select(
-        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("toks")
-    ).filter(F.size("toks") >= k)
-    grams = toks.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.lit(0), F.size("toks") - k)).alias("p"),
-        "toks",
-    ).select(
-        F.col(id_col),
-        "p",
-        _md5_key64(
-            F.array_join(F.slice("toks", F.col("p") + 1, k), "\x1f")
-        ).alias("g"),
+    Plan: gram keys + positions from ONE lineage-truncated mapInPandas
+    kernel pass (r6 rework: the previous posexplode + interpreted
+    slice/join/md5 chain was re-evaluated by BOTH consumers below —
+    the aggregation side and the semi-join side — so the corpus was
+    tokenized and hashed twice; the kernel computes the identical
+    60-bit ``_md5_key64`` values with C md5, Java-trim/split semantics
+    mirrored) → ONE min/max-id aggregation on the gram fold (min≠max ⟺
+    cross-document; map-side partial agg — cheaper than the
+    count-distinct form's distinct-expansion phase; hot stop-phrase
+    grams cost a combine, not a skewed reduce) → LEFT SEMI join back
+    (AQE broadcasts the hot-gram set when small) → per-doc interval
+    merge via running-max windows PARTITIONED by doc (no global
+    sort)."""
+    import hashlib as _hl
+    import re as _re
+    from typing import Iterator
+
+    import pandas as pd
+
+    id_type = dict(docs.dtypes)[id_col]
+    out_schema = f"{id_col} {id_type}, p int, g bigint"
+    ws = _re.compile(r"\s+", _re.ASCII)  # Java \s == ASCII \s
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_p, out_g = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue  # split(trim(null)) → size -1, filtered
+                # F.trim strips 0x20 only; split keeps leading/trailing
+                # empty tokens exactly as Java split(limit=-1)
+                toks = ws.split(text.strip(" "))
+                n = len(toks) - k
+                if n < 0:
+                    continue
+                for p in range(n + 1):
+                    gram = "\x1f".join(toks[p : p + k])
+                    out_ids.append(doc_id)
+                    out_p.append(p)
+                    out_g.append(
+                        int(_hl.md5(gram.encode()).hexdigest()[:15], 16)
+                    )
+            yield pd.DataFrame(
+                {id_col: out_ids, "p": out_p, "g": out_g}
+            )
+
+    grams = _truncate_lineage(
+        docs.select(id_col, text_col).mapInPandas(run, out_schema)
     )
+    # "occurs in more than one document" ⟺ min(id) ≠ max(id) — the
+    # count_distinct form planned an extra distinct-expansion phase
+    # over the ~all-unique gram stream; min/max partial-aggregate
+    # map-side for the same hot set (ids are non-null)
     hot = (
         grams.groupBy("g")
-        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
-        .filter(F.col("nd") > 1)
+        .agg(F.min(id_col).alias("_lo"), F.max(id_col).alias("_hi"))
+        .filter(F.col("_lo") != F.col("_hi"))
         .select("g")
     )
     dup = grams.join(hot, "g", "left_semi").select(F.col(id_col), "p")

@@ -28,6 +28,45 @@ def test_token_counts(spark):
     assert _one(spark, "hello, world!", token_count_bpe) == 4  # hello , world !
 
 
+def test_token_counts_fast_matches_expressions(spark):
+    """token_counts_fast kernel vs the token_count_ws/bpe expressions:
+    identical counts on real data + whitespace/unicode/null edges."""
+    from pyspark.sql import functions as F
+
+    from agentic_doc_spark.functions.textstats import (
+        token_count_bpe,
+        token_count_ws,
+        token_counts_fast,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text").limit(200)
+    edge = spark.createDataFrame(
+        [
+            (9000001, ""),
+            (9000002, " \t\n "),
+            (9000003, "hello, wörld! a\vb c\fd"),
+            (9000004, None),
+            (9000005, "x" * 5 + "  !!  123abc.def"),
+        ],
+        "doc_id long, text string",
+    )
+    corpus = docs.unionByName(edge)
+    ref = sorted(
+        map(
+            tuple,
+            corpus.select(
+                "doc_id",
+                token_count_ws(F.col("text")).alias("n_ws"),
+                token_count_bpe(F.col("text")).alias("n_bpe"),
+            ).collect(),
+        )
+    )
+    got = sorted(map(tuple, token_counts_fast(corpus).collect()))
+    assert got == ref
+
+
 def test_punct_ratio(spark):
     assert _one(spark, "abcd", punct_ratio) == 0.0
     assert _one(spark, "a.b.", punct_ratio) == 0.5
