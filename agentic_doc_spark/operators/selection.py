@@ -37,17 +37,20 @@ def _bucket_counts(
     id_col: str,
     n_buckets: int,
 ) -> DataFrame:
-    """Per-(doc, bucket) word counts via an Arrow-batched kernel:
+    """Per-document bucketed word counts via an Arrow-batched kernel:
     hashlib-C md5 (bit-identical to the ``_bucket`` expression — same
     hex fold, same utf-8 bytes, memoised per distinct word) and
-    integer counting inside the row. Replaces the explode → expression
-    md5 per token → partial-agg shuffle shape: counts complete within
-    each document, so NO shuffle is needed to produce them, and the
-    corpus-token-scale JVM MessageDigest work (which anti-scales under
-    high thread counts — see CLAUDE.md perf rules) disappears.
-    Integer-only, so there is no float-parity surface."""
+    integer counting inside the row. One OUTPUT ROW PER DOCUMENT with
+    the distinct buckets and their counts as parallel arrays sorted by
+    bucket ascending — the canonical term order the weighted-sum fold
+    needs, so the consumer never shuffles to re-group or re-sort.
+    Replaces the explode → expression md5 per token → partial-agg
+    shuffle shape. Integer-only, so there is no float-parity surface."""
     id_type = docs.schema[id_col].dataType.simpleString()
-    schema = f"{id_col} {id_type}, _is_t boolean, bucket long, c long"
+    schema = (
+        f"{id_col} {id_type}, _is_t boolean,"
+        " buckets array<bigint>, counts array<bigint>"
+    )
 
     def kernel(batches):
         import hashlib
@@ -72,15 +75,17 @@ def _bucket_counts(
             for i, t, tgt in zip(
                 pdf[id_col], pdf[text_col], pdf[target_col]
             ):
-                for bk, c in Counter(
-                    b(w) for w in (t or "").split(" ")
-                ).items():
-                    ids.append(i)
-                    ts.append(bool(tgt))
-                    bs.append(bk)
-                    cs.append(c)
+                cnt = sorted(
+                    Counter(
+                        b(w) for w in (t or "").split(" ")
+                    ).items()
+                )
+                ids.append(i)
+                ts.append(bool(tgt))
+                bs.append([bk for bk, _ in cnt])
+                cs.append([c for _, c in cnt])
             yield pd.DataFrame(
-                {id_col: ids, "_is_t": ts, "bucket": bs, "c": cs}
+                {id_col: ids, "_is_t": ts, "buckets": bs, "counts": cs}
             )
 
     return docs.select(id_col, text_col, target_col).mapInPandas(
@@ -104,8 +109,24 @@ def dsir_weights(
     add-``alpha`` smoothing, summed in canonical bucket order and
     rounded to 6 dp. Positive weight ⇒ more target-like than the pool.
     """
-    per = _bucket_counts(docs, target_col, text_col, id_col, n_buckets)
-    stats = per.groupBy("bucket").agg(
+    from agentic_doc_spark.operators.dedup import _truncate_lineage
+
+    # materialize the kernel output ONCE: the ratio-table training
+    # collect below and the final weighted-sum plan both consume it —
+    # without the cut the corpus is re-tokenized and re-hashed for
+    # each (store-vs-recompute, same as the packing/LSH boundaries)
+    per = _truncate_lineage(
+        _bucket_counts(docs, target_col, text_col, id_col, n_buckets)
+    )
+    exploded = per.select(
+        "_is_t",
+        F.explode(F.arrays_zip("buckets", "counts")).alias("e"),
+    ).select(
+        "_is_t",
+        F.col("e.buckets").alias("bucket"),
+        F.col("e.counts").alias("c"),
+    )
+    stats = exploded.groupBy("bucket").agg(
         F.sum(F.when(F.col("_is_t"), F.col("c")).otherwise(0)).alias("t_b"),
         F.sum("c").alias("r_b"),
     )
@@ -138,23 +159,20 @@ def dsir_weights(
             for x in (r["bucket"], r["lam"])
         ]
     )
-    terms = per.select(
-        id_col,
-        "bucket",
-        (F.col("c") * F.coalesce(lam_map[F.col("bucket")], F.lit(0.0))).alias(
-            "term"
-        ),
+    # the kernel emits buckets ascending, so the in-row fold already
+    # sums terms in the canonical bucket order — no groupBy, no
+    # per-doc re-sort (the previous shape shuffled one row per
+    # (doc, bucket) and re-grouped them here)
+    terms = F.zip_with(
+        F.col("buckets"),
+        F.col("counts"),
+        lambda bk, c: c * F.coalesce(lam_map[bk], F.lit(0.0)),
     )
-    ordered = F.array_sort(F.collect_list(F.struct("bucket", "term")))
-    return terms.groupBy(id_col).agg(
+    return per.select(
+        F.col(id_col),
         F.round(
-            F.aggregate(
-                F.transform(ordered, lambda s: s["term"]),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            6,
-        ).alias("weight")
+            F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("weight"),
     )
 
 

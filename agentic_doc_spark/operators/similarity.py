@@ -169,17 +169,32 @@ def brute_force_topk(
     Self-matches excluded. Queries are broadcast — scoring is a map-side
     nested loop over corpus partitions, then per-partition top-k
     selection (zero shuffle) and one bounded merge of ≤ k × partitions
-    candidates per query (``_topk_per_group``)."""
+    candidates per query (``_topk_per_group``). Norms are STAGED once
+    per side before the cross join (the exact ``_norm`` fold doubles),
+    so each pair pays one dot fold instead of dot + 2 norm folds —
+    bit-identical cos via the same try_divide(dot, qn·cn) op order."""
+    from agentic_doc_spark.operators.dedup import _dot
+
     q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-        )
+        queries.selectExpr(
+            f"`{id_col}` AS query_id",
+            f"`{vec_col}` AS qv",
+            f"{_norm_sql(f'`{vec_col}`')} AS __qn",
+        ).selectExpr("query_id", "qv", "__qn AS qn")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = corpus.selectExpr(
+        f"`{id_col}` AS neighbor_id",
+        f"`{vec_col}` AS cv",
+        f"{_norm_sql(f'`{vec_col}`')} AS __cn",
+    ).selectExpr("neighbor_id", "cv", "__cn AS cn")
     scored = c.crossJoin(q).filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = scored.select(
-        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos")
+    cos = F.coalesce(
+        F.try_divide(
+            _dot(F.col("qv"), F.col("cv")), F.col("qn") * F.col("cn")
+        ),
+        F.lit(0.0),
     )
+    scored = scored.select("query_id", "neighbor_id", cos.alias("cos"))
     return _topk_per_group(scored, k, "cos", ascending=False)
 
 
