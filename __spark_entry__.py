@@ -800,9 +800,11 @@ def q_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quality_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from agentic_doc_spark.functions.textstats import text_profile
+    # Arrow fast path — bit-identical to text_profile (pinned by
+    # test_text_profile_fast_matches_expression)
+    from agentic_doc_spark.functions.textstats import text_profile_fast
 
-    return text_profile(_docs(spark, sf_dir)).select(
+    return text_profile_fast(_docs(spark, sf_dir)).select(
         "doc_id", "pred_lang", "quality"
     )
 

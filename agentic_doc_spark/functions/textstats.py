@@ -204,6 +204,99 @@ def text_profile(df, text_col: str = "text"):
     )
 
 
+def text_profile_fast(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Arrow fast path of ``text_profile`` — BIT-IDENTICAL
+    (id, text, pred_lang, quality) rows (pinned by
+    test_text_profile_fast_matches_expression), computed in a
+    mapInPandas kernel: one tokenize pass per document feeds every
+    marker ratio (Python doubles ARE IEEE-754 doubles running the same
+    hits/size divisions, comparisons and 0.3/0.2-weighted sum in the
+    same order; rounding via the engine's HALF_UP rule), regexes
+    compile with re.ASCII so \\s matches Java's. The expression form
+    ran ~10 interpreted HOF/regexp subtrees per row."""
+    import re as _re
+    from typing import Iterator
+
+    import pandas as pd
+
+    from agentic_doc_spark.operators.similarity import _spark_round6
+
+    ws_re = _re.compile(r"\s+", _re.ASCII)
+    cjk_re = _re.compile(CJK_RE)
+    punct_re = _re.compile(r"[a-zA-Z0-9\s]", _re.ASCII)
+    markers = {k: frozenset(v) for k, v in LANG_MARKERS.items()}
+    id_type = dict(df.dtypes)[id_col]
+    out_schema = (
+        f"{id_col} {id_type}, {text_col} string,"
+        " pred_lang string, quality double"
+    )
+
+    def profile(t):
+        if t is None:
+            # null text: every when() condition is NULL → otherwise
+            # branch: len_ok 0, punct_ratio 0.0 (< 0.2 → punct_ok 1),
+            # stop_ok 0, wl_ok 0 → quality 0.2, pred_lang 'und'
+            return "und", _spark_round6(0.3 * 0.0 + 0.2 * 1.0 + 0.3 * 0.0 + 0.2 * 0.0)
+        toks = [w for w in ws_re.split(t.lower()) if w != ""]
+        nw = len(toks)
+        r = {}
+        for lang, mset in markers.items():
+            hits = sum(1 for w in toks if w in mset)
+            r[lang] = (hits / nw) if nw > 0 else 0.0
+        n = len(t)
+        cjk = (
+            (n - len(cjk_re.sub("", t))) / n if n > 0 else 0.0
+        )
+        # decision chain — identical comparisons on identical doubles
+        if cjk > CJK_THRESHOLD:
+            pred = "zh"
+        elif (
+            r["en"] >= r["es"] and r["en"] >= r["fr"] and r["en"] >= r["de"]
+            and r["en"] > 0
+        ):
+            pred = "en"
+        elif r["es"] >= r["fr"] and r["es"] >= r["de"] and r["es"] > 0:
+            pred = "es"
+        elif r["fr"] >= r["de"] and r["fr"] > 0:
+            pred = "fr"
+        elif r["de"] > 0:
+            pred = "de"
+        else:
+            pred = "und"
+        len_ok = 1.0 if (n >= 50 and n <= 20000) else 0.0
+        p = len(punct_re.sub("", t))
+        punct_ratio = (p / n) if n > 0 else 0.0
+        punct_ok = 1.0 if punct_ratio < 0.2 else 0.0
+        stop_ok = (
+            1.0
+            if (max(r.values()) > 0.02 or cjk > CJK_THRESHOLD)
+            else 0.0
+        )
+        total = sum(len(w) for w in toks)
+        wl = (total / nw) if nw > 0 else 0.0
+        wl_ok = 1.0 if (wl >= 2.0 and wl <= 12.0) else 0.0
+        quality = 0.3 * len_ok + 0.2 * punct_ok + 0.3 * stop_ok + 0.2 * wl_ok
+        return pred, _spark_round6(quality)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            langs, quals = [], []
+            for t in pdf[text_col]:
+                pred, q = profile(t)
+                langs.append(pred)
+                quals.append(q)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    text_col: pdf[text_col],
+                    "pred_lang": langs,
+                    "quality": quals,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, out_schema)
+
+
 def normalize_text(text: Column) -> Column:
     """Canonical form for fingerprinting: lowercase, collapse whitespace."""
     return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))

@@ -35,11 +35,25 @@ from agentic_doc_spark.functions.textstats import normalize_text, words
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: keep the smallest id per normalized-text hash.
-    One shuffle (map-side partial min). Returns (id, fingerprint, is_canonical)."""
+    ONE scan + ONE shuffle (r6 rework): groupBy(fingerprint) collects
+    each group's ids alongside the min — the previous agg + join-back
+    shape scanned and re-hashed the corpus on both join sides. Rows
+    with a NULL fingerprint (null text) are dropped, as the inner join
+    did. Per-group memory is bounded by the duplicate-cluster size
+    (the join form funneled the same hot fingerprint through one
+    reduce task anyway). Returns (id, fingerprint, is_canonical,
+    canonical_id)."""
     h = F.md5(normalize_text(F.col(text_col))).alias("fingerprint")
-    withf = df.select(F.col(id_col), h)
-    canon = withf.groupBy("fingerprint").agg(F.min(id_col).alias("canonical_id"))
-    return withf.join(canon, "fingerprint").select(
+    withf = df.select(F.col(id_col), h).filter(
+        F.col("fingerprint").isNotNull()
+    )
+    agg = withf.groupBy("fingerprint").agg(
+        F.min(id_col).alias("canonical_id"),
+        F.collect_list(id_col).alias("_ids"),
+    )
+    return agg.select(
+        "fingerprint", "canonical_id", F.explode("_ids").alias(id_col)
+    ).select(
         id_col,
         "fingerprint",
         (F.col(id_col) == F.col("canonical_id")).alias("is_canonical"),

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from agentic_doc_spark.functions.textstats import (
     repetition_ratio,
     scrub_pii,
-    text_profile,
+    text_profile_fast,
     token_count_ws,
     top_ngram_fraction,
 )
@@ -148,7 +148,9 @@ def _dedup_stage(
     from agentic_doc_spark.operators.dedup import _truncate_lineage
 
     out = _truncate_lineage(
-        text_profile(df.select(F.col(id_col), F.col(text_col)), text_col)
+        text_profile_fast(
+            df.select(F.col(id_col), F.col(text_col)), text_col, id_col
+        )
     )
     if min_quality is not None:
         out = out.filter(F.col("quality") >= min_quality)

@@ -28,6 +28,53 @@ def test_token_counts(spark):
     assert _one(spark, "hello, world!", token_count_bpe) == 4  # hello , world !
 
 
+def test_text_profile_fast_matches_expression(spark):
+    """text_profile_fast kernel vs the staged-expression text_profile:
+    identical (pred_lang, quality) on real data + edge texts (empty,
+    whitespace-only, CJK-heavy, punct-heavy, null, marker-tie cases)."""
+    from pyspark.sql import functions as F
+
+    from agentic_doc_spark.functions.textstats import (
+        text_profile,
+        text_profile_fast,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [
+            (9000001, ""),
+            (9000002, "   \t\n "),
+            (9000003, "的話這是一段中文字符測試 covering the cjk gate ok"),
+            (9000004, "!!! ??? ;;; ###"),
+            (9000005, None),
+            (9000006, "le la de que y et dans est der die und das ist"),
+            (9000007, "x"),
+            (9000008, "the of and to a " * 20),
+        ],
+        "doc_id long, text string",
+    )
+    corpus = docs.unionByName(edge)
+    ref = sorted(
+        map(
+            tuple,
+            text_profile(corpus).select(
+                "doc_id", "pred_lang", "quality"
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            text_profile_fast(corpus).select(
+                "doc_id", "pred_lang", "quality"
+            ).collect(),
+        )
+    )
+    assert got == ref
+
+
 def test_token_counts_fast_matches_expressions(spark):
     """token_counts_fast kernel vs the token_count_ws/bpe expressions:
     identical counts on real data + whitespace/unicode/null edges."""
