@@ -31,6 +31,34 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _is_cheap_plan(df: DataFrame) -> bool:
+    """True when the frame is scan + row-local narrow ops only
+    (project/filter/repartition/alias) — no Python kernels, joins,
+    aggregations or generators — so recomputing it twice is cheaper
+    than materializing it. Unknown node types count as expensive."""
+    _CHEAP = {
+        "Project",
+        "Filter",
+        "Repartition",
+        "RepartitionByExpression",
+        "SubqueryAlias",
+        "LogicalRelation",
+        "LocalRelation",
+    }
+    try:
+        stack = [df._jdf.queryExecution().analyzed()]
+        while stack:
+            node = stack.pop()
+            if node.getClass().getSimpleName() not in _CHEAP:
+                return False
+            ch = node.children()
+            for i in range(ch.size()):
+                stack.append(ch.apply(i))
+        return True
+    except Exception:
+        return False
+
+
 def running_totals(
     df: DataFrame,
     order_col: str = "doc_id",
@@ -45,17 +73,20 @@ def running_totals(
     10^12 rows the range exchange is the same cost as any repartition —
     there is no single-reducer global sort anywhere.
 
-    The INPUT is lineage-truncated first: ``repartitionByRange``
-    evaluates its child once to SAMPLE the range boundaries and again
-    for the exchange itself, so a non-trivial upstream (the packed
-    pipeline's dedup chain, the interleaved cost folds) would run
-    twice — materializing it makes both passes scan stored rows
-    (values unchanged; measured pack_interleaved 3.6 → ~1.3 s at
-    sf1.0 local[32])."""
+    A NON-TRIVIAL input is lineage-truncated first:
+    ``repartitionByRange`` evaluates its child once to SAMPLE the range
+    boundaries and again for the exchange itself, so an upstream with
+    kernels/joins/aggregations (the packed pipeline's dedup chain, the
+    interleaved cost folds) would run twice — materializing it makes
+    both passes scan stored rows (values unchanged; measured
+    pack_interleaved 3.6 → ~1.4 s at sf1.0 local[32]). A plain
+    scan/project/filter upstream skips the cut: recomputing it is
+    cheaper than storing it (measured +0.34 s on pack_bins)."""
     from agentic_doc_spark.operators.dedup import _truncate_lineage
 
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = _truncate_lineage(df).repartitionByRange(
+    src = df if _is_cheap_plan(df) else _truncate_lineage(df)
+    ranged = src.repartitionByRange(
         n, F.col(order_col)
     ).withColumn("_part", F.spark_partition_id())
     w = Window.partitionBy("_part").orderBy(order_col).rowsBetween(
