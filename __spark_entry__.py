@@ -1368,8 +1368,9 @@ def q_events_gap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch replay of the STREAMING stateful sessionizer
     (streaming/sessionize.py:sessionize_batch): the applyInPandasWithState
-    gap fold itself — shared ``_fold_events`` kernel — run per user via
-    applyInPandas, final open session closed at end-of-input. Pins the
+    gap fold itself — shared ``_fold_events`` kernel — run as a
+    partition-local mapInPandas kernel (trailing user carried across
+    Arrow batches), final open session closed at end-of-input. Pins the
     custom stateful operator's session semantics against the DuckDB
     oracle (round-4 VERDICT task 8); timestamps rendered via the same
     timezone-independent substring(cast) as events_gap_sessions."""
@@ -1442,7 +1443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is LOAD-BEARING: the driver's correctness snapshot
     samples the FIRST 50 entries (CORRECTNESS_r04 cut off at 50 of 59 —
     round-4 VERDICT task 4), so the SURVEY §2-mapped operators and the
-    newest additions come first and the 10 demo/auxiliary queries (TPC-H
+    newest additions come first and the 12 demo/auxiliary queries (TPC-H
     showcases, events rollup variants, redundant intermediates — each a
     sibling of a front-50 operator) are parked at the tail, where they
     ride on the local replay gate (tests/test_entry_oracle.py runs ALL

@@ -1173,23 +1173,39 @@ def _adc_query_table(
     exact IEEE op sequence of the Python loops it replaces, so the
     table is bit-identical. Holes (cells the sampled seeds skipped)
     stay +inf and are never referenced — codes only ever name cells
-    present in the codebook."""
+    present in the codebook.
+
+    Expression shape: the codebook rides as ONE nested literal array
+    (missing cells are NULL slots) and the table is built by FOUR
+    lambda functions total (two transforms + zip_with + aggregate) —
+    an earlier form unrolled one aggregate/zip_with fold PER (sub,
+    cell), and Catalyst's per-lambda analysis cost on those ~m × k
+    folds dominated the whole query (seconds of driver time per
+    execution, independent of data size)."""
+    null_arr = "CAST(NULL AS array<double>)"
     subs = []
     for s in range(m):
         entries = []
         for c in range(max_cell + 1):
             cent = cb.get((s, c))
             if cent is None:
-                entries.append("CAST('Infinity' AS DOUBLE)")
-                continue
-            arr = "array(" + ",".join(_sql_double(x) for x in cent) + ")"
-            entries.append(
-                f"aggregate(zip_with(slice(`{vec_col}`, {s * d_sub + 1},"
-                f" {d_sub}), {arr}, (x, y) -> (x - y) * (x - y)), 0.0D,"
-                " (a, z) -> a + z)"
-            )
+                entries.append(null_arr)
+            else:
+                entries.append(
+                    "array(" + ",".join(_sql_double(x) for x in cent) + ")"
+                )
         subs.append("array(" + ",".join(entries) + ")")
-    dtab = "array(" + ",".join(subs) + ")"
+    cb_lit = "array(" + ",".join(subs) + ")"
+    fold = (
+        f"aggregate(zip_with(slice(`{vec_col}`, s * {d_sub} + 1, {d_sub}),"
+        " element_at(element_at(__cb, s + 1), c + 1),"
+        " (x, y) -> (x - y) * (x - y)), 0.0D, (a, z) -> a + z)"
+    )
+    dtab = (
+        f"transform(sequence(0, {m - 1}), s -> "
+        f"transform(sequence(0, {max_cell}), c -> "
+        f"coalesce({fold}, CAST('Infinity' AS DOUBLE))))"
+    ).replace("__cb", cb_lit)
     return queries.selectExpr(
         f"`{id_col}` AS query_id", f"{dtab} AS dtab"
     )

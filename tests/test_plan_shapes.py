@@ -39,9 +39,11 @@ def test_extract_merge_has_no_semantic_exchange(spark, entry):
 
 def test_dsir_final_plan_scans_corpus_once(spark, entry):
     # the ratio table is collected and re-injected as a literal map —
-    # the inline form re-derived the word counts and scanned 3×
+    # the inline form re-derived the word counts and scanned 3×. Since
+    # r6 the bucket-count kernel output is lineage-truncated, so the
+    # final plan reads the checkpoint leaf: ≤ 1 scan (0 locally)
     plan = _plan(entry.queries()["dsir_select"](spark, SF))
-    assert plan.count("FileScan parquet") == 1, plan
+    assert plan.count("FileScan parquet") <= 1, plan
 
 
 def test_pq_encode_is_a_pure_map(spark, entry):
