@@ -35,29 +35,63 @@ from agentic_doc_spark.functions.textstats import normalize_text, words
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: keep the smallest id per normalized-text hash.
-    ONE scan + ONE shuffle (r6 rework): groupBy(fingerprint) collects
-    each group's ids alongside the min — the previous agg + join-back
-    shape scanned and re-hashed the corpus on both join sides. Rows
-    with a NULL fingerprint (null text) are dropped, as the inner join
-    did. Per-group memory is bounded by the duplicate-cluster size
-    (the join form funneled the same hot fingerprint through one
-    reduce task anyway). Returns (id, fingerprint, is_canonical,
+    One shuffle (map-side partial min) + a join back whose probe side
+    STREAMS — an r6 experiment that collected each fingerprint group's
+    id list in one aggregation was reverted: a boilerplate text
+    duplicated 10^7× would buffer that many ids in a single reduce
+    task, while this shape holds only min(id) per group and streams
+    the probe rows. Returns (id, fingerprint, is_canonical,
     canonical_id)."""
     h = F.md5(normalize_text(F.col(text_col))).alias("fingerprint")
-    withf = df.select(F.col(id_col), h).filter(
-        F.col("fingerprint").isNotNull()
-    )
-    agg = withf.groupBy("fingerprint").agg(
-        F.min(id_col).alias("canonical_id"),
-        F.collect_list(id_col).alias("_ids"),
-    )
-    return agg.select(
-        "fingerprint", "canonical_id", F.explode("_ids").alias(id_col)
-    ).select(
+    withf = df.select(F.col(id_col), h)
+    canon = withf.groupBy("fingerprint").agg(F.min(id_col).alias("canonical_id"))
+    return withf.join(canon, "fingerprint").select(
         id_col,
         "fingerprint",
         (F.col(id_col) == F.col("canonical_id")).alias("is_canonical"),
         "canonical_id",
+    )
+
+
+# --- analyzed-plan inspection (shared) ---------------------------------------
+
+
+def _plan_node_names(df: DataFrame) -> list[str] | None:
+    """Class simple-names of every node in the frame's ANALYZED logical
+    plan, or None if the walk fails. The single traversal shared by
+    ``similarity._fast_count`` (footer-metadata counting) and
+    ``packing._is_cheap_plan`` (store-vs-recompute) — each applies its
+    own whitelist policy on the returned names."""
+    try:
+        names: list[str] = []
+        stack = [df._jdf.queryExecution().analyzed()]
+        while stack:
+            node = stack.pop()
+            names.append(node.getClass().getSimpleName())
+            ch = node.children()
+            for i in range(ch.size()):
+                stack.append(ch.apply(i))
+        return names
+    except Exception:
+        return None
+
+
+# --- kernel-side normalization (shared) --------------------------------------
+
+
+def _norm_series_py(texts):
+    """pandas twin of ``normalize_text`` + the ``words`` split contract,
+    bit-for-bit: lower, collapse JAVA-\\s runs (``re.ASCII`` — Python's
+    default \\s is Unicode and would also match NBSP/U+3000 etc., which
+    the Catalyst regex and the DuckDB RE2 twin do NOT), then trim the
+    0x20 SPACE only (``F.trim`` strips spaces, not all whitespace).
+    Every mapInPandas kernel that tokenizes like the expressions MUST
+    route through here so the normalization cannot drift per kernel."""
+    import re
+
+    ws = re.compile(r"\s+", re.ASCII)
+    return (
+        texts.fillna("").str.replace(ws, " ", regex=True).str.strip(" ")
     )
 
 
@@ -201,59 +235,85 @@ def minhash_bands_fast(
     a mapInPandas kernel: normalization and tokenization are pandas .str
     ops, the per-seed minima are one numpy reduction per document, and
     hashlib.md5 (C) replaces the interpreted-HOF md5 chain. Measured ~5×
-    faster than the expression version on the sf ladder."""
-    import hashlib as _hl
+    faster than the expression version on the sf ladder. The per-doc
+    math is the shared ``_batch_bands_shingles`` core (one
+    implementation for this kernel and the lsh base table)."""
     from typing import Iterator
 
-    import numpy as np
     import pandas as pd
 
-    rows_per_band = num_hashes // bands
     id_type = dict(df.dtypes)[id_col]
     out_schema = f"{id_col} {id_type}, band_idx int, band_key string"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        a = np.array([2 * s + 1 for s in range(num_hashes)], dtype=np.int64)
-        b = np.array([12289 * s + 1 for s in range(num_hashes)], dtype=np.int64)
         for pdf in batches:
-            norm = (
-                pdf[text_col]
-                .fillna("")
-                .str.lower()
-                .str.replace(r"\s+", " ", regex=True)
-                .str.strip()
+            ids, keys, _ = _batch_bands_shingles(
+                pdf, text_col, id_col, num_hashes, bands, k, want_sh=False
             )
-            out_ids, out_band, out_key = [], [], []
-            for doc_id, text in zip(pdf[id_col], norm):
-                toks = text.split(" ") if text else []
-                n = max(len(toks) - k + 1, 1)
-                sh = {" ".join(toks[i : i + k]) for i in range(n)}
-                hv = np.fromiter(
-                    (
-                        int(_hl.md5(g.encode()).hexdigest()[:15], 16)
-                        % MINHASH_P
-                        for g in sh
-                    ),
-                    dtype=np.int64,
-                    count=len(sh),
-                )
-                # (num_hashes, n_shingles) minima in one vectorized shot
-                sig = ((a[:, None] * hv[None, :] + b[:, None]) % MINHASH_P).min(
-                    axis=1
-                )
-                for bi in range(bands):
-                    seg = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
-                    key = _hl.md5(
-                        "_".join(str(x) for x in seg).encode()
-                    ).hexdigest()
-                    out_ids.append(doc_id)
-                    out_band.append(bi)
-                    out_key.append(key)
             yield pd.DataFrame(
-                {id_col: out_ids, "band_idx": out_band, "band_key": out_key}
+                {
+                    id_col: [i for i, ks in zip(ids, keys) for _ in ks],
+                    "band_idx": [bi for ks in keys for bi in range(len(ks))],
+                    "band_key": [key for ks in keys for key in ks],
+                }
             )
 
     return df.select(id_col, text_col).mapInPandas(run, out_schema)
+
+
+def _batch_bands_shingles(
+    pdf,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    k: int,
+    want_sh: bool,
+):
+    """Per-batch minhash core shared by ``minhash_bands_fast`` and
+    ``minhash_bands_with_shingles``: normalize (``_norm_series_py``),
+    build each doc's distinct k-shingle set, fold one C md5 per shingle
+    to the 60-bit int, derive the seeded-linear-map signature minima,
+    digest the band keys. Returns (ids, band_keys per doc, sorted
+    distinct 60-bit shingle arrays per doc or None). One implementation
+    so the shingle→signature→band-key contract cannot drift between
+    the kernels (the bit-identity tests pin it against the
+    expressions)."""
+    import hashlib as _hl
+
+    import numpy as np
+
+    rows_per_band = num_hashes // bands
+    a = np.array([2 * s + 1 for s in range(num_hashes)], dtype=np.int64)
+    b = np.array([12289 * s + 1 for s in range(num_hashes)], dtype=np.int64)
+    norm = _norm_series_py(pdf[text_col].str.lower())
+    out_ids, out_keys, out_sh = [], [], ([] if want_sh else None)
+    for doc_id, text in zip(pdf[id_col], norm):
+        toks = text.split(" ") if text else []
+        n = max(len(toks) - k + 1, 1)
+        sh = {" ".join(toks[i : i + k]) for i in range(n)}
+        h60 = np.fromiter(
+            (int(_hl.md5(g.encode()).hexdigest()[:15], 16) for g in sh),
+            dtype=np.int64,
+            count=len(sh),
+        )
+        hv = h60 % MINHASH_P
+        # (num_hashes, n_shingles) minima in one vectorized shot
+        sig = ((a[:, None] * hv[None, :] + b[:, None]) % MINHASH_P).min(axis=1)
+        keys = [
+            _hl.md5(
+                "_".join(
+                    str(x)
+                    for x in sig[bi * rows_per_band : (bi + 1) * rows_per_band]
+                ).encode()
+            ).hexdigest()
+            for bi in range(bands)
+        ]
+        out_ids.append(doc_id)
+        out_keys.append(keys)
+        if want_sh:
+            out_sh.append(np.unique(h60).tolist())
+    return out_ids, out_keys, out_sh
 
 
 def minhash_bands_with_shingles(
@@ -279,62 +339,22 @@ def minhash_bands_with_shingles(
     60 bits (~n²/2^61 per pair — negligible; the ``jaccard_pairs``
     xxhash64 fold makes the same argument), and the verify join ships
     8-byte ints instead of ~20-byte strings."""
-    import hashlib as _hl
     from typing import Iterator
 
-    import numpy as np
     import pandas as pd
 
-    rows_per_band = num_hashes // bands
     id_type = dict(df.dtypes)[id_col]
     out_schema = (
         f"{id_col} {id_type}, band_keys array<string>, sh array<bigint>"
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        a = np.array([2 * s + 1 for s in range(num_hashes)], dtype=np.int64)
-        b = np.array([12289 * s + 1 for s in range(num_hashes)], dtype=np.int64)
         for pdf in batches:
-            norm = (
-                pdf[text_col]
-                .fillna("")
-                .str.lower()
-                .str.replace(r"\s+", " ", regex=True)
-                .str.strip()
+            ids, keys, shs = _batch_bands_shingles(
+                pdf, text_col, id_col, num_hashes, bands, k, want_sh=True
             )
-            out_ids, out_keys, out_sh = [], [], []
-            for doc_id, text in zip(pdf[id_col], norm):
-                toks = text.split(" ") if text else []
-                n = max(len(toks) - k + 1, 1)
-                sh = {" ".join(toks[i : i + k]) for i in range(n)}
-                h60 = np.fromiter(
-                    (
-                        int(_hl.md5(g.encode()).hexdigest()[:15], 16)
-                        for g in sh
-                    ),
-                    dtype=np.int64,
-                    count=len(sh),
-                )
-                hv = h60 % MINHASH_P
-                sig = ((a[:, None] * hv[None, :] + b[:, None]) % MINHASH_P).min(
-                    axis=1
-                )
-                keys = [
-                    _hl.md5(
-                        "_".join(
-                            str(x)
-                            for x in sig[
-                                bi * rows_per_band : (bi + 1) * rows_per_band
-                            ]
-                        ).encode()
-                    ).hexdigest()
-                    for bi in range(bands)
-                ]
-                out_ids.append(doc_id)
-                out_keys.append(keys)
-                out_sh.append(np.unique(h60).tolist())
             yield pd.DataFrame(
-                {id_col: out_ids, "band_keys": out_keys, "sh": out_sh}
+                {id_col: ids, "band_keys": keys, "sh": shs}
             )
 
     return df.select(id_col, text_col).mapInPandas(run, out_schema)
@@ -402,13 +422,7 @@ def simhash_table(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            norm = (
-                pdf[text_col]
-                .fillna("")
-                .str.lower()
-                .str.replace(r"\s+", " ", regex=True)
-                .str.strip()
-            )
+            norm = _norm_series_py(pdf[text_col].str.lower())
             out = np.zeros(len(pdf), dtype=np.int64)
             for row_i, text in enumerate(norm):
                 toks = text.split(" ") if text else []
@@ -542,33 +556,34 @@ def lsh_jaccard_pairs(
     lineage-truncated, so the corpus is scanned/hashed exactly once —
     the previous form ran the band kernel twice (self-join sides) and
     re-derived the shingle sets twice more through the interpreted-HOF
-    expression path (~4 full hash passes; measured 6.6 s → ~1.5 s at
-    sf1.0 local[32]). Candidates carry the hash sets through the single
-    band self-join (8-byte ints, not text); per-collision Jaccard is an
-    in-row intersect and the trailing distinct dedups multi-band
-    collisions — same pairs, same values as the candidates→verify
-    composition it replaces."""
+    expression path (~4 full hash passes; measured 6.6 s → ~1.7 s at
+    sf1.0 local[32]). Candidate pairs are DISTINCT'd before the verify
+    joins fetch the hash sets from the materialized base, so each
+    pair's intersect runs exactly once — exact duplicates collide on
+    every band, so verifying per collision would repeat the hottest
+    pairs ``bands``×."""
     base = _truncate_lineage(
         minhash_bands_with_shingles(df, text_col, id_col, num_hashes, bands, k)
     )
     banded = base.select(
         F.col(id_col),
         F.posexplode("band_keys").alias("band_idx", "band_key"),
-        "sh",
     )
-    l = banded.select(
-        F.col(id_col).alias("a"), "band_idx", "band_key", F.col("sh").alias("sa")
+    l = banded.select(F.col(id_col).alias("a"), "band_idx", "band_key")
+    r = banded.select(F.col(id_col).alias("b"), "band_idx", "band_key")
+    cand = (
+        l.join(r, ["band_idx", "band_key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
     )
-    r = banded.select(
-        F.col(id_col).alias("b"), "band_idx", "band_key", F.col("sh").alias("sb")
-    )
-    joined = l.join(r, ["band_idx", "band_key"]).filter(F.col("a") < F.col("b"))
+    a = base.select(F.col(id_col).alias("a"), F.col("sh").alias("sa"))
+    b = base.select(F.col(id_col).alias("b"), F.col("sh").alias("sb"))
+    joined = cand.join(a, "a").join(b, "b")
     shared = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
     jac = shared / (F.size("sa") + F.size("sb") - shared)
-    return (
-        joined.select("a", "b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-        .distinct()
+    return joined.select("a", "b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
     )
 
 
@@ -773,13 +788,7 @@ def _gram_hashes_fast(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            norm = (
-                pdf[text_col]
-                .fillna("")
-                .str.lower()
-                .str.replace(r"\s+", " ", regex=True)
-                .str.strip()
-            )
+            norm = _norm_series_py(pdf[text_col].str.lower())
             out_ids, out_h = [], []
             ids = pdf[id_col] if id_col else norm  # dummy iterable
             for doc_id, text in zip(ids, norm):

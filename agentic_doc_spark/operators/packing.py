@@ -35,8 +35,12 @@ def _is_cheap_plan(df: DataFrame) -> bool:
     """True when the frame is scan + row-local narrow ops only
     (project/filter/repartition/alias) — no Python kernels, joins,
     aggregations or generators — so recomputing it twice is cheaper
-    than materializing it. Unknown node types count as expensive."""
-    _CHEAP = {
+    than materializing it. Unknown node types count as expensive.
+    Plan traversal shared with similarity._fast_count
+    (dedup._plan_node_names)."""
+    from agentic_doc_spark.operators.dedup import _plan_node_names
+
+    cheap = {
         "Project",
         "Filter",
         "Repartition",
@@ -45,18 +49,8 @@ def _is_cheap_plan(df: DataFrame) -> bool:
         "LogicalRelation",
         "LocalRelation",
     }
-    try:
-        stack = [df._jdf.queryExecution().analyzed()]
-        while stack:
-            node = stack.pop()
-            if node.getClass().getSimpleName() not in _CHEAP:
-                return False
-            ch = node.children()
-            for i in range(ch.size()):
-                stack.append(ch.apply(i))
-        return True
-    except Exception:
-        return False
+    names = _plan_node_names(df)
+    return names is not None and all(n in cheap for n in names)
 
 
 def running_totals(
@@ -256,28 +250,32 @@ def interleaved_costs(
             cost = cost_v.to_numpy(zero_copy_only=False)
             if len(cost) == 0:
                 continue
-            # clip: an empty trailing segment would index past the end
-            # (its garbage value is dropped by the keep mask below)
-            rs = np.minimum(starts, len(cost) - 1)
-            n_tokens = np.add.reduceat(cost, rs)
-            n_media = np.add.reduceat(is_media.astype(np.int64), rs)
+            # reduceat over the KEPT (non-empty) docs' starts only:
+            # empty segments occupy no child elements, so consecutive
+            # kept starts still delimit exactly one doc's spans — and
+            # no kept start can equal len(cost). (Clipping an empty
+            # TRAILING start into range instead would shrink the
+            # previous doc's segment and undercount it.)
+            keep = np.flatnonzero(ends > starts)  # explode-equivalence
+            if len(keep) == 0:
+                continue
+            ks = starts[keep]
+            n_tokens = np.add.reduceat(cost, ks)
+            n_media = np.add.reduceat(is_media.astype(np.int64), ks)
             seg = np.repeat(np.arange(n), ends - starts)
             kb = np.where(is_media, b"M", b"T").astype("S1")
             order = np.lexsort((~is_media, so, seg))  # 'M' first on ties
             bb = kb[order].tobytes()
             sigs = [
-                bb[starts[i] : ends[i]].decode("ascii") for i in range(n)
+                bb[starts[i] : ends[i]].decode("ascii") for i in keep
             ]
-            keep = np.flatnonzero(ends > starts)  # explode-equivalence
-            if len(keep) == 0:
-                continue
             take = pa.array(keep, type=pa.int64())
             yield pa.RecordBatch.from_arrays(
                 [
                     ids.take(take),
-                    pa.array(n_tokens, type=pa.int64()).take(take),
-                    pa.array(n_media, type=pa.int64()).take(take),
-                    pa.array(sigs, type=pa.string()).take(take),
+                    pa.array(n_tokens, type=pa.int64()),
+                    pa.array(n_media, type=pa.int64()),
+                    pa.array(sigs, type=pa.string()),
                 ],
                 [id_col, "n_tokens", "n_media", "sig"],
             )

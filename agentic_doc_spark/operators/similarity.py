@@ -305,29 +305,23 @@ def _fast_count(df: DataFrame) -> int:
     replaces a dedicated full counting scan per ANN index build with a
     driver-side metadata read (round-5 VERDICT item 7; guide §6 —
     parquet footers carry exact row counts)."""
-    _ROW_PRESERVING = {
+    from agentic_doc_spark.operators.dedup import _plan_node_names
+
+    row_preserving = {
         "Project",
         "Repartition",
         "RepartitionByExpression",
-        "RepartitionByNum",
         "SubqueryAlias",
+        "LogicalRelation",
     }
+    names = _plan_node_names(df)
+    if (
+        names is None
+        or any(n not in row_preserving for n in names)
+        or names.count("LogicalRelation") != 1
+    ):
+        return df.count()
     try:
-        stack = [df._jdf.queryExecution().analyzed()]
-        n_scans = 0
-        while stack:
-            node = stack.pop()
-            name = node.getClass().getSimpleName()
-            if name == "LogicalRelation":
-                n_scans += 1
-                continue
-            if name not in _ROW_PRESERVING:
-                return df.count()
-            ch = node.children()
-            for i in range(ch.size()):
-                stack.append(ch.apply(i))
-        if n_scans != 1:
-            return df.count()
         import pyarrow.parquet as _pq
 
         total = 0
@@ -1095,6 +1089,15 @@ def _codebook_dict(
             (int(r["sub"]), int(r["cell"]), [float(x) for x in r["centroid"]])
             for r in codebook.collect()
         ]
+    return _cb_from_rows(rows)
+
+
+def _cb_from_rows(
+    rows: list[tuple[int, int, list[float]]],
+) -> tuple[dict[tuple[int, int], list[float]], int, int, int]:
+    """(rows → cb dict, m, d_sub, max_cell) — the single place the
+    codebook row shape is interpreted (``_codebook_dict`` and
+    ``ivfpq_topk`` both route through here)."""
     if not rows:
         raise ValueError("empty PQ codebook")
     m = max(r[0] for r in rows) + 1
@@ -1348,12 +1351,7 @@ def ivfpq_topk(
     cb_rows, _dim = _pq_train_rows(
         proj, m, pq_k, pq_train_per_cell, vec_col, id_col, n=n
     )
-    if not cb_rows:
-        raise ValueError("empty PQ codebook")
-    mm = max(r[0] for r in cb_rows) + 1
-    d_sub = len(cb_rows[0][2])
-    max_cell = max(r[1] for r in cb_rows)
-    cb = {(r[0], r[1]): [float(x) for x in r[2]] for r in cb_rows}
+    cb, mm, d_sub, max_cell = _cb_from_rows(cb_rows)
     codes = _assign_encode_fast(proj, cents, cb, mm, d_sub, vec_col, id_col)
     probes = _probe_cells(
         queries, None, n_probe, vec_col, id_col, cells=cents

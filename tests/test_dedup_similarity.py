@@ -53,10 +53,26 @@ def test_minhash_candidates(docs):
     assert not any("d5" in p for p in pairs)
 
 
+def _unicode_ws_edge(spark):
+    """Rows with NBSP/U+3000/U+0085 — characters Python's Unicode \\s
+    matches but Java's/RE2's ASCII \\s does not. Kernels must keep them
+    INSIDE tokens exactly as the Catalyst/DuckDB normalization does."""
+    return spark.createDataFrame(
+        [
+            (9100001, "alpha beta gamma delta epsilon"),
+            (9100002, "x　y z w v u t s"),
+            (9100003, "lead mid dle trail "),
+        ],
+        ["doc_id", "text"],
+    )
+
+
 def test_minhash_fast_path_bit_identical(spark):
     from agentic_doc_spark.operators.dedup import minhash_bands, minhash_bands_fast
 
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text").unionByName(_unicode_ws_edge(spark))
     a = sorted(map(tuple, minhash_bands(docs).collect()))
     b = sorted(map(tuple, minhash_bands_fast(docs).collect()))
     assert a == b
@@ -72,7 +88,9 @@ def test_minhash_with_shingles_bands_bit_identical(spark):
         shingles,
     )
 
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text").unionByName(_unicode_ws_edge(spark))
     ws = minhash_bands_with_shingles(docs)
     got = sorted(
         (r["doc_id"], bi, key)
@@ -110,7 +128,11 @@ def test_simhash_fast_path_bit_identical(spark):
         ],
         ["doc_id", "text"],
     )
-    corpus = docs.select("doc_id", "text").unionByName(edge)
+    corpus = (
+        docs.select("doc_id", "text")
+        .unionByName(edge)
+        .unionByName(_unicode_ws_edge(spark))
+    )
     expr = corpus.select(
         "doc_id", simhash(F.col("text"), 16).alias("simhash")
     )
@@ -430,6 +452,40 @@ def test_duplicate_gram_spans_merges_chained_windows(spark):
         for r in duplicate_gram_spans(docs, k=8).collect()
     )
     assert got == [(1, 0, 8), (1, 11, 19), (2, 0, 8), (2, 11, 19)]
+
+
+def test_gram_hashes_fast_matches_shingles_expression(spark):
+    """decontaminate's _gram_hashes_fast kernel vs the shingles() +
+    _md5_key64 expression path: identical (id, h) rows, incl. Unicode
+    whitespace that Java \\s does not split on."""
+    from agentic_doc_spark.operators.dedup import (
+        _gram_hashes_fast,
+        _md5_key64,
+        shingles,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text").limit(100).unionByName(
+        _unicode_ws_edge(spark)
+    )
+    ref = sorted(
+        map(
+            tuple,
+            docs.select(
+                "doc_id",
+                F.explode(
+                    F.transform(
+                        shingles(F.col("text"), 3), lambda g: _md5_key64(g)
+                    )
+                ).alias("h"),
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(tuple, _gram_hashes_fast(docs, 3, "text", "doc_id").collect())
+    )
+    assert got == ref
 
 
 def test_gram_kernel_matches_expression(spark):

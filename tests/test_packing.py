@@ -123,6 +123,42 @@ def test_interleaved_costs_and_signature(spark):
     assert got == {1: (69, 1, "TMT"), 2: (2, 0, "TT"), 3: (128, 2, "MM")}
 
 
+def test_interleaved_costs_empty_span_docs_dont_corrupt_neighbors(spark):
+    """A doc with spans=[] must vanish (explode equivalence) WITHOUT
+    corrupting the preceding doc's segment sums — the reduceat segment
+    boundaries must come from the kept docs only (regression: clipping
+    an empty trailing start shrank the previous doc's segment)."""
+    from agentic_doc_spark.operators.packing import interleaved_costs
+
+    rows = [
+        {
+            "doc_id": 1,
+            "spans": [
+                {"kind": "raw", "text": "a b c", "media_ref": None, "offset": 0},
+                {"kind": "raw", "text": "", "media_ref": "media://1/m0", "offset": 1},
+            ],
+        },
+        {"doc_id": 2, "spans": []},
+        {
+            "doc_id": 3,
+            "spans": [
+                {"kind": "raw", "text": "d e", "media_ref": None, "offset": 0}
+            ],
+        },
+        {"doc_id": 4, "spans": []},  # trailing empty after the last kept doc
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    ).coalesce(1)  # one Arrow batch: kept and empty docs adjacent
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_media"], r["sig"])
+        for r in interleaved_costs(df, 64).collect()
+    }
+    assert got == {1: (67, 1, "TM"), 3: (2, 0, "T")}
+
+
 def test_pack_interleaved_bins_and_layout(spark):
     from agentic_doc_spark.operators.packing import pack_interleaved
 
